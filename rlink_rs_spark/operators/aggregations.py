@@ -1,0 +1,96 @@
+"""Aggregation descriptors -- the SchemaReduceFunction analogue.
+
+Reference: ReduceFunction is a record-at-a-time fold (core/function.rs:224-237)
+composed from AggregationDescriptors by SchemaReduceFunction
+(functions/reduce/schema_reduce.rs:490-598) with generated output names
+``sum(value)``, ``max(value)``, ``min(value)``, ``count``, ``pct(value)``
+(schema_reduce.rs:206-210, 91, 429-432). Spark's partial aggregation +
+state-store update gives the same incremental (never buffer-all) execution
+for free; we only map descriptors to Column expressions.
+
+``sum_exact`` routes double sums through DECIMAL so results are
+bit-identical across engines (Spark vs DuckDB oracle) regardless of
+floating-point accumulation order -- important because a distributed sum
+re-orders additions run to run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sum_exact(col: str | Column, alias: str, scale: int = 6) -> Column:
+    """Order-independent sum of a double column: cast to DECIMAL(38-ish)
+    first, sum exactly, return DOUBLE. DuckDB twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,{scale}))) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+@dataclass(frozen=True)
+class Agg:
+    """One AggregationDescriptor: kind in {sum, min, max, count, avg, pct}."""
+
+    kind: str
+    column: str | None = None
+    alias: str | None = None
+    percentile: int | None = None
+
+    def name(self) -> str:
+        if self.alias:
+            return self.alias
+        if self.kind == "count":
+            return "count"
+        if self.kind == "pct":
+            return f"pct_{self.percentile}_{self.column}"
+        return f"{self.kind}_{self.column}"
+
+    def to_column(self) -> Column:
+        if self.kind == "count":
+            return F.count("*").alias(self.name())
+        if self.kind == "sum":
+            return sum_exact(self.column, self.name())
+        if self.kind == "min":
+            return F.min(self.column).alias(self.name())
+        if self.kind == "max":
+            return F.max(self.column).alias(self.name())
+        if self.kind == "avg":
+            # composable from sum/count (absent in the reference, SURVEY §2.5)
+            return (
+                (F.sum(F.col(self.column).cast("decimal(18,6)")) / F.count("*"))
+                .cast("double")
+                .alias(self.name())
+            )
+        raise ValueError(f"unsupported agg kind: {self.kind}")
+
+
+# convenience constructors mirroring functions/reduce/schema_reduce.rs:11-29
+def sum_(column: str, alias: str | None = None) -> Agg:
+    return Agg("sum", column, alias)
+
+
+def min_(column: str, alias: str | None = None) -> Agg:
+    return Agg("min", column, alias)
+
+
+def max_(column: str, alias: str | None = None) -> Agg:
+    return Agg("max", column, alias)
+
+
+def count() -> Agg:
+    return Agg("count")
+
+
+def avg(column: str, alias: str | None = None) -> Agg:
+    return Agg("avg", column, alias)
+
+
+def grouped_agg(df: DataFrame, keys: list[str | Column], aggs: list[Agg]) -> DataFrame:
+    """keyBy + reduce: one shuffle on the keys, map-side partial aggregation
+    (the reference's KeyByRunnable murmur3 partitioning + incremental fold,
+    key_by_runnable.rs:67-105 / window_base_reduce.rs:84-101, both subsumed
+    by Spark HashAggregate)."""
+    return df.groupBy(*keys).agg(*[a.to_column() for a in aggs])

@@ -1,0 +1,146 @@
+"""Event-time windowed aggregations over the `events` table -- the
+reference's flagship capability (example/example-simple/src/app.rs:34-66:
+source -> flat_map -> filter -> watermark -> key_by(name) -> sliding
+window 60s/20s -> reduce(sum/max/min/count) -> sink).
+
+Batch forms here (the correctness gate); the identical plans run as
+Structured Streaming in rlink_rs_spark.streaming with withWatermark.
+Output shape: window bounds flattened to epoch millis -- engine-neutral,
+so Spark and the DuckDB oracle hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rlink_rs_spark.functions.percentile import (
+    histogram_percentile,
+    histogram_percentile_oracle_sql,
+)
+from rlink_rs_spark.operators.aggregations import sum_exact
+from rlink_rs_spark.operators.windows import sliding_window, window_bounds_millis
+from rlink_rs_spark.queries.base import register, sliding_assign_sql
+from rlink_rs_spark.tables import load_table
+
+_EVENTS = "'{sf}/events.parquet'"  # driver pre-registers view `events`
+
+def _std_aggs_spark() -> list:
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        sum_exact("value", "sum_value"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.count("*").alias("cnt"),
+    ]
+_STD_AGGS_SQL = (
+    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
+    "MAX(value) AS max_value, MIN(value) AS min_value, COUNT(*) AS cnt"
+)
+
+
+def _windowed_events_agg(
+    spark: SparkSession, sf_dir: str, size_s: float, slide_s: float, offset_s: float, keys: list[str]
+) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(sliding_window("ts", size_s, slide_s, offset_s), *keys)
+        .agg(*_std_aggs_spark())
+        .select(*window_bounds_millis(), *keys, "sum_value", "max_value", "min_value", "cnt")
+    )
+
+
+def _windowed_oracle(size_ms: int, slide_ms: int, offset_ms: int, keys: list[str]) -> str:
+    key_sel = ", ".join(keys)
+    assign = sliding_assign_sql("events", "ts", size_ms, slide_ms, offset_ms)
+    return (
+        f"SELECT ws AS window_start, ws + {size_ms} AS window_end, {key_sel}, {_STD_AGGS_SQL} "
+        f"FROM ({assign}) a GROUP BY ws, {key_sel}"
+    )
+
+
+@register(
+    "flagship_sliding_window_agg",
+    _windowed_oracle(60_000, 20_000, 0, ["event_type"]),
+    "Reference flagship: sliding 60s/20s event-time windows keyed by event_type, "
+    "agg sum/max/min/count (example-simple/src/app.rs:44-65).",
+)
+def flagship_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _windowed_events_agg(spark, sf_dir, 60, 20, 0, ["event_type"])
+
+
+@register(
+    "tumbling_window_agg",
+    _windowed_oracle(60_000, 60_000, 0, ["event_type"]),
+    "Tumbling 60s windows (slide == size, example-connect/src/app.rs:60-64).",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _windowed_events_agg(spark, sf_dir, 60, 60, 0, ["event_type"])
+
+
+@register(
+    "window_offset_agg",
+    _windowed_oracle(86_400_000, 86_400_000, -8 * 3600 * 1000, ["event_type"]),
+    "24h tumbling windows with Offset::back(8h) -- timezone-aligned day windows "
+    "(reference test functions/window/mod.rs:111-124); negative offset normalized "
+    "mod slide into F.window startTime.",
+)
+def window_offset_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _windowed_events_agg(spark, sf_dir, 86_400, 86_400, -8 * 3600, ["event_type"])
+
+
+@register(
+    "multi_key_window_agg",
+    _windowed_oracle(300_000, 300_000, 0, ["event_type", "user_id"]),
+    "Multi-column key_by (SchemaKeySelector::new(vec![...]), "
+    "functions/key_selector/schema_key_selector.rs:8-86) over 5m tumbling windows.",
+)
+def multi_key_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _windowed_events_agg(spark, sf_dir, 300, 300, 0, ["event_type", "user_id"])
+
+
+_PCT_SIZE_MS = 3_600_000  # 1h tumbling: enough rows per bucket to exercise the scale
+
+
+@register(
+    "pct_window_agg",
+    histogram_percentile_oracle_sql(
+        f"SELECT ws AS window_start, ws + {_PCT_SIZE_MS} AS window_end, event_type, value "
+        f"FROM ({sliding_assign_sql('events', 'ts', _PCT_SIZE_MS, _PCT_SIZE_MS)}) a",
+        ["window_start", "window_end", "event_type"],
+        "value",
+        [99, 90],
+    ),
+    "Histogram percentile agg `pct` with the reference's leveldb scale "
+    "(functions/percentile/mod.rs:59-210), p99+p90 per 1h window per event_type.",
+)
+def pct_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    flat = events.select(
+        sliding_window("ts", _PCT_SIZE_MS / 1000).alias("window"), "event_type", "value"
+    ).select(*window_bounds_millis(), "event_type", "value")
+    return histogram_percentile(flat, ["window_start", "window_end", "event_type"], "value", [99, 90])
+
+
+@register(
+    "range_window_filter",
+    (
+        f"SELECT * FROM ({_windowed_oracle(60_000, 20_000, 0, ['event_type'])}) q "
+        "WHERE window_start >= (SELECT (epoch_ms(MIN(ts)) // 60000) * 60000 FROM events) "
+        "AND window_end <= (SELECT (epoch_ms(MIN(ts)) // 60000) * 60000 + 86400000 FROM events)"
+    ),
+    "RangeWindowFilter: keep rows whose trigger_window lies within [begin, end] "
+    "(functions/filter/range_window_filter.rs:9-44) -- window-bound predicate "
+    "on the flagship output, bounds derived from the data's first day.",
+)
+def range_window_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = flagship_sliding_window_agg(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.expr("(unix_millis(min(ts)) div 60000) * 60000").alias("begin_ms")
+    ).withColumn("end_ms", F.col("begin_ms") + 86_400_000)
+    return (
+        agg.join(F.broadcast(bounds))
+        .where((F.col("window_start") >= F.col("begin_ms")) & (F.col("window_end") <= F.col("end_ms")))
+        .drop("begin_ms", "end_ms")
+    )

@@ -1,0 +1,69 @@
+"""Fixture table loaders for the TESTDATA.md parquet tables.
+
+The reference has no file formats at all (SURVEY.md 2.1: no CSV/Parquet/JSON
+readers); Spark gives us columnar parquet scans with predicate pushdown and
+column pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark has no native
+    type for (PARQUET_TYPE_ILLEGAL). Footer-only check via pyarrow."""
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if str(f.type).startswith("timestamp[ns")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; scans stay pushdown-friendly (no caching here).
+
+    The driver's testdata stores event times as nanosecond timestamps;
+    Spark reads them as raw INT64 nanos (legacy.parquet.nanosAsLong) and we
+    truncate to microsecond TimestampType -- matching DuckDB's epoch_ms()
+    truncation, so engine and oracle see identical instants.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
