@@ -17,16 +17,19 @@ class Query:
     fn: QueryFn
     oracle: str | None  # DuckDB SQL; None => driver runs rows-only check
     description: str = ""
+    bench: bool = True  # include in bench.py's headline set
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, description: str = "") -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None, description: str = "", bench: bool = True
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name, fn, oracle, description)
+        REGISTRY[name] = Query(name, fn, oracle, description, bench)
         return fn
 
     return deco
@@ -47,4 +50,4 @@ def sliding_assign_sql(table: str, ts_col: str, size_ms: int, slide_ms: int, off
     )
 
 
-SUM_EXACT_SQL = "CAST(SUM(CAST({col} AS DECIMAL(18,6))) AS DOUBLE)"
+SUM_EXACT_SQL = "SUM(CAST(ROUND({col}*100) AS BIGINT))/100.0"

@@ -19,11 +19,10 @@ from rlink_rs_spark.functions.percentile import (
     histogram_percentile_oracle_sql,
 )
 from rlink_rs_spark.operators.aggregations import sum_exact
-from rlink_rs_spark.operators.windows import sliding_window, window_bounds_millis
-from rlink_rs_spark.queries.base import register, sliding_assign_sql
+from rlink_rs_spark.operators.windows import with_sliding_window_bounds
+from rlink_rs_spark.queries.base import SUM_EXACT_SQL, register, sliding_assign_sql
 from rlink_rs_spark.tables import load_table
 
-_EVENTS = "'{sf}/events.parquet'"  # driver pre-registers view `events`
 
 def _std_aggs_spark() -> list:
     # built lazily: Column construction needs an active SparkContext
@@ -33,8 +32,10 @@ def _std_aggs_spark() -> list:
         F.min("value").alias("min_value"),
         F.count("*").alias("cnt"),
     ]
+
+
 _STD_AGGS_SQL = (
-    "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, "
+    f"{SUM_EXACT_SQL.format(col='value')} AS sum_value, "
     "MAX(value) AS max_value, MIN(value) AS min_value, COUNT(*) AS cnt"
 )
 
@@ -43,10 +44,11 @@ def _windowed_events_agg(
     spark: SparkSession, sf_dir: str, size_s: float, slide_s: float, offset_s: float, keys: list[str]
 ) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    assigned = with_sliding_window_bounds(events, "ts", size_s, slide_s, offset_s)
     return (
-        events.groupBy(sliding_window("ts", size_s, slide_s, offset_s), *keys)
+        assigned.groupBy("window_start", "window_end", *keys)
         .agg(*_std_aggs_spark())
-        .select(*window_bounds_millis(), *keys, "sum_value", "max_value", "min_value", "cnt")
+        .select("window_start", "window_end", *keys, "sum_value", "max_value", "min_value", "cnt")
     )
 
 
@@ -116,9 +118,9 @@ _PCT_SIZE_MS = 3_600_000  # 1h tumbling: enough rows per bucket to exercise the 
 )
 def pct_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    flat = events.select(
-        sliding_window("ts", _PCT_SIZE_MS / 1000).alias("window"), "event_type", "value"
-    ).select(*window_bounds_millis(), "event_type", "value")
+    flat = with_sliding_window_bounds(events, "ts", _PCT_SIZE_MS / 1000).select(
+        "window_start", "window_end", "event_type", "value"
+    )
     return histogram_percentile(flat, ["window_start", "window_end", "event_type"], "value", [99, 90])
 
 
