@@ -1,1 +1,297 @@
-"""Placeholder — filled in as operators land."""
+"""Row transforms, filters, connect/union, enrichment joins, and the
+relational engine extras (TPC-H-style aggs, top-k, set ops, sessionization).
+
+Reference parity covered here:
+  - FlatMapFunction / FilterFunction (core/function.rs:186-207): projection,
+    JSON payload parse (example/example-kafka/src/input_mapper.rs:1-49),
+    predicate filters.
+  - CoProcessFunction / connect (core/function.rs:256-272): schema-aligned
+    union + broadcast dimension enrichment (example-connect/src/app.rs:51-72).
+  - Sorts/limits/top-k and set ops are absent in the reference (SURVEY §2.9)
+    and surfaced as engine extras.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rlink_rs_spark.operators.aggregations import sum_exact
+from rlink_rs_spark.operators.joins import broadcast_enrich, union_aligned
+from rlink_rs_spark.queries.base import SUM_EXACT_SQL, register
+from rlink_rs_spark.tables import load_table
+
+
+# --- flat_map / filter (row transforms) ------------------------------------
+
+@register(
+    "flat_map_filter_transform",
+    """
+    SELECT event_id, user_id, upper(event_type) AS event_type_uc,
+           CAST(value * 2 AS DOUBLE) AS doubled,
+           CAST(props->>'k' AS BIGINT) AS k
+    FROM events
+    WHERE value > 100.0 AND event_type <> 'error'
+    """,
+    "FlatMapFunction + FilterFunction chain (core/function.rs:186-207): JSON "
+    "payload parse (input_mapper.rs analogue via get_json_object), projection, "
+    "string transform, predicate filter.",
+)
+def flat_map_filter_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where((F.col("value") > 100.0) & (F.col("event_type") != "error"))
+        .select(
+            "event_id",
+            "user_id",
+            F.upper("event_type").alias("event_type_uc"),
+            (F.col("value") * 2).cast("double").alias("doubled"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+
+
+# --- connect analogues ------------------------------------------------------
+
+@register(
+    "union_connect",
+    f"""
+    WITH merged AS (
+      SELECT user_id, value FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, value * 10 AS value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, {SUM_EXACT_SQL.format(col='value')} AS sum_value, COUNT(*) AS cnt
+    FROM merged GROUP BY user_id
+    """,
+    "CoProcessFunction merge of co-partitioned streams into one schema "
+    "(connect, core/data_stream.rs:349-371) -> union + downstream agg.",
+)
+def union_connect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "value")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", (F.col("value") * 10).alias("value")
+    )
+    return union_aligned(clicks, purchases).groupBy("user_id").agg(
+        sum_exact("value", "sum_value"), F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "broadcast_enrichment_join",
+    f"""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           {SUM_EXACT_SQL.format(col='e.value')} AS sum_value, COUNT(*) AS cnt
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, c.c_mktsegment
+    """,
+    "Stream-static broadcast enrichment (the reference's Broadcast config + "
+    "RoundRobin stream connect, example-connect/src/app.rs:51-72): fact stream "
+    "joined to broadcast dimensions, zero fact-side shuffle before the agg.",
+)
+def broadcast_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    enriched = broadcast_enrich(
+        events, customer, on=events.user_id == customer.c_custkey, how="inner"
+    )
+    enriched = broadcast_enrich(
+        enriched, nation, on=enriched.c_nationkey == nation.n_nationkey, how="inner"
+    )
+    return enriched.groupBy(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+    ).agg(sum_exact("value", "sum_value"), F.count("*").alias("cnt"))
+
+
+# --- engine extras: TPC-H-style relational coverage -------------------------
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {SUM_EXACT_SQL.format(col='l_quantity')} AS sum_qty,
+           {SUM_EXACT_SQL.format(col='l_extendedprice')} AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))/10000.0 AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT))/1000000.0 AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan-heavy multi-agg with filter pushdown and partial "
+    "aggregation; the workhorse batch-analytics pattern at 100 TB.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_exact("l_quantity", "sum_qty"),
+            sum_exact("l_extendedprice", "sum_base_price"),
+            (F.sum(F.round(disc_price * 10000).cast("long")) / 10000.0).alias("sum_disc_price"),
+            (F.sum(F.round(charge * 1000000).cast("long")) / 1000000.0).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))/10000.0 AS revenue,
+           epoch_ms(o.o_orderdate) AS orderdate_ms, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+    "TPC-H Q3 shape: selective dimension filter -> broadcast join -> agg -> "
+    "deterministic top-10 (orderBy + limit -- absent in the reference, "
+    "SURVEY §2.9).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # broadcast only the filtered customer dim; the orders⋈lineitem side is
+    # left to Catalyst/AQE (broadcast at small SF, sort-merge at 100 TB)
+    joined = li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                     li.l_orderkey == o.o_orderkey)
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(F.round(revenue * 10000).cast("long")) / 10000.0).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("orderdate_ms"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "top_k_per_group",
+    f"""
+    WITH sums AS (
+      SELECT event_type, user_id, {SUM_EXACT_SQL.format(col='value')} AS sum_value
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY sum_value DESC, user_id ASC) AS rn
+      FROM sums
+    )
+    SELECT event_type, user_id, sum_value, rn FROM ranked WHERE rn <= 5
+    """,
+    "Top-K per group via ranking window function (engine extra; deterministic "
+    "tie-break on user_id).",
+)
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sums = events.groupBy("event_type", "user_id").agg(sum_exact("value", "sum_value"))
+    w = Window.partitionBy("event_type").orderBy(F.col("sum_value").desc(), F.col("user_id").asc())
+    return sums.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+
+
+@register(
+    "set_ops_users",
+    """
+    SELECT user_id, 'both' AS cohort FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT user_id, 'click_only' AS cohort FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    "Set ops (intersect/except -- absent in the reference, SURVEY §2.9): "
+    "clicker/purchaser cohort split.",
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clickers = events.where(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = events.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(purchasers).withColumn("cohort", F.lit("both"))
+    click_only = clickers.subtract(purchasers).withColumn("cohort", F.lit("click_only"))
+    return both.unionByName(click_only)
+
+
+@register(
+    "distinct_agg",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    "Distinct aggregation (absent in the reference, SURVEY §2.5): "
+    "count(distinct) with Spark's two-phase distinct-agg expansion.",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users"), F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "sessionization",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > 1800000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (  -- same (ts, event_id) ordering as `ordered`: ties must cumsum identically
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id, MIN(epoch_ms(ts)) AS session_start_ms,
+           MAX(epoch_ms(ts)) AS session_end_ms, COUNT(*) AS n_events,
+           {SUM_EXACT_SQL.format(col='value')} AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "Sessionization (session windows -- absent in the reference, SURVEY §2.6): "
+    "gaps-and-islands with a 30-minute inactivity gap; the streaming twin uses "
+    "F.session_window.",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    ms = F.unix_millis("ts")
+    ordered = events.withColumn(
+        "new_session",
+        F.when(
+            (ms - F.lag(ms).over(w) > gap_ms) | F.lag("ts").over(w).isNull(), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = ordered.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_millis("ts")).alias("session_start_ms"),
+        F.max(F.unix_millis("ts")).alias("session_end_ms"),
+        F.count("*").alias("n_events"),
+        sum_exact("value", "sum_value"),
+    )

@@ -49,6 +49,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation, so engine and oracle see identical instants.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Pin UTC so TIMESTAMP_NTZ -> TIMESTAMP casts (and window arithmetic)
+    # are timezone-stable regardless of the caller's session defaults --
+    # the DuckDB oracle interprets naive timestamps as UTC.
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
