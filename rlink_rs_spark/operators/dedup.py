@@ -1,0 +1,208 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has no dedup operators at all) -- these
+are the 100 TB extras mandated by the build brief: exact dedup, n-gram
+Jaccard, MinHash+LSH, and SimHash near-dup detection over a documents table.
+
+Design stance for scale:
+  * All hashing is md5-based and engine-neutral (identical in Spark and
+    DuckDB), so every operator is oracle-checkable bit-for-bit, and no
+    Python UDFs are involved anywhere -- the whole family runs inside
+    whole-stage codegen.
+  * Exact dedup is one hash-groupBy (map-side partial agg, one shuffle).
+  * MinHash signatures aggregate per-doc minimums of K independent hashes
+    -- shuffle key is doc_id, no K-fold row expansion.
+  * LSH banding turns all-pairs comparison into an equi-join on
+    (band_id, band_signature) -- the scale path; the exact n-gram
+    inverted-index join is the small-scale/oracle baseline.
+  * Candidate verification intersects per-doc shingle *arrays* (already
+    grouped), avoiding a second postings join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- shingling ---------------------------------------------------------------
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokenization -- identical to DuckDB string_split(text, ' ')."""
+    return F.split(F.col(text_col), " ")
+
+
+def with_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) postings, one row per *distinct* word k-gram per doc.
+
+    The k-gram is built by explicit 0-based indexing (t[i] .. t[i+k-1]) so
+    the DuckDB twin (1-based list comprehension) produces identical strings.
+    """
+    t = "__t"
+    parts = " , ' ', ".join(f"{t}[i + {j}]" for j in range(k))
+    shingle_expr = (
+        f"transform(sequence(0, greatest(size({t}) - {k}, -1)), i -> concat({parts}))"
+    )
+    return (
+        df.select(F.col(id_col), tokens_col(text_col).alias(t))
+        .select(F.col(id_col), F.explode_outer(F.expr(shingle_expr)).alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+    )
+
+
+def shingles_sql(k: int = 3, text_col: str = "text") -> str:
+    """DuckDB twin of with_shingles' k-gram construction (1-based lists)."""
+    lst = f"string_split({text_col}, ' ')"
+    parts = " || ' ' || ".join(f"{lst}[i + {j}]" for j in range(k))
+    return f"[{parts} for i in range(1, len({lst}) - {k - 2})]"
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content, with the
+    canonical (minimum) id and the duplicate count. At scale: single
+    shuffle on the 128-bit fingerprint, no content comparison after the
+    map-side hash."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(content_col).cast("binary")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+# --- md5-based hash family ---------------------------------------------------
+
+def hash64(col: Column, salt: int) -> Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5(salt:value).
+    DuckDB twin: ('0x' || substr(md5(concat('{salt}:', v)), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hash32(col: Column) -> Column:
+    """32-bit hash from md5 chars 9..16 (salt-free; used by SimHash).
+    DuckDB twin: ('0x' || substr(md5(v), 9, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id", n_hashes: int = 16) -> DataFrame:
+    """Per-doc MinHash signature: h_i = min over shingles of hash64(i, s).
+    One aggregation, no row expansion by n_hashes."""
+    aggs = [F.min(hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(n_hashes)]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature (bands x rows_per_band) and equi-join docs sharing
+    any band -- the O(n^2) -> O(candidates) reduction that makes near-dup
+    feasible at 100 TB. Returns distinct (id_a, id_b), id_a < id_b."""
+    rows = n_hashes // bands
+    banded = None
+    for b in range(bands):
+        cols = [f"h{b * rows + r}" for r in range(rows)]
+        part = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame, shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.7
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs via per-doc shingle arrays;
+    integer intersection/union counts, so the ratio is bit-identical across
+    engines. Returns (id_a, id_b, jaccard >= threshold)."""
+    sets = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.6
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted-index self-join on the
+    shingle (the small-scale baseline; LSH above is the scale path -- a hot
+    shingle makes this join quadratic in its posting list)."""
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+def simhash(shingled: DataFrame, id_col: str = "doc_id", n_bits: int = 32) -> DataFrame:
+    """Per-doc SimHash: bit j is set iff sum over shingles of
+    (2*bit_j(hash32(s)) - 1) > 0. Pure aggregation -- n_bits sums per doc."""
+    h = hash32(F.col("shingle"))
+    sums = shingled.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(n_bits)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(n_bits)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc + t
+    return sums.select(F.col(id_col), acc.cast("long").alias("simhash"))
+
+
+def simhash_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash. All-pairs comparison
+    here (fine to ~10^4 docs); at scale, band the simhash into byte blocks
+    and equi-join on any equal block (pigeonhole: hamming<=3 over 4 blocks
+    guarantees one equal block) before verifying."""
+    a = sims.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
+    b = sims.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

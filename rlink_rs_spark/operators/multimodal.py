@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video payloads as opaque
+``binary`` columns with a typed metadata struct, processed in Arrow batches
+via mapInPandas.
+
+The decode step is STUBBED (no image/audio libraries in this container):
+``decode_stub=True`` produces deterministic fake features; passing False
+raises NotImplementedError at the exact point a real decoder (PIL,
+torchaudio, ffmpeg) would plug in. Everything Spark-side -- schema,
+partitioning, UDF signature, Arrow batch shape -- is real and tested.
+
+At 100 TB: payloads stay columnar in parquet (binary column, never
+collected); mapInPandas streams Arrow batches so peak memory is one batch,
+not one partition; feature extraction parallelizes per input split with no
+shuffle. Repartition upstream only if payload sizes are skewed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# metadata struct carried alongside every payload
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("content_hash", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),  # extracted embedding
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque payloads so the
+    multimodal path is exercisable on the fixture tables."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake feature vector: md5-expanded bytes -> [0,1) floats.
+    Stands in for a real decoder + encoder forward pass."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.md5(payload + counter.to_bytes(4, "big")).digest()
+        out.extend(b / 256.0 for b in h)  # [0, 1): 255 -> 0.996..., never 1.0
+        counter += 1
+    return out[:dim]
+
+
+def extract_features(
+    media: DataFrame, dim: int = 16, decode_stub: bool = True, batch_hint: int | None = None
+) -> DataFrame:
+    """Decode + feature-extract payloads via mapInPandas (Arrow-batched;
+    the only Python hop in the multimodal path)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires PIL/torchaudio/ffmpeg -- "
+                    "not available in this container; use decode_stub=True"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int32"),
+                    "content_hash": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "feature": payloads.map(
+                        lambda b: _fake_decode(bytes(b), dim) if b is not None else None
+                    ),
+                    "decode_ok": payloads.notna(),
+                }
+            )
+
+    return media.mapInPandas(op, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled timestamp
+    (real decoder would attach the frame payload; stub attaches offsets).
+    Pure Spark explode -- no Python."""
+    n_frames = F.greatest(F.lit(1), (F.col("meta.duration_ms") / every_ms).cast("int"))
+    return media.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).select("media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("offset_ms"))

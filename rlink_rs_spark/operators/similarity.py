@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Engine extras for training-data pipelines: brute-force cosine top-k as the
+correctness baseline, and a random-hyperplane LSH bucketed variant as the
+scale path (bucket equi-join replaces the full cross product).
+
+Determinism contract: every dot product is generated as an explicit
+left-to-right sum chain over dimensions with per-element DOUBLE casts, so
+Spark and the DuckDB oracle produce bit-identical doubles (no SIMD/fold
+reordering). Hyperplanes are md5-derived +-1 weights computed driver-side
+(hashlib) and inlined as literals in both engines.
+
+At 100 TB: the fact side never collects; queries are broadcast; LSH
+bucketing bounds candidates per query; for real deployments swap the
+literal hyperplanes for a broadcast matrix and a pandas_udf GEMM.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _balanced_sum(terms: list[str]) -> str:
+    """Pairwise-balanced addition tree: log2(n) deep instead of an n-deep
+    left fold (deep trees stall Catalyst analysis/codegen). The generated
+    string is shared verbatim with the DuckDB oracle, so the summation
+    order -- and therefore every floating-point bit -- still matches."""
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def dot_chain_expr(a: str, b: str, dims: int, base: int) -> str:
+    """Explicit balanced sum of a[i]*b[i]; `base` is the array index origin
+    (Spark arrays are 0-based, DuckDB lists 1-based)."""
+    return _balanced_sum(
+        [
+            f"CAST({a}[{i + base}] AS DOUBLE) * CAST({b}[{i + base}] AS DOUBLE)"
+            for i in range(dims)
+        ]
+    )
+
+
+def norm_expr(a: str, dims: int, base: int) -> str:
+    return f"SQRT({dot_chain_expr(a, a, dims, base)})"
+
+
+def cosine_expr(a: str, b: str, dims: int, base: int) -> str:
+    return (
+        f"({dot_chain_expr(a, b, dims, base)}) / "
+        f"({norm_expr(a, dims, base)} * {norm_expr(b, dims, base)})"
+    )
+
+
+def hyperplanes(n_planes: int, dims: int) -> list[list[int]]:
+    """Deterministic +-1 hyperplane weights: sign of bit 0 of md5('p:d')."""
+    return [
+        [1 if hashlib.md5(f"{p}:{d}".encode()).digest()[0] & 1 else -1 for d in range(dims)]
+        for p in range(n_planes)
+    ]
+
+
+def bucket_expr(vec: str, planes: list[list[int]], base: int) -> str:
+    """LSH bucket id: bit p set iff dot(vec, plane_p) > 0. Weights are +-1.0
+    literals, so the projection is an exact signed sum chain."""
+    bits = []
+    for p, w in enumerate(planes):
+        chain = _balanced_sum(
+            [f"(CAST({vec}[{i + base}] AS DOUBLE) * {w[i]}.0)" for i in range(len(w))]
+        )
+        bits.append(f"CASE WHEN {chain} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against all vectors,
+    rank per query with deterministic tie-break (cosine desc, id asc)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    cos = F.expr(cosine_expr("qv", "nv", dims, base=0))
+    scored = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN variant: candidates restricted to the query's LSH bucket
+    (equi-join on bucket id), then exact cosine + rank. Recall < 1 by
+    design; determinism is preserved because both engines use identical
+    literal hyperplanes."""
+    planes = hyperplanes(n_planes, dims)
+    bucket = F.expr(bucket_expr(vec_col, planes, base=0))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), bucket.alias("bucket")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), bucket.alias("bucket")
+    )
+    cos = F.expr(cosine_expr("qv", "nv", dims, base=0))
+    scored = (
+        v.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

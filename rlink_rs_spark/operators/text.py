@@ -1,0 +1,73 @@
+"""Text-analysis operators for training-data pipelines (engine extras):
+language ID (stopword-marker heuristic), quality scoring, token counting,
+and document fingerprinting. All pure SQL expressions -- JVM-side,
+codegen'd, and bit-replicable in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deterministic tie-break: first language in this order wins ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-romanized markers
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _in_list_sql(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+def marker_count_sql(tokens: str, lang: str) -> str:
+    """Count of marker-word occurrences; identical text in Spark SQL
+    (filter + lambda) and DuckDB (list_filter + lambda)."""
+    return f"len(list_filter({tokens}, t -> t IN ({_in_list_sql(LANG_MARKERS[lang])})))"
+
+
+def lang_id_case_sql(tokens: str) -> str:
+    """Argmax over marker counts with fixed precedence order; 'und'
+    (undetermined) when no marker hits."""
+    langs = list(LANG_MARKERS)
+    counts = {lang: marker_count_sql(tokens, lang) for lang in langs}
+    conds = []
+    for lang in langs:
+        others = [counts[o] for o in langs if o != lang]
+        ge_all = " AND ".join(f"{counts[lang]} >= {o}" for o in others)
+        conds.append(f"WHEN {counts[lang]} > 0 AND {ge_all} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'und' END"
+
+
+def spark_lang_id(tokens_col: str) -> Column:
+    # Spark SQL: size/filter; translate the DuckDB len/list_filter names
+    sql = lang_id_case_sql("__TOK__").replace("len(list_filter(", "size(filter(")
+    return F.expr(sql.replace("__TOK__", tokens_col))
+
+
+def duck_lang_id(tokens_expr: str) -> str:
+    return lang_id_case_sql(tokens_expr)
+
+
+# --- quality scoring ---------------------------------------------------------
+
+def quality_score_sql(n_tokens: str, n_chars: str, stop_cnt: str) -> str:
+    """Quality heuristic in [0,1]: length band + mean word length band +
+    stopword-ratio band, equally weighted. Integer/constant arithmetic
+    then one final ROUND -> deterministic across engines."""
+    mean_wl = f"(CAST({n_chars} AS DOUBLE) / {n_tokens})"
+    stop_ratio = f"(CAST({stop_cnt} AS DOUBLE) / {n_tokens})"
+    return (
+        "ROUND(("
+        f"(CASE WHEN {n_tokens} >= 20 AND {n_tokens} <= 1000 THEN 1.0 "
+        f"      WHEN {n_tokens} >= 5 THEN 0.5 ELSE 0.0 END) + "
+        f"(CASE WHEN {mean_wl} >= 3.0 AND {mean_wl} <= 12.0 THEN 1.0 ELSE 0.0 END) + "
+        f"(CASE WHEN {stop_ratio} >= 0.01 THEN 1.0 WHEN {stop_ratio} > 0.0 THEN 0.5 ELSE 0.0 END)"
+        ") / 3.0, 4)"
+    )

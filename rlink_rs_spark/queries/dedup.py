@@ -1,1 +1,140 @@
-"""Placeholder — filled in as operators land."""
+"""Dedup queries over the `documents` table, each with a bit-exact DuckDB
+oracle (all hashing is md5-based and engine-neutral -- see operators/dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rlink_rs_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_sql,
+    simhash,
+    simhash_pairs,
+    verify_jaccard,
+    with_shingles,
+)
+from rlink_rs_spark.queries.base import register
+from rlink_rs_spark.tables import load_table
+
+# Shared DuckDB fragment: distinct (doc_id, shingle) postings, k=3
+_SHINGLED_SQL = f"""
+  SELECT DISTINCT doc_id, unnest({shingles_sql(3)}) AS shingle FROM documents
+"""
+
+_N_HASHES, _BANDS, _ROWS = 16, 4, 4
+
+_MINHASH_AGGS_SQL = ", ".join(
+    f"MIN(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS h{i}"
+    for i in range(_N_HASHES)
+)
+
+_BAND_SELECTS_SQL = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS sig FROM sigs".format(
+        b=b, cols=", ".join(f"h{b * _ROWS + r}" for r in range(_ROWS))
+    )
+    for b in range(_BANDS)
+)
+
+
+@register(
+    "exact_dedup_docs",
+    """
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    "Exact dedup: md5 fingerprint hash-groupBy, canonical id + duplicate "
+    "count per distinct content. One shuffle at any scale.",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_dedup",
+    f"""
+    WITH shingled AS ({_SHINGLED_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, i / (sa.n + sb.n - i) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.n + sb.n - i) >= 0.6
+    """,
+    "Exact n-gram (word 3-gram) Jaccard near-dup pairs >= 0.6 via "
+    "inverted-index self-join -- the small-scale baseline for MinHash-LSH.",
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(with_shingles(docs), threshold=0.6)
+
+
+@register(
+    "minhash_lsh_near_dup",
+    f"""
+    WITH shingled AS ({_SHINGLED_SQL}),
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS_SQL} FROM shingled GROUP BY doc_id),
+    banded AS ({_BAND_SELECTS_SQL}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingled GROUP BY doc_id)
+    SELECT id_a, id_b,
+           len(list_intersect(sa.sh, sb.sh)) /
+           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+    FROM cands JOIN sets sa ON sa.doc_id = id_a
+               JOIN sets sb ON sb.doc_id = id_b
+    WHERE len(list_intersect(sa.sh, sb.sh)) /
+          (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.7
+    """,
+    "MinHash (16 md5 perms) + LSH (4 bands x 4 rows) candidate generation, "
+    "exact-Jaccard verification >= 0.7 -- the 100 TB near-dup path: banding "
+    "replaces all-pairs with an equi-join.",
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = with_shingles(docs)
+    sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
+    cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    return verify_jaccard(cands, shingled, threshold=0.7)
+
+
+@register(
+    "simhash_near_dup",
+    f"""
+    WITH shingled AS ({_SHINGLED_SQL}),
+    sums AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"SUM(((('0x' || substr(md5(shingle), 9, 8))::BIGINT >> {j}) & 1) * 2 - 1) AS s{j}"
+                 for j in range(32)
+             )}
+      FROM shingled GROUP BY doc_id
+    ),
+    sims AS (
+      SELECT doc_id,
+             ({" + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))})::BIGINT AS simhash
+      FROM sums
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "SimHash (32-bit, md5-derived) near-dup pairs with Hamming distance <= 3; "
+    "scale path = pigeonhole banding on byte blocks before verification.",
+)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash(with_shingles(docs))
+    return simhash_pairs(sims, max_hamming=3)
