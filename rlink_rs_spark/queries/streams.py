@@ -1,1 +1,117 @@
-"""Placeholder — filled in as operators land."""
+"""Streaming-executed queries routed through the batch correctness gate.
+
+`streaming_flagship_agg` runs the reference's flagship pipeline
+(example-simple/src/app.rs:34-66) as a real Structured Streaming job --
+file-source replay, withWatermark, windowed agg, availableNow trigger,
+memory sink -- and returns the materialized result. Its oracle is the
+batch SQL restricted to windows closed by the final watermark
+(window_end <= max_event_ts - delay): append mode withholds still-open
+windows by design, exactly like the reference's WindowBaseReduceFunction
+holds state until the watermark passes (window_base_reduce.rs:103-144).
+
+`session_window_agg` exercises Spark's native session windows (engine
+extra; absent in the reference, SURVEY §2.6) in batch, matching a
+gaps-and-islands oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rlink_rs_spark.queries.base import SUM_EXACT_SQL, register
+from rlink_rs_spark.tables import load_table
+
+_DELAY_MS = 1000
+_GAP_MS = 30 * 60 * 1000
+
+
+@register(
+    "streaming_flagship_agg",
+    f"""
+    WITH assigned AS (
+      SELECT ((epoch_ms(t.ts)) // 20000) * 20000 - k.k * 20000 AS ws, t.*
+      FROM events t CROSS JOIN range(3) k(k)
+    ), agg AS (
+      SELECT ws AS window_start, ws + 60000 AS window_end, event_type,
+             {SUM_EXACT_SQL.format(col='value')} AS sum_value,
+             MAX(value) AS max_value, MIN(value) AS min_value, COUNT(*) AS cnt
+      FROM assigned GROUP BY ws, event_type
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT epoch_ms(MAX(ts)) - {_DELAY_MS} FROM events)
+    """,
+    "Flagship pipeline executed as Structured Streaming: file replay -> "
+    "withWatermark(1s) -> sliding 60s/20s window agg -> availableNow -> "
+    "memory sink. Oracle = batch result over watermark-closed windows.",
+)
+def streaming_flagship_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+    from rlink_rs_spark.streaming.watermarks import bounded_out_of_orderness
+
+    ev = file_stream(spark, sf_dir, "events")
+    agg = (
+        bounded_out_of_orderness("ts", _DELAY_MS / 1000).apply(ev)
+        .groupBy(F.window("ts", "60 seconds", "20 seconds"), "event_type")
+        .agg(
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            F.unix_millis("window.start").alias("window_start"),
+            F.unix_millis("window.end").alias("window_end"),
+            "event_type",
+            "sum_value",
+            "max_value",
+            "min_value",
+            "cnt",
+        )
+    )
+    return run_to_memory(agg)
+
+
+@register(
+    "session_window_agg",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {_GAP_MS}
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id,
+           MIN(epoch_ms(ts)) AS session_start_ms,
+           MAX(epoch_ms(ts)) + {_GAP_MS} AS session_end_ms,
+           COUNT(*) AS n_events,
+           {SUM_EXACT_SQL.format(col='value')} AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    "Native session windows (F.session_window, 30-minute gap) in batch; "
+    "oracle = gaps-and-islands. Session end = last event + gap, per Spark "
+    "semantics.",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("session_start_ms"),
+            F.unix_millis("session_window.end").alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )

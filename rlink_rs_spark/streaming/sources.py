@@ -1,0 +1,138 @@
+"""Streaming source builders.
+
+Reference inventory (SURVEY.md §2.1) -> Spark:
+  * InputFormat/InputSplit machinery (core/function.rs:56-155): Spark source
+    partitioning, built-in.
+  * vec_source / IteratorInputFormat: in-memory batch -> rate/memory stream.
+  * RandInputFormat: readStream.format("rate") + column synthesis.
+  * KafkaInputFormat incl. offset/timestamp seek modes
+    (connector-kafka/src/source/input_format.rs:26-322): readStream
+    .format("kafka") with startingOffsets / startingOffsetsByTimestamp --
+    builder below emits the full option set (no broker in this container;
+    construction is tested, connection is not).
+  * File formats (absent in the reference): free via readStream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stage_stream_dir(
+    sf_dir: str, name: str, chunks: int = 1, order_col: str | None = None
+) -> str:
+    """Stage a fixture parquet file into a temp directory for the file
+    stream source (which requires a directory). chunks > 1 splits the rows
+    into time-ordered part files with increasing mtimes so
+    maxFilesPerTrigger=1 replays them as separate micro-batches -- the
+    replay harness for watermark/late-data/checkpoint tests."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    out = tempfile.mkdtemp(prefix=f"rlink_stream_{name}_")
+    if chunks <= 1:
+        os.symlink(src, os.path.join(out, f"{name}.parquet"))
+        return out
+    table = pq.read_table(src)
+    if order_col:
+        import pyarrow.compute as pc
+
+        table = table.take(pc.sort_indices(table, sort_keys=[(order_col, "ascending")]))
+    n = table.num_rows
+    per = (n + chunks - 1) // chunks
+    now = time.time()
+    for i in range(chunks):
+        chunk = table.slice(i * per, per)
+        p = os.path.join(out, f"chunk_{i:05d}.parquet")
+        pq.write_table(chunk, p)
+        os.utime(p, (now + i, now + i))  # replay order = chunk order
+    return out
+
+
+def stream_from_staged(
+    spark: SparkSession,
+    staged_dir: str,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File stream over an already-staged directory. The checkpoint's source
+    log pins the directory path, so a resumed query MUST reuse the same
+    staged_dir -- stage once, restart many."""
+    from rlink_rs_spark.tables import _nanos_timestamp_cols
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(staged_dir)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def file_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+    chunks: int = 1,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Replay a fixture parquet table as a file stream (schema from the
+    batch reader, nanosecond timestamps normalized identically)."""
+    stream_dir = stage_stream_dir(sf_dir, name, chunks=chunks, order_col=order_col)
+    return stream_from_staged(spark, stream_dir, sf_dir, name, max_files_per_trigger)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """RandInputFormat analogue (example-utils/src/rand_input_format.rs:18-52):
+    unbounded generator with event time, key, and value columns."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("key-"), (F.col("value") % 3).cast("string")).alias("name"),
+            (F.col("value") % 100).cast("long").alias("value"),
+        )
+    )
+
+
+def kafka_source_options(
+    topic: str,
+    brokers: str,
+    starting_offsets: str | dict | None = None,
+    starting_timestamp_ms: int | None = None,
+) -> dict[str, str]:
+    """Kafka reader options covering the reference's three offset seek modes
+    (input_format.rs:76-163): checkpoint-resume (default), explicit
+    per-partition offsets, and timestamp seek. Returned as options so tests
+    can assert construction without a broker."""
+    opts = {"kafka.bootstrap.servers": brokers, "subscribe": topic}
+    if starting_timestamp_ms is not None:
+        opts["startingTimestamp"] = str(starting_timestamp_ms)
+    elif isinstance(starting_offsets, dict):
+        opts["startingOffsets"] = json.dumps({topic: {str(k): v for k, v in starting_offsets.items()}})
+    elif starting_offsets:
+        opts["startingOffsets"] = starting_offsets  # "earliest" | "latest"
+    return opts
+
+
+def kafka_stream(spark: SparkSession, **kwargs) -> DataFrame:
+    """readStream.format('kafka') with the option set above. Import-guarded:
+    the kafka connector jar may be absent in this container."""
+    opts = kafka_source_options(**kwargs)
+    reader = spark.readStream.format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()

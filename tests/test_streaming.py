@@ -1,0 +1,183 @@
+"""Structured Streaming parity: the same logical pipelines must produce
+batch-identical results under replay, survive kill/resume exactly-once
+(FIXTURES.md scenario 9 -- stronger than the reference's at-least-once
+completed-checkpoint-id scheme, docs/checkpoint.md), and drop late data."""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from rlink_rs_spark.operators.aggregations import count, max_, min_, sum_
+from rlink_rs_spark.plans.pipeline import Pipeline, SlidingEventTimeWindows
+from rlink_rs_spark.streaming.runner import run_to_memory
+from rlink_rs_spark.streaming.sources import file_stream, kafka_source_options
+from rlink_rs_spark.tables import load_table
+
+
+def _flagship_pipeline() -> Pipeline:
+    return (
+        Pipeline()
+        .assign_timestamps_and_watermarks("ts", 1.0)
+        .key_by("event_type")
+        .window(SlidingEventTimeWindows.of(60, 20))
+        .reduce(sum_("value"), max_("value"), min_("value"), count())
+    )
+
+
+def _closed_windows(batch_df, events):
+    max_ts = events.agg(F.unix_millis(F.max("ts"))).collect()[0][0]
+    return batch_df.where(F.col("window_end") <= max_ts - 1000)
+
+
+def test_pipeline_batch_equals_direct(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    via_pipeline = {tuple(r) for r in _flagship_pipeline().build(events).collect()}
+    from rlink_rs_spark.queries import REGISTRY
+
+    direct = {
+        (r.window_start, r.window_end, r.event_type, r.sum_value, r.max_value, r.min_value, r.cnt)
+        for r in REGISTRY["flagship_sliding_window_agg"].fn(spark, sf_dir).collect()
+    }
+    assert via_pipeline == direct
+
+
+def test_pipeline_stream_equals_batch_closed_windows(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    p = _flagship_pipeline()
+    batch = p.build(events)
+    stream_src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    streamed = p.run_stream_to_memory(stream_src)
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in _closed_windows(batch, events).collect()}
+    assert got == want and got
+
+
+def test_checkpoint_kill_resume_exactly_once(spark, sf_dir):
+    """Kill mid-stream, resume from the checkpoint, expect exactly the
+    batch result over closed windows in the (fault-tolerant) file sink."""
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    events = load_table(spark, sf_dir, "events")
+    p = _flagship_pipeline()
+    ck = tempfile.mkdtemp(prefix="rlink_ck_resume_")
+    out_dir = tempfile.mkdtemp(prefix="rlink_sink_")
+    staged = stage_stream_dir(sf_dir, "events", chunks=6, order_col="ts")
+
+    def start(trigger_available_now: bool):
+        # same staged dir across restarts: the checkpoint pins the source path
+        src = stream_from_staged(spark, staged, sf_dir, "events", max_files_per_trigger=1)
+        agg = p.build(src)
+        writer = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="1 second")
+        return writer.start()
+
+    q = start(trigger_available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.5)
+    q.stop()  # kill mid-stream (>=1 batch committed, more pending)
+    q.awaitTermination(60)
+
+    q2 = start(trigger_available_now=True)
+    q2.awaitTermination(240)
+    if q2.isActive:
+        q2.stop()
+
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    want = {tuple(r) for r in _closed_windows(p.build(events), events).collect()}
+    assert got == want and got
+
+
+def test_stateful_threshold_alerts_matches_batch(spark, sf_dir):
+    from rlink_rs_spark.streaming.stateful import threshold_alerts, threshold_alerts_batch_oracle
+
+    events = load_table(spark, sf_dir, "events")
+    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    streamed = run_to_memory(threshold_alerts(src, threshold=1000.0), output_mode="append")
+    got = {(r.user_id, r.alert_seq) for r in streamed.collect()}
+    want = {
+        (r.user_id, r.alert_seq)
+        for r in threshold_alerts_batch_oracle(events, threshold=1000.0).collect()
+    }
+    assert got == want and got
+
+
+def test_late_rows_dropped_by_watermark(spark, sf_dir):
+    """Rows older than the watermark are dropped at the stateful agg
+    (reference: Watermark_Expire counters, watermark_assigner_runnable.rs:92-110)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    # three chunks: fresh data, a buffer batch (the watermark lags one
+    # micro-batch -- it is computed from batch N-1's max event time), then
+    # one very late row that must be dropped
+    d = tempfile.mkdtemp(prefix="rlink_late_")
+    t0 = 1_700_000_000_000_000_000  # ns
+
+    def tbl(ids, tss, vals):
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(tss, pa.timestamp("ns")),
+                "user_id": pa.array([1] * len(ids), pa.int64()),
+                "event_type": pa.array(["click"] * len(ids)),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * len(ids)),
+            }
+        )
+
+    chunks = [
+        tbl([1, 2], [t0, t0 + 600_000_000_000], [1.0, 1.0]),
+        tbl([4], [t0 + 610_000_000_000], [2.0]),
+        tbl([3], [t0 - 7_200_000_000_000], [100.0]),  # 2h late
+    ]
+    now = time.time()
+    for i, t in enumerate(chunks):
+        p = os.path.join(d, f"chunk_{i}.parquet")
+        pq.write_table(t, p)
+        os.utime(p, (now + i, now + i))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(d).schema
+    src = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        src.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "60 seconds"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+        .select(F.unix_millis("window.start").alias("ws"), "cnt", "sv")
+    )
+    out = run_to_memory(agg).collect()
+    # the late row (2h old, watermark established two batches earlier)
+    # must not appear in any emitted window
+    assert all(r.sv < 100.0 for r in out)
+    total = sum(r.cnt for r in out)
+    assert total <= 3  # late row contributed nothing
+
+
+def test_kafka_offset_option_modes():
+    """Kafka source construction covers the reference's three offset seek
+    modes (connector-kafka input_format.rs:76-163); no broker needed."""
+    o1 = kafka_source_options("t", "b:9092")
+    assert o1 == {"kafka.bootstrap.servers": "b:9092", "subscribe": "t"}
+    o2 = kafka_source_options("t", "b:9092", starting_offsets="earliest")
+    assert o2["startingOffsets"] == "earliest"
+    o3 = kafka_source_options("t", "b:9092", starting_offsets={0: 100, 1: 200})
+    assert '"0": 100' in o3["startingOffsets"].replace("'", '"')
+    o4 = kafka_source_options("t", "b:9092", starting_timestamp_ms=123456)
+    assert o4["startingTimestamp"] == "123456"
