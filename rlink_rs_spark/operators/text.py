@@ -32,27 +32,17 @@ def marker_count_sql(tokens: str, lang: str) -> str:
     return f"len(list_filter({tokens}, t -> t IN ({_in_list_sql(LANG_MARKERS[lang])})))"
 
 
-def lang_id_case_sql(tokens: str) -> str:
-    """Argmax over marker counts with fixed precedence order; 'und'
-    (undetermined) when no marker hits."""
+def argmax_case_sql() -> str:
+    """Argmax over pre-projected marker-count columns c_<lang> with fixed
+    precedence order; 'und' (undetermined) when no marker hits. Counts must
+    be projected once upstream -- inlining them here repeats each heavy
+    expression ~2x|langs| times and defeats subexpression elimination."""
     langs = list(LANG_MARKERS)
-    counts = {lang: marker_count_sql(tokens, lang) for lang in langs}
     conds = []
     for lang in langs:
-        others = [counts[o] for o in langs if o != lang]
-        ge_all = " AND ".join(f"{counts[lang]} >= {o}" for o in others)
-        conds.append(f"WHEN {counts[lang]} > 0 AND {ge_all} THEN '{lang}'")
+        ge_all = " AND ".join(f"c_{lang} >= c_{o}" for o in langs if o != lang)
+        conds.append(f"WHEN c_{lang} > 0 AND {ge_all} THEN '{lang}'")
     return "CASE " + " ".join(conds) + " ELSE 'und' END"
-
-
-def spark_lang_id(tokens_col: str) -> Column:
-    # Spark SQL: size/filter; translate the DuckDB len/list_filter names
-    sql = lang_id_case_sql("__TOK__").replace("len(list_filter(", "size(filter(")
-    return F.expr(sql.replace("__TOK__", tokens_col))
-
-
-def duck_lang_id(tokens_expr: str) -> str:
-    return lang_id_case_sql(tokens_expr)
 
 
 # --- quality scoring ---------------------------------------------------------

@@ -8,11 +8,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rlink_rs_spark.operators.text import (
+    LANG_MARKERS,
     STOPWORDS,
     _in_list_sql,
-    duck_lang_id,
+    argmax_case_sql,
+    marker_count_sql,
     quality_score_sql,
-    spark_lang_id,
 )
 from rlink_rs_spark.queries.base import register
 from rlink_rs_spark.tables import load_table
@@ -49,44 +50,63 @@ def text_stats_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lang_id_heuristic",
     f"""
-    SELECT doc_id, lang AS lang_label, {duck_lang_id(_TOK_DUCK)} AS lang_pred
-    FROM documents
+    WITH counted AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{marker_count_sql(_TOK_DUCK, lang)} AS c_{lang}" for lang in LANG_MARKERS)}
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_label, {argmax_case_sql()} AS lang_pred
+    FROM counted
     """,
     "Language ID by stopword-marker argmax with fixed precedence (n-gram "
-    "heuristic family); returns the labeled lang alongside for eval.",
+    "heuristic family). Marker counts are projected once per language, then "
+    "a cheap CASE picks the argmax (repeating the count expressions inside "
+    "the CASE defeated common-subexpression elimination).",
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.col("lang").alias("lang_label"), spark_lang_id("split(text, ' ')").alias("lang_pred")
+    counted = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[
+            F.expr(
+                marker_count_sql("split(text, ' ')", lang).replace(
+                    "len(list_filter(", "size(filter("
+                )
+            ).alias(f"c_{lang}")
+            for lang in LANG_MARKERS
+        ],
     )
-
-
-_QUALITY_DUCK = quality_score_sql(
-    f"len({_TOK_DUCK})",
-    "length(text)",
-    f"len(list_filter({_TOK_DUCK}, t -> t IN ({_in_list_sql(STOPWORDS)})))",
-)
+    return counted.select(
+        "doc_id", "lang_label", F.expr(argmax_case_sql()).alias("lang_pred")
+    )
 
 
 @register(
     "quality_score_docs",
     f"""
-    SELECT doc_id, {_QUALITY_DUCK} AS quality
-    FROM documents
+    WITH counted AS (
+      SELECT doc_id, len({_TOK_DUCK}) AS nt, length(text) AS nc,
+             len(list_filter({_TOK_DUCK}, t -> t IN ({_in_list_sql(STOPWORDS)}))) AS sc
+      FROM documents
+    )
+    SELECT doc_id, {quality_score_sql('nt', 'nc', 'sc')} AS quality
+    FROM counted
     """,
     "Quality scoring: banded length / mean-word-length / stopword-ratio "
-    "heuristic in [0,1], rounded once at the end.",
+    "heuristic in [0,1], rounded once at the end. Inputs projected once "
+    "(cheap CASE bands over columns, not repeated token scans).",
 )
 def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     stop_in = _in_list_sql(STOPWORDS)
-    spark_quality = quality_score_sql(
-        "size(split(text, ' '))",
-        "length(text)",
-        f"size(filter(split(text, ' '), t -> t IN ({stop_in})))",
+    counted = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("nt"),
+        F.length("text").alias("nc"),
+        F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_in})))").alias("sc"),
     )
-    return docs.select("doc_id", F.expr(spark_quality).alias("quality"))
+    return counted.select("doc_id", F.expr(quality_score_sql("nt", "nc", "sc")).alias("quality"))
 
 
 @register(

@@ -43,8 +43,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # local mode: one JVM; driver memory is the only pool that matters
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # local mode: one JVM; driver memory is the only pool that matters.
+        # Deliberately modest: on this VM an oversized heap (48g) produced
+        # erratic 50-170s G1CollectForAllocation stalls (cold heap pages);
+        # 8g benchmarked stall-free across the full query registry. Raise
+        # via SPARK_GRAFT_DRIVER_MEM for genuinely larger local datasets.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # generated methods from wide expressions (minhash aggs, simhash bit
+        # sums, unrolled dot products) overflow the default 240m code cache;
+        # once full, HotSpot disables the JIT and every later query runs
+        # interpreted (measured 100x slowdowns). Reserve enough to never hit it.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
