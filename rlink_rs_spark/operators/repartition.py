@@ -1,0 +1,44 @@
+"""Repartitioning utilities -- the reference's partition-flag flat_maps.
+
+Reference (SURVEY.md §2.2-2.3):
+  * RoundRobinFlagMapFunction (functions/flat_map/round_robin_flat_map.rs:6-47)
+    -> df.repartition(n): Spark's round-robin repartition.
+  * BroadcastFlagMapFunction (broadcast_flat_map.rs:6-49, replicate every
+    record to every downstream partition) -> F.broadcast on the join side;
+    Spark ships one copy per executor instead of one per record.
+  * KeyByRunnable murmur3 hash partitioning (key_by_runnable.rs:67-105)
+    -> df.repartition(n, *cols) / HashPartitioning in the shuffle.
+
+Scale guidance encoded here: on small single-row-group inputs an explicit
+repartition costs more than it buys (measured); at real scale prefer
+letting file splits parallelize the scan and repartitioning only to
+co-locate a subsequent join/agg key or to rebalance skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def round_robin(df: DataFrame, num_partitions: int) -> DataFrame:
+    return df.repartition(num_partitions)
+
+
+def key_partition(df: DataFrame, num_partitions: int, *cols: str) -> DataFrame:
+    """Hash-partition by key columns (the KeyBy exchange). The exact hash
+    function differs from the reference's murmur3_32 (utils/hash.rs:5-8);
+    partition assignment is an execution detail with no query-visible
+    semantics."""
+    return df.repartition(num_partitions, *cols)
+
+
+def salted(df: DataFrame, key_col: str, salt_buckets: int) -> DataFrame:
+    """Skew mitigation: append a salt column for two-phase aggregation over
+    a hot key (agg on (key, salt) first, then on key). AQE skew-join
+    handles join-side skew automatically; salting covers hot-key aggs."""
+    return df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+
+
+def broadcast_side(df: DataFrame) -> Column | DataFrame:
+    return F.broadcast(df)

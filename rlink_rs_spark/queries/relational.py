@@ -251,6 +251,80 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kafka_envelope_roundtrip",
+    """
+    SELECT event_id AS offset, CAST(user_id AS VARCHAR) AS key,
+           event_id AS p_event_id, user_id AS p_user_id, value AS p_value
+    FROM events
+    WHERE event_id BETWEEN 100 AND 4999
+    """,
+    "Kafka envelope parse (FIXTURES.md §4): events shaped into the "
+    "reference's kafka_message schema (key/payload/offset, connector-kafka/"
+    "src/lib.rs:44-70), JSON payload round-tripped via to_json/from_json "
+    "(InputMapperFunction, example-kafka/src/input_mapper.rs:1-49), replayed "
+    "over an offset range (input_format.rs:76-163). Oracle validates the "
+    "round-trip is the identity.",
+)
+def kafka_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    # OutputMapperFunction: rows -> kafka_message envelope
+    envelope = events.select(
+        F.col("event_id").alias("offset"),
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "value")).cast("binary").alias("payload"),
+    )
+    # InputMapperFunction: envelope -> typed rows, offset-range replay
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    parsed = envelope.where((F.col("offset") >= 100) & (F.col("offset") <= 4999)).select(
+        "offset",
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("payload").cast("string"), payload_schema).alias("p"),
+    )
+    return parsed.select(
+        "offset",
+        "key",
+        F.col("p.event_id").alias("p_event_id"),
+        F.col("p.user_id").alias("p_user_id"),
+        F.col("p.value").alias("p_value"),
+    )
+
+
+@register(
+    "rollup_agg",
+    f"""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(user_id, -1) AS user_id,
+           {SUM_EXACT_SQL.format(col='value')} AS sum_value, COUNT(*) AS cnt
+    FROM events
+    GROUP BY ROLLUP (event_type, user_id)
+    """,
+    "Hierarchical rollup aggregation (grouping sets -- absent in the "
+    "reference, SURVEY §2.5): per (type,user), per type, and grand total "
+    "in one pass.",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.rollup("event_type", "user_id")
+        .agg(sum_exact("value", "sum_value"), F.count("*").alias("cnt"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("user_id"), F.lit(-1)).alias("user_id"),
+            "sum_value",
+            "cnt",
+        )
+    )
+
+
+@register(
     "sessionization",
     f"""
     WITH ordered AS (
