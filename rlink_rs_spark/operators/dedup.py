@@ -39,8 +39,14 @@ def with_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """
     t = "__t"
     parts = " , ' ', ".join(f"{t}[i + {j}]" for j in range(k))
+    # Guard short docs: for size(t) < k, sequence(0, size-k) is NOT empty
+    # (sequence(0,-1) = [0,-1]) and the out-of-bounds t[i+j] throws under
+    # ANSI mode (PySpark 4 default). Emit an empty array instead; the DuckDB
+    # twin's range() is empty for short docs, so both engines yield 0 rows.
     shingle_expr = (
-        f"transform(sequence(0, greatest(size({t}) - {k}, -1)), i -> concat({parts}))"
+        f"CASE WHEN size({t}) >= {k} "
+        f"THEN transform(sequence(0, size({t}) - {k}), i -> concat({parts})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     return (
         df.select(F.col(id_col), tokens_col(text_col).alias(t))
@@ -103,15 +109,23 @@ def lsh_candidate_pairs(
     any band -- the O(n^2) -> O(candidates) reduction that makes near-dup
     feasible at 100 TB. Returns distinct (id_a, id_b), id_a < id_b."""
     rows = n_hashes // bands
-    banded = None
-    for b in range(bands):
-        cols = [f"h{b * rows + r}" for r in range(rows)]
-        part = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias("sig"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    # Single scan: build all band signatures as an array of structs and
+    # explode once (vs unionByName re-scanning `signatures` per band).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"h{b * rows + r}").cast("string") for r in range(rows)],
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
+        id_col, "bs.band", "bs.sig"
+    )
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -193,16 +207,41 @@ def simhash(shingled: DataFrame, id_col: str = "doc_id", n_bits: int = 32) -> Da
     return sums.select(F.col(id_col), acc.cast("long").alias("simhash"))
 
 
-def simhash_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance on SimHash. All-pairs comparison
-    here (fine to ~10^4 docs); at scale, band the simhash into byte blocks
-    and equi-join on any equal block (pigeonhole: hamming<=3 over 4 blocks
-    guarantees one equal block) before verifying."""
-    a = sims.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"))
-    b = sims.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"))
+def simhash_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, n_bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash, via pigeonhole banding:
+    split the n_bits hash into (max_hamming + 1) blocks; any pair with
+    hamming <= max_hamming must agree exactly on at least one block, so an
+    equi-join on (block_id, block_value) bounds candidates without an
+    all-pairs cartesian -- the 100 TB shape. Exact Hamming verified on the
+    surviving candidates."""
+    n_blocks = max_hamming + 1
+    width = n_bits // n_blocks
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    exploded = sims.select(
+        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b")
+    ).select(id_col, "simhash", "b.blk", "b.val")
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "blk", "val"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "blk", "val"
+    )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, ["blk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

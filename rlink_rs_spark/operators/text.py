@@ -53,11 +53,14 @@ def quality_score_sql(n_tokens: str, n_chars: str, stop_cnt: str) -> str:
     then one final ROUND -> deterministic across engines."""
     mean_wl = f"(CAST({n_chars} AS DOUBLE) / {n_tokens})"
     stop_ratio = f"(CAST({stop_cnt} AS DOUBLE) / {n_tokens})"
+    # Outer CAST: bare decimal literals (1.0/0.5) make Spark infer DECIMAL for
+    # the whole expression while DuckDB returns DOUBLE; cast so both engines
+    # agree on the output type (the driver's value hash is type-sensitive).
     return (
-        "ROUND(("
+        "CAST(ROUND(("
         f"(CASE WHEN {n_tokens} >= 20 AND {n_tokens} <= 1000 THEN 1.0 "
         f"      WHEN {n_tokens} >= 5 THEN 0.5 ELSE 0.0 END) + "
         f"(CASE WHEN {mean_wl} >= 3.0 AND {mean_wl} <= 12.0 THEN 1.0 ELSE 0.0 END) + "
         f"(CASE WHEN {stop_ratio} >= 0.01 THEN 1.0 WHEN {stop_ratio} > 0.0 THEN 0.5 ELSE 0.0 END)"
-        ") / 3.0, 4)"
+        ") / 3.0, 4) AS DOUBLE)"
     )

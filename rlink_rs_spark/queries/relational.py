@@ -335,8 +335,10 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (  -- same (ts, event_id) ordering as `ordered`: ties must cumsum identically
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB's windowed SUM of integers yields HUGEINT; Spark
+             -- emits BIGINT. Align types so the driver's value hash matches.
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM ordered
     )
     SELECT user_id, session_id, MIN(epoch_ms(ts)) AS session_start_ms,

@@ -42,8 +42,13 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_seconds)
+        finished = q.awaitTermination(timeout_seconds)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within {timeout_seconds}s; "
+            "refusing to return a truncated memory table"
+        )
     return spark.table(name)

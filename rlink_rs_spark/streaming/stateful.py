@@ -23,32 +23,60 @@ def threshold_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
     """Per-key running-total threshold crossings: emit one alert row each
     time a user's cumulative value crosses another multiple of `threshold`.
 
-    Keyed state = (running_total, alerts_emitted); rows within each batch
-    are folded in event-time order so the result is deterministic under
-    ordered replay. This is the shape of the reference's ReduceFunction
-    fold (reduce(Option<acc>, record) -> acc, core/function.rs:224-237)
+    Keyed state = (running_total, alerts_emitted); all Arrow chunks for the
+    key are concatenated and sorted once by (ts, event_id) -- a key whose
+    batch spans multiple chunks (> arrow.maxRecordsPerBatch) must still fold
+    in global event-time order with a stable tie-break, matching the batch
+    oracle. The fold itself is vectorized: integer-cents cumsum +
+    searchsorted against threshold multiples (no per-row Python). This is
+    the shape of the reference's ReduceFunction fold
+    (reduce(Option<acc>, record) -> acc, core/function.rs:224-237)
     with user-visible emissions."""
+    import numpy as np
+
+    thr_cents = int(round(threshold * 100))
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         total, alerts = state.get if state.exists else (0.0, 0)
-        out_rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for _, row in pdf.iterrows():
-                # integer-cents accumulation: deterministic, drift-free
-                total = round(total * 100 + round(float(row["value"]) * 100)) / 100.0
-                while total >= (alerts + 1) * threshold:
-                    alerts += 1
-                    out_rows.append(
-                        (user_id, alerts, total, int(row["ts"].timestamp() * 1000))
-                    )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            state.update((total, alerts))
+            return
+        sort_cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        # integer-cents accumulation: deterministic, drift-free
+        cents = np.rint(pdf["value"].to_numpy(dtype="float64") * 100).astype("int64")
+        cum = int(round(total * 100)) + np.cumsum(cents)
+        # level[i] = full threshold multiples reached after row i; alerts
+        # only ever advances (a dip below a crossed multiple never re-alerts),
+        # so the effective prior level is the running max of (alerts, level).
+        level = cum // thr_cents
+        runmax = np.maximum.accumulate(np.maximum(level, alerts))
+        eff_prev = np.concatenate(([alerts], runmax[:-1]))
+        n_new = np.maximum(level - eff_prev, 0)
+        idx = np.nonzero(n_new)[0]
+        if idx.size:
+            ts_ms = (pdf["ts"].astype("int64").to_numpy() // 1_000_000)[idx]
+            run_tot = cum[idx] / 100.0
+            rows = []
+            for i, (lo, hi) in enumerate(zip(eff_prev[idx], level[idx])):
+                for s in range(int(lo) + 1, int(hi) + 1):
+                    rows.append((user_id, s, run_tot[i], int(ts_ms[i])))
+            out = pd.DataFrame(rows, columns=["user_id", "alert_seq", "running_total", "ts_ms"])
+        else:
+            out = None
+        total = cum[-1] / 100.0
+        alerts = int(runmax[-1])
         state.update((total, alerts))
-        if out_rows:
-            yield pd.DataFrame(out_rows, columns=["user_id", "alert_seq", "running_total", "ts_ms"])
+        if out is not None:
+            yield out
 
+    cols = ["user_id", "ts", "value"] + (
+        ["event_id"] if "event_id" in events.columns else []
+    )
     return (
-        events.select("user_id", "ts", "value")
+        events.select(*cols)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn, ALERT_SCHEMA, ALERT_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout

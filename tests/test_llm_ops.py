@@ -45,6 +45,33 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert lsh <= exact
 
 
+def test_shingles_short_docs(spark):
+    """Docs with fewer than k tokens must yield zero shingles, not an
+    ANSI INVALID_ARRAY_INDEX crash (sequence(0,-1) = [0,-1] regression)."""
+    from rlink_rs_spark.operators.dedup import with_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "one"), (3, ""), (4, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = with_shingles(docs, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert set(by_doc) == {4}
+    assert by_doc[4] == {"a b c", "b c d"}
+
+
+def test_simhash_banded_plan_no_cartesian(spark, sf_dir):
+    """The pigeonhole-banded SimHash join must be an equi-join -- no
+    CartesianProduct / BroadcastNestedLoopJoin in the physical plan."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    plan = REGISTRY["simhash_near_dup"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multimodal_feature_extraction(spark, sf_dir):
     from rlink_rs_spark.operators.multimodal import documents_as_media, extract_features
     from rlink_rs_spark.tables import load_table
