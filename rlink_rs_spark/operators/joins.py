@@ -7,7 +7,7 @@ co-partitioned streams into one schema and (b) broadcast dimension
 enrichment (example/example-connect/src/app.rs:51-72 connects a Broadcast
 config stream with a RoundRobin data stream). We surface the Spark-native
 generalizations: schema-aligned union, stream-static broadcast enrichment
-join, and windowed stream-stream equi-joins (streaming module).
+join, and the windowed stream-stream interval join below.
 
 At 100 TB: union is metadata-only (no shuffle); the enrichment join
 broadcasts the dimension to every executor, removing the shuffle of the
@@ -28,6 +28,37 @@ def union_aligned(*dfs: DataFrame) -> DataFrame:
     for df in dfs[1:]:
         out = out.unionByName(df)
     return out
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "INTERVAL 0 SECONDS",
+    upper: str = "INTERVAL 1 HOURS",
+    how: str = "inner",
+) -> DataFrame:
+    """Windowed stream-stream equi-join: key equality plus an event-time
+    range (right_ts in [left_ts + lower, left_ts + upper]). Works on batch
+    and streaming DataFrames alike; for streams, call withWatermark on BOTH
+    inputs first -- Spark derives state retention from the range bound, so
+    each side's join state is evicted as the watermark passes (the
+    generalization of the reference's CoProcessFunction connect surface,
+    core/data_stream.rs:349-371 / co_process_runnable.rs:84-108).
+
+    Column names must already be disjoint (alias before joining); the time
+    condition shuffles both sides on their key only -- the range predicate
+    is evaluated post-shuffle, so this is one hash exchange per side at any
+    scale, never a cartesian."""
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts) + F.expr(lower))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(upper))
+    )
+    return left.join(right, on=cond, how=how)
 
 
 def broadcast_enrich(

@@ -74,6 +74,109 @@ def streaming_flagship_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_interval_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           epoch_ms(c.ts) AS click_ts_ms, epoch_ms(p.ts) AS purchase_ts_ms,
+           epoch_ms(p.ts) - epoch_ms(c.ts) AS lag_ms
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    """,
+    "Windowed stream-stream equi-join, executed as Structured Streaming: two "
+    "watermarked event streams joined on user_id + a 6-hour event-time range "
+    "(click -> purchase attribution). Spark derives per-side state retention "
+    "from the range bound, so join state is watermark-evicted -- the "
+    "CoProcessFunction connect surface (core/data_stream.rs:349-371) "
+    "generalized. Inner join + availableNow emits exactly the batch interval "
+    "join, which is the oracle.",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.joins import interval_join
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    clicks = (
+        file_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        file_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        left_key="c_user",
+        right_key="p_user",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 6 HOURS",
+    )
+    c_ms, p_ms = F.unix_millis("click_ts"), F.unix_millis("purchase_ts")
+    out = joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        c_ms.alias("click_ts_ms"),
+        p_ms.alias("purchase_ts_ms"),
+        (p_ms - c_ms).alias("lag_ms"),
+    )
+    return run_to_memory(out)
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
+    FROM events
+    """,
+    "Streaming exact dedup (dropDuplicatesWithinWatermark): the events table "
+    "replayed in ts-ordered chunks with one chunk redelivered twice (the "
+    "at-least-once Kafka-restart pattern); keyed dedup state on event_id "
+    "within the watermark horizon removes the redelivery, so the oracle is "
+    "simply the original table. The streaming face of exact_dedup_docs "
+    "(SURVEY Phase 4).",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.streaming.dedup import dedup_stream
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import (
+        stage_stream_dir_with_dups,
+        stream_from_staged,
+    )
+
+    staged = stage_stream_dir_with_dups(sf_dir, "events", chunks=4, dup_chunks=(-1,))
+    ev = stream_from_staged(spark, staged, sf_dir, "events", max_files_per_trigger=1)
+    # delay covers the fixture's full 30-day span: no state eviction, so the
+    # redelivered chunk dedups exactly (production tunes this to the real
+    # redelivery horizon for bounded state)
+    deduped = dedup_stream(ev, ["event_id"], ts_col="ts", delay="35 days")
+    out = deduped.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "event_type",
+        "value",
+    )
+    return run_to_memory(out)
+
+
+@register(
     "session_window_agg",
     f"""
     WITH ordered AS (

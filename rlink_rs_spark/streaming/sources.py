@@ -55,6 +55,30 @@ def stage_stream_dir(
     return out
 
 
+def stage_stream_dir_with_dups(
+    sf_dir: str,
+    name: str,
+    chunks: int = 4,
+    dup_chunks: tuple[int, ...] = (-1,),
+    order_col: str | None = "ts",
+) -> str:
+    """Stage a chunked replay where the chunks in `dup_chunks` are replayed
+    TWICE (the duplicate copy arrives as a later file) -- the at-least-once
+    redelivery pattern a Kafka restart produces, for exercising streaming
+    dedup. Negative indices count from the end."""
+    import shutil
+
+    out = stage_stream_dir(sf_dir, name, chunks=chunks, order_col=order_col)
+    now = time.time() + chunks + 1
+    for j, d in enumerate(dup_chunks):
+        i = d % chunks
+        src = os.path.join(out, f"chunk_{i:05d}.parquet")
+        dst = os.path.join(out, f"redelivery_{j:05d}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (now + j, now + j))
+    return out
+
+
 def stream_from_staged(
     spark: SparkSession,
     staged_dir: str,

@@ -114,6 +114,98 @@ def test_stateful_threshold_alerts_matches_batch(spark, sf_dir):
     assert got == want and got
 
 
+def test_interval_join_chunked_replay_matches_batch(spark, sf_dir):
+    """Stream-stream interval join under chunked ordered replay must equal
+    the batch interval join: state retention derived from the range bound
+    keeps every click that any future purchase can still match."""
+    from rlink_rs_spark.operators.joins import interval_join
+
+    def sides(src):
+        clicks = (
+            src.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+        )
+        purchases = (
+            src.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+        )
+        return clicks, purchases
+
+    def join(clicks, purchases):
+        return interval_join(
+            clicks, purchases, "c_user", "p_user", "click_ts", "purchase_ts",
+            "INTERVAL 0 SECONDS", "INTERVAL 6 HOURS",
+        ).select("click_id", "purchase_id")
+
+    events = load_table(spark, sf_dir, "events")
+    bc, bp = sides(events)
+    want = {tuple(r) for r in join(bc, bp).collect()}
+
+    sc_src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    sp_src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    sc, sp = sides(sc_src)[0], sides(sp_src)[1]
+    streamed = run_to_memory(
+        join(sc.withWatermark("click_ts", "1 minute"), sp.withWatermark("purchase_ts", "1 minute"))
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    assert got == want and got
+
+
+def test_streaming_dedup_kill_resume_no_dupes(spark, sf_dir):
+    """Redelivered chunks + a mid-stream kill/resume: the dedup state in the
+    checkpoint must suppress duplicates across the restart too."""
+    import os
+
+    from rlink_rs_spark.streaming.dedup import dedup_stream
+    from rlink_rs_spark.streaming.sources import (
+        stage_stream_dir_with_dups,
+        stream_from_staged,
+    )
+
+    staged = stage_stream_dir_with_dups(sf_dir, "events", chunks=6, dup_chunks=(2, -1))
+    ck = tempfile.mkdtemp(prefix="rlink_ck_dedup_")
+    out_dir = tempfile.mkdtemp(prefix="rlink_sink_dedup_")
+
+    def start(available_now: bool):
+        src = stream_from_staged(spark, staged, sf_dir, "events", max_files_per_trigger=1)
+        deduped = dedup_stream(src, ["event_id"], ts_col="ts", delay="35 days").select(
+            "event_id", "user_id", "value"
+        )
+        writer = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+        )
+        writer = writer.trigger(availableNow=True) if available_now else writer.trigger(
+            processingTime="1 second"
+        )
+        return writer.start()
+
+    q = start(available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(240), "resumed dedup query timed out"
+
+    got = spark.read.parquet(out_dir)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n_events  # every row exactly once
+    assert got.select("event_id").distinct().count() == n_events
+
+
 def test_late_rows_dropped_by_watermark(spark, sf_dir):
     """Rows older than the watermark are dropped at the stateful agg
     (reference: Watermark_Expire counters, watermark_assigner_runnable.rs:92-110)."""
