@@ -86,7 +86,9 @@ def extract_features(
     media: DataFrame, dim: int = 16, decode_stub: bool = True, batch_hint: int | None = None
 ) -> DataFrame:
     """Decode + feature-extract payloads via mapInPandas (Arrow-batched;
-    the only Python hop in the multimodal path)."""
+    the only Python hop in the multimodal path). n_bytes/content_hash are
+    JVM built-ins (octet_length/md5) computed BEFORE the Python stage --
+    only the decode itself crosses the Arrow boundary."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,10 +101,8 @@ def extract_features(
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0).astype("int32"),
-                    "content_hash": payloads.map(
-                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
-                    ),
+                    "n_bytes": pdf["n_bytes"],
+                    "content_hash": pdf["content_hash"],
                     "feature": payloads.map(
                         lambda b: _fake_decode(bytes(b), dim) if b is not None else None
                     ),
@@ -110,7 +110,13 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(op, FEATURE_SCHEMA)
+    staged = media.select(
+        "media_id",
+        "payload",
+        F.coalesce(F.octet_length("payload"), F.lit(0)).alias("n_bytes"),
+        F.md5("payload").alias("content_hash"),
+    )
+    return staged.mapInPandas(op, FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:

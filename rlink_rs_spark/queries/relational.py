@@ -251,6 +251,61 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avg_agg",
+    f"""
+    SELECT event_type,
+           {SUM_EXACT_SQL.format(col='value')} / COUNT(*) AS avg_value,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    "avg aggregation descriptor (Agg('avg'), composed from exact sum / count "
+    "-- absent in the reference, SURVEY §2.5 extra) through grouped_agg.",
+)
+def avg_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.aggregations import Agg, count, grouped_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return grouped_agg(events, ["event_type"], [Agg("avg", "value", "avg_value"), count()]) \
+        .withColumnRenamed("count", "cnt")
+
+
+@register(
+    "pipeline_enriched_agg",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           {SUM_EXACT_SQL.format(col='e.value * 2')} AS sum_doubled,
+           COUNT(*) AS cnt
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.value > 100.0 AND e.event_type <> 'error'
+    GROUP BY c.c_mktsegment
+    """,
+    "The full DataStream builder chain (flat_map -> filter -> enrich -> "
+    "key_by -> reduce, core/data_stream.rs:102-247) exercised end-to-end "
+    "through Pipeline: filter + map_expr + broadcast enrichment + grouped "
+    "reduce, oracle-checked. The windowed reduce path is covered by "
+    "streaming_flagship_agg; this covers the non-windowed transform path.",
+)
+def pipeline_enriched_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.aggregations import count, sum_
+    from rlink_rs_spark.plans.pipeline import Pipeline
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    p = (
+        Pipeline()
+        .filter((F.col("value") > 100.0) & (F.col("event_type") != "error"))
+        .map_expr(doubled="CAST(value * 2 AS DOUBLE)")
+        .enrich(customer, on=F.col("user_id") == F.col("c_custkey"), how="inner")
+        .key_by("c_mktsegment")
+        .reduce(sum_("doubled", "sum_doubled"), count())
+    )
+    return (
+        p.build(events)
+        .select(F.col("c_mktsegment").alias("segment"), "sum_doubled", F.col("count").alias("cnt"))
+    )
+
+
+@register(
     "kafka_envelope_roundtrip",
     """
     SELECT event_id AS offset, CAST(user_id AS VARCHAR) AS key,

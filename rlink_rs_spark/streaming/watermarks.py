@@ -10,12 +10,12 @@ Reference semantics mapped (SURVEY.md §2.7):
   * TimePeriodicWatermarks (rate-limited emission, time_periodic_watermarks.rs:39-73):
     behavioral no-op under micro-batching -- the engine advances the
     watermark once per batch, which IS periodic emission.
-  * WatermarksWithIdleness (watermarks_with_idleness.rs:27-81): no PySpark
-    knob; an idle source holds back the global watermark. Documented
-    divergence; `idle_timeout` is accepted and recorded so pipelines
-    declare intent, and multi-source jobs should set
-    spark.sql.streaming.noDataMicroBatches.enabled (default true) so
-    no-data batches still finalize windows at end of stream.
+  * WatermarksWithIdleness (watermarks_with_idleness.rs:27-81): no per-source
+    PySpark knob; under the default multipleWatermarkPolicy=min an idle
+    source holds back the global watermark, and setting the policy to 'max'
+    is the engine-level idleness escape hatch (executable witness:
+    tests/test_streaming.py::test_idle_source_watermark_policy).
+    `idle_timeout` is accepted and recorded so pipelines declare intent.
 """
 
 from __future__ import annotations

@@ -1,0 +1,129 @@
+"""Exercises for the previously implemented-but-untested surfaces:
+rate source, console sink, kafka writer options, round-robin repartition,
+and the Pipeline transform path (plan equality vs the direct form)."""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from rlink_rs_spark.tables import load_table
+
+
+def test_rate_stream_produces_rows(spark):
+    """RandInputFormat analogue (rand_input_format.rs:18-52): the unbounded
+    generator must emit the declared (ts, name, value) schema with values in
+    range."""
+    from rlink_rs_spark.streaming.sources import rate_stream
+
+    src = rate_stream(spark, rows_per_second=500)
+    assert [f.name for f in src.schema.fields] == ["ts", "name", "value"]
+    name = f"rate_{int(time.time())}"
+    q = (
+        src.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rlink_ck_rate_"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 10:
+            time.sleep(0.5)
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 10
+    assert all(r.name in {"key-0", "key-1", "key-2"} for r in rows)
+    assert all(0 <= r.value < 100 for r in rows)
+
+
+def test_console_sink_runs(spark, sf_dir):
+    """print_sink analogue: a bounded replay through the console sink must
+    run to completion (output goes to executor stdout)."""
+    from rlink_rs_spark.sources.sinks import console_sink
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    q = console_sink(src, checkpoint=tempfile.mkdtemp(prefix="rlink_ck_console_"), num_rows=5)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not q.recentProgress:
+            time.sleep(0.5)
+        assert q.recentProgress, "console sink processed no batch"
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+
+def test_kafka_sink_writer_construction(spark, sf_dir):
+    """KafkaOutputFormat analogue: the writeStream builder must accept the
+    option set and the envelope shape (key/value) without a broker."""
+    from rlink_rs_spark.sources.sinks import kafka_sink_options
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    opts = kafka_sink_options("out-topic", "broker:9092")
+    assert opts == {"kafka.bootstrap.servers": "broker:9092", "topic": "out-topic"}
+    src = file_stream(spark, sf_dir, "events")
+    envelope = src.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(F.struct("event_id", "value")).alias("value"),
+    )
+    writer = envelope.writeStream.format("kafka")
+    for k, v in opts.items():
+        writer = writer.option(k, v)
+    # construction succeeds; .start() requires the kafka jar + broker
+    assert writer is not None
+
+
+def test_round_robin_repartition(spark, sf_dir):
+    from rlink_rs_spark.operators.repartition import key_partition, round_robin
+
+    events = load_table(spark, sf_dir, "events")
+    rr = round_robin(events, 7)
+    assert rr.rdd.getNumPartitions() == 7
+    assert "RoundRobinPartitioning(7)" in rr._jdf.queryExecution().executedPlan().toString()
+    kp = key_partition(events, 5, "user_id")
+    assert kp.rdd.getNumPartitions() == 5
+    # every row of one key lands in one partition
+    parts = (
+        kp.select("user_id", F.spark_partition_id().alias("pid"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("pid").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert parts == 1
+
+
+def test_pipeline_transform_plan_matches_direct(spark, sf_dir):
+    """The Pipeline-built transform chain must compile to the same optimized
+    plan as the hand-written DataFrame form -- the builder adds zero
+    overhead on top of Catalyst."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    direct = (
+        events.filter((F.col("value") > 100.0) & (F.col("event_type") != "error"))
+        .withColumn("doubled", F.expr("CAST(value * 2 AS DOUBLE)"))
+        .join(F.broadcast(customer), on=F.col("user_id") == F.col("c_custkey"), how="inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            (F.sum(F.round(F.col("doubled") * 100).cast("long")) / 100.0).alias("sum_doubled"),
+            F.count("*").alias("count"),
+        )
+        .select(F.col("c_mktsegment").alias("segment"), "sum_doubled", F.col("count").alias("cnt"))
+    )
+    via_pipeline = REGISTRY["pipeline_enriched_agg"].fn(spark, sf_dir)
+    p_plan = via_pipeline._jdf.queryExecution().optimizedPlan().toString()
+    d_plan = direct._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    def canon(s: str) -> str:
+        return re.sub(r"#\d+L?", "#x", s)
+
+    assert canon(p_plan) == canon(d_plan)

@@ -262,6 +262,52 @@ def test_late_rows_dropped_by_watermark(spark, sf_dir):
     assert total <= 3  # late row contributed nothing
 
 
+def test_idle_source_watermark_policy(spark, sf_dir):
+    """Executable witness for the WatermarksWithIdleness divergence
+    (streaming/watermarks.py): an idle source holds back the global
+    watermark under Spark's default multipleWatermarkPolicy=min, and the
+    'max' policy is the engine's idleness escape hatch -- windows past the
+    idle source's last event finalize only under 'max'."""
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))
+    ).collect()[0]
+    cutoff_ms = lo + (hi - lo) // 2
+
+    def run(policy: str):
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+        try:
+            # source A goes idle halfway through event time; source B runs on
+            a = (
+                file_stream(spark, sf_dir, "events")
+                .where(F.unix_millis("ts") < cutoff_ms)
+                .select("ts", "event_type", "value")
+                .withWatermark("ts", "1 second")
+            )
+            b = (
+                file_stream(spark, sf_dir, "events")
+                .select("ts", "event_type", "value")
+                .withWatermark("ts", "1 second")
+            )
+            agg = (
+                a.unionByName(b)
+                .groupBy(F.window("ts", "60 seconds"))
+                .agg(F.count("*").alias("cnt"))
+                .select(F.unix_millis("window.end").alias("window_end"), "cnt")
+            )
+            return {r.window_end for r in run_to_memory(agg).collect()}
+        finally:
+            spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+
+    closed_min = run("min")
+    closed_max = run("max")
+    # min policy: nothing past the idle source's horizon finalizes
+    assert max(closed_min) <= cutoff_ms + 60_000
+    # max policy: windows up to the live source's watermark finalize
+    assert max(closed_max) > cutoff_ms + 60_000
+    assert closed_min < closed_max
+
+
 def test_kafka_offset_option_modes():
     """Kafka source construction covers the reference's three offset seek
     modes (connector-kafka input_format.rs:76-163); no broker needed."""
