@@ -70,7 +70,7 @@ def streaming_flagship_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
-    return run_to_memory(agg)
+    return run_to_memory(agg, shuffle_partitions=8)
 
 
 @register(
@@ -136,7 +136,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_ms.alias("purchase_ts_ms"),
         (p_ms - c_ms).alias("lag_ms"),
     )
-    return run_to_memory(out)
+    return run_to_memory(out, shuffle_partitions=8)
 
 
 @register(
@@ -173,7 +173,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    return run_to_memory(out)
+    return run_to_memory(out, shuffle_partitions=8)
 
 
 @register(
