@@ -102,6 +102,118 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    dims: int,
+    threshold: float,
+    bands: int = 4,
+    planes_per_band: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded random-hyperplane
+    LSH: per band, bucket = sign bits of that band's planes; candidates =
+    pairs sharing ANY band's bucket (OR over bands raises recall the way
+    MinHash banding does); exact cosine verifies >= threshold. All-pairs is
+    never formed -- per band one equi-join, the 100 TB shape. For true
+    near-dups (cosine >= 0.9) 4x4 banding recalls ~95%; recall degrades for
+    lower thresholds by the LSH collision curve (1 - theta/pi)^planes."""
+    all_planes = hyperplanes(bands * planes_per_band, dims)
+    # One wide projection computes the full (bands*ppb)-bit sketch; per-band
+    # buckets are then tiny bit-shift expressions. Keeping the 64-dim sum
+    # chains OUT of the explode keeps the generated consume method under the
+    # JVM's 64KB bytecode limit (inlining them there failed codegen and fell
+    # back to interpreted eval).
+    mask = (1 << planes_per_band) - 1
+    sketched = vectors.select(
+        F.col(id_col), F.expr(bucket_expr(vec_col, all_planes, base=0)).alias("__sketch")
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("__sketch", b * planes_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sketched.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, "bb.band", "bb.bucket"
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = F.expr(cosine_expr("va", "vb", dims, base=0))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns every vector to its nearest
+    of n_cells centroids (one broadcast pass -- the inverted file); each
+    query probes its n_probe nearest cells and scans only those candidate
+    lists. Centroids here are the first n_cells vectors by id (deterministic
+    stand-in for a trained k-means codebook -- production swaps in real
+    centroids; the dataflow is identical). At 100 TB: centroid table is
+    broadcast, cell assignment is map-side, candidate scan shuffles on
+    cell_id only."""
+    cents = vectors.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
+    )
+    cos_vc = F.expr(cosine_expr("v", "cv", dims, base=0))
+    w_assign = Window.partitionBy("vid").orderBy(F.col("c").desc(), F.col("cell_id").asc())
+
+    def nearest_cells(df: DataFrame, n: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+            .join(F.broadcast(cents))
+            .select("vid", "cell_id", cos_vc.alias("c"))
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w_assign))
+            .where(F.col("rn") <= n)
+            .select("vid", "cell_id")
+        )
+
+    assign = nearest_cells(vectors, 1).withColumnRenamed("vid", "neighbor_id")
+    probes = nearest_cells(queries, n_probe).withColumnRenamed("vid", "query_id")
+    cands = probes.join(assign, "cell_id").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id").distinct()
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    cos = F.expr(cosine_expr("qv", "nv", dims, base=0))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -67,6 +67,106 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ND_BANDS, _ND_PPB, _ND_THR = 4, 4, 0.35
+_ND_PLANES = hyperplanes(_ND_BANDS * _ND_PPB, _DIMS)
+
+_ND_BAND_SQL = (
+    f"WITH sk AS (SELECT vec_id, {bucket_expr('embedding', _ND_PLANES, base=1)} AS s "
+    "FROM embeddings)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, (s >> {b * _ND_PPB}) & {(1 << _ND_PPB) - 1} AS bucket FROM sk"
+        for b in range(_ND_BANDS)
+    )
+)
+
+_ND_COS = cosine_expr("va.embedding", "vb.embedding", _DIMS, base=1)
+
+_NEAR_DUP_ORACLE = f"""
+WITH banded AS ({_ND_BAND_SQL}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT * FROM (
+  SELECT id_a, id_b, {_ND_COS} AS cosine
+  FROM cands JOIN embeddings va ON va.vec_id = id_a
+             JOIN embeddings vb ON vb.vec_id = id_b
+) WHERE cosine >= {_ND_THR}
+"""
+
+
+@register(
+    "embedding_cosine_near_dup",
+    _NEAR_DUP_ORACLE,
+    "Embedding-cosine near-dup pairs via banded random-hyperplane LSH "
+    "(4 bands x 4 planes, OR-combined like MinHash banding) + exact cosine "
+    "verify. Threshold 0.35 sits at the fixture's 99.9th percentile (the "
+    "synthetic embeddings plant no true duplicates); for real near-dup "
+    "data (cosine >= 0.9) the same banding recalls ~95%.",
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_near_dup_pairs(
+        emb, dims=_DIMS, threshold=_ND_THR, bands=_ND_BANDS, planes_per_band=_ND_PPB
+    )
+
+
+_IVF_CELLS, _IVF_PROBE = 16, 3
+_IVF_ASSIGN_COS = cosine_expr("v.embedding", "c.cv", _DIMS, base=1)
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_CELLS}
+),
+assign_scored AS (
+  SELECT v.vec_id AS vid, c.cell_id, {_IVF_ASSIGN_COS} AS cs
+  FROM embeddings v CROSS JOIN cents c
+),
+assign_ranked AS (
+  SELECT vid, cell_id,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+  FROM assign_scored
+),
+assign AS (SELECT vid AS neighbor_id, cell_id FROM assign_ranked WHERE rn = 1),
+probes AS (SELECT vid AS query_id, cell_id FROM assign_ranked
+           WHERE rn <= {_IVF_PROBE} AND vid < {_N_QUERIES}),
+cands AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM probes JOIN assign USING (cell_id)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_DUCK} AS cosine
+  FROM cands JOIN embeddings sa ON sa.vec_id = query_id
+             JOIN embeddings sb ON sb.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "cosine_topk_ivf",
+    _IVF_ORACLE,
+    "IVF-style ANN top-5: broadcast coarse quantizer (16 deterministic "
+    "centroids standing in for a trained codebook) assigns every vector to "
+    "one cell; queries probe their 3 nearest cells and scan only those "
+    "candidate lists -- the inverted-file scale path next to the LSH "
+    "variant.",
+)
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return sim_ops.cosine_topk_ivf(
+        emb, queries, dims=_DIMS, k=_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
 @register(
     "cosine_topk_lsh",
     _LSH_ORACLE,

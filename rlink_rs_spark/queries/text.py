@@ -109,6 +109,70 @@ def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.select("doc_id", F.expr(quality_score_sql("nt", "nc", "sc")).alias("quality"))
 
 
+# BPE-ish subword pattern: letter runs, single digits, single punctuation --
+# the GPT-2 pre-tokenizer family restricted to ASCII classes so Java regex
+# (Spark) and RE2 (DuckDB) agree exactly.
+_BPE_PAT = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           CAST(ROUND(length(text) * 1.0 / NULLIF(len(regexp_extract_all(text, '{_BPE_PAT}')), 0), 4) AS DOUBLE) AS chars_per_token
+    FROM documents
+    """,
+    "BPE-ish token counting: regex pre-tokenizer (letter runs / digits / "
+    "punctuation) next to the whitespace count, plus chars-per-token -- the "
+    "token-budget estimator of a training-data pipeline. Map-side only.",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)"))
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.round(F.length("text") * 1.0 / F.nullif(n_bpe, F.lit(0)), 4)
+        .cast("double")
+        .alias("chars_per_token"),
+    )
+
+
+# 60-bit-safe polynomial rolling hash over whitespace tokens: fold
+# acc = (acc * 31 + hash32(token)) mod 2^31-1. Token hashes are the
+# engine-neutral md5-derived hash32, the fold is exact BIGINT arithmetic
+# (max intermediate ~2^36), so both engines produce identical fingerprints.
+_RH_MOD = 2_147_483_647
+_RH_HASH32_SPARK = "CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT)"
+_RH_HASH32_DUCK = "('0x' || substr(md5(t), 9, 8))::BIGINT"
+
+
+@register(
+    "rolling_hash_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform(string_split(text, ' '), t -> {_RH_HASH32_DUCK})),
+             (acc, h) -> (acc * 31 + h) % {_RH_MOD}) AS rolling_hash
+    FROM documents
+    """,
+    "Order-sensitive document fingerprint: polynomial rolling hash over the "
+    "token stream (vs doc_fingerprint's order-insensitive-normalization "
+    "md5). Pure fold inside codegen -- one pass, no shuffle.",
+)
+def rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        f"aggregate(transform(split(text, ' '), t -> {_RH_HASH32_SPARK}), "
+        f"CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % {_RH_MOD})"
+    )
+    return docs.select("doc_id", F.expr(fold).alias("rolling_hash"))
+
+
 @register(
     "doc_fingerprint",
     """

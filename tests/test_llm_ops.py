@@ -14,10 +14,14 @@ ORACLED = [
     "simhash_near_dup",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "embedding_cosine_near_dup",
     "text_stats_tokens",
     "lang_id_heuristic",
     "quality_score_docs",
     "doc_fingerprint",
+    "token_count_bpe",
+    "rolling_hash_fingerprint",
     "multimodal_binary_features",
 ]
 
@@ -43,6 +47,41 @@ def test_lsh_recall_vs_exact(spark, sf_dir):
     assert lsh, "LSH found no near-dup pairs on data with planted near-dups"
     # verified at >=0.7 vs exact baseline at >=0.6: containment must hold
     assert lsh <= exact
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF top-k neighbors must be a subset of the exact brute-force ranking
+    universe and overlap it substantially (cells cover the near neighbors)."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["cosine_topk_ivf"].fn(spark, sf_dir).collect()
+    }
+    assert ivf, "IVF returned no neighbors"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_embedding_near_dup_no_cartesian(spark, sf_dir):
+    """Banded-LSH near-dup must be equi-join shaped, never all-pairs."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    plan = (
+        REGISTRY["embedding_cosine_near_dup"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # candidate pairs come from the banded equi-join; only the broadcast of
+    # verified candidate ids back onto vectors may nest loops
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
 
 
 def test_shingles_short_docs(spark):
