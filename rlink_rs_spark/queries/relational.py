@@ -352,6 +352,80 @@ def kafka_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LB_PARTS = 4
+_LB_SEEK = {0: 0, 1: 50, 2: 100, 3: 200}  # per-partition offset seek
+_LB_PART_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT "
+    f"% {_LB_PARTS} AS INTEGER)"
+)
+_LB_SEEK_DUCK = " OR ".join(
+    f"(partition = {p} AND \"offset\" >= {o})" for p, o in _LB_SEEK.items()
+)
+
+
+@register(
+    "kafka_loopback_seek",
+    f"""
+    WITH env AS (
+      SELECT {_LB_PART_DUCK} AS partition,
+             ROW_NUMBER() OVER (PARTITION BY {_LB_PART_DUCK} ORDER BY event_id) - 1 AS "offset",
+             CAST(user_id AS VARCHAR) AS key,
+             event_id AS p_event_id, user_id AS p_user_id, value AS p_value
+      FROM events
+    )
+    SELECT * FROM env WHERE {_LB_SEEK_DUCK}
+    """,
+    "Kafka runtime path via the broker-less loopback (sources/loopback.py): "
+    "events shaped into the exact Kafka envelope (deterministic md5 "
+    "partitioner + per-partition offsets), published to a topic directory, "
+    "then CONSUMED AS A STREAM with per-partition startingOffsets seek "
+    "(input_format.rs:76-163 mode 2) and JSON-decoded. The oracle "
+    "reproduces the partitioner, offset ranks, and seek filter.",
+)
+def kafka_loopback_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from rlink_rs_spark.sources.loopback import publish, subscribe, to_envelope
+    from rlink_rs_spark.streaming.runner import run_to_memory
+
+    events = load_table(spark, sf_dir, "events")
+    envelope = to_envelope(
+        events,
+        key_col="user_id",
+        value_col=F.to_json(F.struct("event_id", "user_id", "value")),
+        topic="events",
+        n_partitions=_LB_PARTS,
+        ts_col="ts",
+        order_col="event_id",
+    )
+    topic_dir = tempfile.mkdtemp(prefix="rlink_loopback_")
+    publish(envelope, topic_dir)
+    stream = subscribe(spark, topic_dir, starting_offsets=_LB_SEEK)
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    parsed = stream.select(
+        "partition",
+        "offset",
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("p"),
+    ).select(
+        "partition",
+        "offset",
+        "key",
+        F.col("p.event_id").alias("p_event_id"),
+        F.col("p.user_id").alias("p_user_id"),
+        F.col("p.value").alias("p_value"),
+    )
+    return run_to_memory(parsed, shuffle_partitions=8)
+
+
 @register(
     "rollup_agg",
     f"""

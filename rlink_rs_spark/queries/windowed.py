@@ -124,6 +124,91 @@ def pct_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_percentile(flat, ["window_start", "window_end", "event_type"], "value", [99, 90])
 
 
+from rlink_rs_spark.functions.percentile import bucket_case_sql, bucket_column  # noqa: E402
+
+_PCT_DECODE_ORACLE = f"""
+WITH assigned AS (
+  SELECT ws AS window_start, event_type, value
+  FROM ({sliding_assign_sql('events', 'ts', _PCT_SIZE_MS, _PCT_SIZE_MS)}) a
+), bucketed AS (
+  SELECT window_start, event_type, {bucket_case_sql('value')} AS bucket,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM assigned
+), counts AS (
+  SELECT window_start, event_type, bucket, COUNT(*) AS c, SUM(cents) AS sc
+  FROM bucketed GROUP BY window_start, event_type, bucket
+), ranked AS (
+  SELECT *, SUM(c) OVER (PARTITION BY window_start, event_type ORDER BY bucket DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scanned,
+            SUM(c) OVER (PARTITION BY window_start, event_type) AS n
+  FROM counts
+)
+SELECT event_type || ':' || CAST(window_start AS VARCHAR) AS field,
+       CAST(SUM(sc) AS BIGINT) AS value,
+       CAST(MAX(CASE WHEN scanned >= GREATEST(CAST(1 AS BIGINT), LEAST(n,
+              CAST(FLOOR(n * 0.01) AS BIGINT))) THEN bucket END) AS BIGINT) AS pct_99,
+       CAST(MAX(CASE WHEN scanned >= GREATEST(CAST(1 AS BIGINT), LEAST(n,
+              CAST(FLOOR(n * 0.1) AS BIGINT))) THEN bucket END) AS BIGINT) AS pct_90
+FROM ranked GROUP BY window_start, event_type
+"""
+
+
+@register(
+    "pct_output_decode",
+    _PCT_DECODE_ORACLE,
+    "The reference's percentile decode stage (OutputMapFunction, "
+    "example-connect/src/map_output.rs:31-51): downstream flat_map turns the "
+    "pct state into Output(field, value, pct_99, pct_90) rows -- field = "
+    "'{key}:{window_start}', value = the reduce's exact i64 sum (cents "
+    "here: the fixture value is a 2-decimal double), pct_* = i64 scale "
+    "boundaries. One pass: the bucket counts aggregation also carries the "
+    "sum, so decode adds no extra shuffle over pct itself.",
+)
+def pct_output_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    flat = with_sliding_window_bounds(events, "ts", _PCT_SIZE_MS / 1000).select(
+        "window_start", "event_type", "value"
+    )
+    bucketed = flat.select(
+        "window_start",
+        "event_type",
+        bucket_column("value").alias("__bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("__cents"),
+    )
+    counts = bucketed.groupBy("window_start", "event_type", "__bucket").agg(
+        F.count("*").alias("__c"), F.sum("__cents").alias("__sc")
+    )
+    w_grp = Window.partitionBy("window_start", "event_type")
+    w_desc = w_grp.orderBy(F.col("__bucket").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = counts.withColumn("__scanned", F.sum("__c").over(w_desc)).withColumn(
+        "__n", F.sum("__c").over(w_grp)
+    )
+
+    def boundary(p: int):
+        target = F.greatest(
+            F.lit(1).cast("long"),
+            F.least(F.col("__n"), F.floor(F.col("__n") * F.lit((100 - p) / 100.0)).cast("long")),
+        )
+        return F.max(F.when(F.col("__scanned") >= target, F.col("__bucket"))).cast("long")
+
+    return (
+        ranked.groupBy("window_start", "event_type")
+        .agg(
+            F.sum("__sc").cast("long").alias("value"),
+            boundary(99).alias("pct_99"),
+            boundary(90).alias("pct_90"),
+        )
+        .select(
+            F.concat_ws(":", "event_type", F.col("window_start").cast("string")).alias("field"),
+            "value",
+            "pct_99",
+            "pct_90",
+        )
+    )
+
+
 @register(
     "range_window_filter",
     (

@@ -43,6 +43,49 @@ def test_foreach_batch_bulk_sink(spark, sf_dir, tmp_path):
     assert {r["event_id"] for r in written} == set(range(expected))
 
 
+def test_loopback_stream_producer_and_seek(spark, sf_dir, tmp_path):
+    """foreachBatch producer rebases offsets on the topic high-water mark
+    across batches; timestamp seek returns exactly the suffix."""
+    from rlink_rs_spark.sources.loopback import publish_stream, subscribe, to_envelope
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.tables import load_table
+
+    topic_dir = str(tmp_path / "topic")
+    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=3, order_col="ts")
+    envelope = to_envelope(
+        src,
+        key_col="user_id",
+        value_col=F.to_json(F.struct("event_id", "value")),
+        topic="t",
+        n_partitions=2,
+        ts_col="ts",
+        order_col="event_id",
+        assign_offset=False,
+    )
+    q = publish_stream(envelope, topic_dir, checkpoint=tempfile.mkdtemp())
+    assert q.awaitTermination(180)
+
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    topic = spark.read.parquet(topic_dir)
+    assert topic.count() == n
+    # offsets are contiguous 0..count-1 per partition (high-water rebasing)
+    per_part = topic.groupBy("partition").agg(
+        F.count("*").alias("c"), F.min("offset").alias("lo"), F.max("offset").alias("hi")
+    ).collect()
+    for r in per_part:
+        assert r.lo == 0 and r.hi == r.c - 1
+
+    # timestamp seek: strictly the suffix from the median event time
+    lo, hi = events.agg(F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))).collect()[0]
+    median_ms = lo + (hi - lo) // 2
+    got = run_to_memory(
+        subscribe(spark, topic_dir, starting_timestamp_ms=median_ms).select("key", "timestamp")
+    )
+    expected = events.where(F.unix_millis("ts") >= median_ms).count()
+    assert got.count() == expected
+
+
 def test_kafka_sink_options():
     assert kafka_sink_options("out", "b:9092") == {
         "kafka.bootstrap.servers": "b:9092",
