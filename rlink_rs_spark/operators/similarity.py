@@ -107,7 +107,7 @@ def cosine_near_dup_pairs(
     dims: int,
     threshold: float,
     bands: int = 4,
-    planes_per_band: int = 4,
+    planes_per_band: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -116,8 +116,10 @@ def cosine_near_dup_pairs(
     pairs sharing ANY band's bucket (OR over bands raises recall the way
     MinHash banding does); exact cosine verifies >= threshold. All-pairs is
     never formed -- per band one equi-join, the 100 TB shape. For true
-    near-dups (cosine >= 0.9) 4x4 banding recalls ~95%; recall degrades for
-    lower thresholds by the LSH collision curve (1 - theta/pi)^planes."""
+    near-dups (cosine >= 0.9) 4x6 banding recalls ~86%; recall degrades for
+    lower thresholds by the LSH collision curve (1 - theta/pi)^planes.
+    Norms are precomputed once per vector (3x fewer chain evals per pair);
+    the DuckDB twin precomputes identically, so bits still match."""
     all_planes = hyperplanes(bands * planes_per_band, dims)
     # One wide projection computes the full (bands*ppb)-bit sketch; per-band
     # buckets are then tiny bit-shift expressions. Keeping the 64-dim sum
@@ -150,9 +152,16 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = F.expr(cosine_expr("va", "vb", dims, base=0))
+    normed = vectors.select(
+        F.col(id_col), F.col(vec_col), F.expr(norm_expr(vec_col, dims, base=0)).alias("__nrm")
+    )
+    va = normed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("__nrm").alias("na")
+    )
+    vb = normed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("__nrm").alias("nb")
+    )
+    cos = F.expr(f"({dot_chain_expr('va', 'vb', dims, base=0)}) / (na * nb)")
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")

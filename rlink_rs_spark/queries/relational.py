@@ -108,6 +108,131 @@ def broadcast_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(sum_exact("value", "sum_value"), F.count("*").alias("cnt"))
 
 
+@register(
+    "salted_hot_key_agg",
+    f"""
+    SELECT event_type, {SUM_EXACT_SQL.format(col='value')} AS sum_value,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    "Skew-mitigated hot-key aggregation: phase 1 aggregates on (key, salt) "
+    "so no single reducer owns a hot key's full volume, phase 2 recombines "
+    "per key (operators/repartition.salted). Result is salt-invariant "
+    "(exact integer-cents sums commute), so the oracle is the plain agg -- "
+    "the plan, not the answer, is what changes for 100 TB skew.",
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.repartition import salted
+
+    events = load_table(spark, sf_dir, "events")
+    phase1 = (
+        salted(events, "event_type", 16)
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("__cents"),
+            F.count("*").alias("__c"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        (F.sum("__cents") / 100.0).alias("sum_value"),
+        F.sum("__c").alias("cnt"),
+    )
+
+
+@register(
+    "q5_star_join_volume",
+    """
+    SELECT n.n_name AS nation,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))/10000.0 AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5 shape: star join over the full schema -- region filter prunes "
+    "nation/customer/supplier; small dims broadcast, the orders=lineitem "
+    "spine is left to AQE (broadcast at small SF, shuffled hash/sort-merge "
+    "at 100 TB). The canonical multi-dim analytics plan.",
+)
+def q5_star_join_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # dims shrink through the region filter; broadcast them all -- the fact
+    # spine (lineitem |X| orders) is the only non-broadcast join
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(F.round(revenue * 10000).cast("long")) / 10000.0).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+    )
+
+
+@register(
+    "streaming_enrichment_join",
+    f"""
+    SELECT n.n_name AS nation, {SUM_EXACT_SQL.format(col='e.value')} AS sum_value,
+           COUNT(*) AS cnt
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "Stream-static broadcast enrichment executed AS A STREAM (the "
+    "reference's connect(Broadcast config, RoundRobin stream), "
+    "example-connect/src/app.rs:51-72): file-replay event stream joined to "
+    "static dims inside the micro-batch plan, complete-mode keyed agg. The "
+    "batch twin broadcast_enrichment_join covers the same plan shape in "
+    "batch.",
+)
+def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.joins import broadcast_enrich
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    ev = file_stream(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = broadcast_enrich(
+        ev, customer, on=ev.user_id == customer.c_custkey, how="inner"
+    )
+    enriched = broadcast_enrich(
+        enriched, nation, on=enriched.c_nationkey == nation.n_nationkey, how="inner"
+    )
+    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+        F.count("*").alias("cnt"),
+    )
+    return run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
+
+
 # --- engine extras: TPC-H-style relational coverage -------------------------
 
 @register(
