@@ -99,6 +99,35 @@ def test_round_robin_repartition(spark, sf_dir):
     assert parts == 1
 
 
+def test_file_format_roundtrips(spark, sf_dir, tmp_path):
+    """CSV and JSON source/sink coverage (absent in the reference -- free
+    via Spark, SURVEY §2.1): batch round-trip preserves values, and the
+    JSON directory replays as a stream with the same schema."""
+    from rlink_rs_spark.streaming.runner import run_to_memory
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    n = events.count()
+
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    events.write.option("header", "true").csv(csv_dir)
+    events.write.json(json_dir)
+
+    csv_back = spark.read.option("header", "true").schema(events.schema).csv(csv_dir)
+    json_back = spark.read.schema(events.schema).json(json_dir)
+    assert csv_back.count() == n and json_back.count() == n
+    assert {r.event_id for r in csv_back.select("event_id").collect()} == set(range(n))
+    got = {(r.event_id, r.value) for r in json_back.collect()}
+    want = {(r.event_id, r.value) for r in events.collect()}
+    assert got == want
+
+    streamed = run_to_memory(
+        spark.readStream.schema(events.schema).json(json_dir).where(F.col("value") > 0)
+    )
+    assert streamed.count() == events.where(F.col("value") > 0).count()
+
+
 def test_pipeline_transform_plan_matches_direct(spark, sf_dir):
     """The Pipeline-built transform chain must compile to the same optimized
     plan as the hand-written DataFrame form -- the builder adds zero
