@@ -140,6 +140,84 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_outer_join",
+    """
+    WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT LEAST((SELECT MAX(epoch_ms(ts)) FROM clicks),
+                   (SELECT MAX(epoch_ms(ts)) FROM purch)) - 60000 AS w
+    ),
+    matched AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             epoch_ms(c.ts) AS click_ts_ms, epoch_ms(p.ts) AS purchase_ts_ms
+      FROM clicks c JOIN purch p ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    ),
+    unmatched AS (
+      SELECT c.user_id, c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+             epoch_ms(c.ts) AS click_ts_ms, CAST(NULL AS BIGINT) AS purchase_ts_ms
+      FROM clicks c
+      WHERE NOT EXISTS (SELECT 1 FROM purch p WHERE p.user_id = c.user_id
+                        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR)
+        AND epoch_ms(c.ts) + 21600000 < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    "LEFT OUTER stream-stream interval join: matches emit immediately; "
+    "null-extended rows emit only when the global watermark (min of both "
+    "sides' max-delay) passes the left row's entire match window "
+    "[ts, ts+6h] -- i.e. click_ts + upper < wm, verified empirically "
+    "against the engine. The oracle reproduces both the matches and the "
+    "watermark-closed unmatched set.",
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.joins import interval_join
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    clicks = (
+        file_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        file_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = interval_join(
+        clicks,
+        purchases,
+        left_key="c_user",
+        right_key="p_user",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 6 HOURS",
+        how="leftOuter",
+    )
+    out = joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_millis("click_ts").alias("click_ts_ms"),
+        F.unix_millis("purchase_ts").alias("purchase_ts_ms"),
+    )
+    return run_to_memory(out, shuffle_partitions=8)
+
+
+@register(
     "streaming_dedup_events",
     """
     SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
