@@ -128,6 +128,50 @@ def test_file_format_roundtrips(spark, sf_dir, tmp_path):
     assert streamed.count() == events.where(F.col("value") > 0).count()
 
 
+def test_python_udtf_flatmap_surface(spark):
+    """The reference's FlatMapFunction is a 1->N row transform with schema
+    change (core/function.rs:186-195); Python UDTFs are the Spark-4 native
+    surface for arbitrary such logic when select/explode can't express it."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("tokenize", Tokenize)
+    out = spark.sql(
+        "SELECT t.word, t.pos FROM VALUES ('a b c'), ('d') AS v(s), "
+        "LATERAL tokenize(v.s) t"
+    ).collect()
+    assert [(r.word, r.pos) for r in out] == [("a", 0), ("b", 1), ("c", 2), ("d", 0)]
+
+
+def test_pipeline_union_step(spark, sf_dir):
+    """Pipeline.union (the CoProcess co-partitioned merge step) matches the
+    direct unionByName + agg result."""
+    from rlink_rs_spark.operators.aggregations import count, sum_
+    from rlink_rs_spark.plans.pipeline import Pipeline
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "value")
+    purchases = events.where(F.col("event_type") == "purchase").select("user_id", "value")
+    p = Pipeline().union(purchases).key_by("user_id").reduce(sum_("value", "sv"), count())
+    got = {tuple(r) for r in p.build(clicks).collect()}
+    want = {
+        tuple(r)
+        for r in clicks.unionByName(purchases)
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sv"),
+            F.count("*").alias("count"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
 def test_pipeline_transform_plan_matches_direct(spark, sf_dir):
     """The Pipeline-built transform chain must compile to the same optimized
     plan as the hand-written DataFrame form -- the builder adds zero
