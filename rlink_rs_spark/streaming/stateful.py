@@ -19,6 +19,33 @@ ALERT_SCHEMA = "user_id bigint, alert_seq bigint, running_total double, ts_ms bi
 ALERT_STATE_SCHEMA = "running_total double, alerts bigint"
 
 
+def fold_alert_cents(
+    cents, total_cents: int, alerts: int, thr_cents: int
+) -> tuple[list[tuple[int, int, int]], int, int]:
+    """Vectorized threshold-crossing fold over one batch (integer cents --
+    deterministic, drift-free). Returns (emissions, new_total_cents,
+    new_alerts) where each emission is (row_index, alert_seq, cum_cents).
+
+    Semantics (property-tested against a per-row reference fold): alert_seq
+    advances once per threshold multiple newly reached by the running
+    total's historical maximum -- a dip below a crossed multiple never
+    re-alerts, and one row can emit several sequences."""
+    import numpy as np
+
+    cum = total_cents + np.cumsum(np.asarray(cents, dtype="int64"))
+    # level[i] = multiples reached after row i; the effective prior level is
+    # the running max of (alerts, level) since alerts only ever advances
+    level = cum // thr_cents
+    runmax = np.maximum.accumulate(np.maximum(level, alerts))
+    eff_prev = np.concatenate(([alerts], runmax[:-1]))
+    n_new = np.maximum(level - eff_prev, 0)
+    emits: list[tuple[int, int, int]] = []
+    for i in np.nonzero(n_new)[0]:
+        for s in range(int(eff_prev[i]) + 1, int(level[i]) + 1):
+            emits.append((int(i), s, int(cum[i])))
+    return emits, int(cum[-1]), int(runmax[-1])
+
+
 def threshold_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
     """Per-key running-total threshold crossings: emit one alert row each
     time a user's cumulative value crosses another multiple of `threshold`.
@@ -32,8 +59,6 @@ def threshold_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
     the shape of the reference's ReduceFunction fold
     (reduce(Option<acc>, record) -> acc, core/function.rs:224-237)
     with user-visible emissions."""
-    import numpy as np
-
     thr_cents = int(round(threshold * 100))
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -45,32 +70,19 @@ def threshold_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
             return
         sort_cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
         pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
-        # integer-cents accumulation: deterministic, drift-free
+        import numpy as np
+
         cents = np.rint(pdf["value"].to_numpy(dtype="float64") * 100).astype("int64")
-        cum = int(round(total * 100)) + np.cumsum(cents)
-        # level[i] = full threshold multiples reached after row i; alerts
-        # only ever advances (a dip below a crossed multiple never re-alerts),
-        # so the effective prior level is the running max of (alerts, level).
-        level = cum // thr_cents
-        runmax = np.maximum.accumulate(np.maximum(level, alerts))
-        eff_prev = np.concatenate(([alerts], runmax[:-1]))
-        n_new = np.maximum(level - eff_prev, 0)
-        idx = np.nonzero(n_new)[0]
-        if idx.size:
-            ts_ms = (pdf["ts"].astype("int64").to_numpy() // 1_000_000)[idx]
-            run_tot = cum[idx] / 100.0
-            rows = []
-            for i, (lo, hi) in enumerate(zip(eff_prev[idx], level[idx])):
-                for s in range(int(lo) + 1, int(hi) + 1):
-                    rows.append((user_id, s, run_tot[i], int(ts_ms[i])))
-            out = pd.DataFrame(rows, columns=["user_id", "alert_seq", "running_total", "ts_ms"])
-        else:
-            out = None
-        total = cum[-1] / 100.0
-        alerts = int(runmax[-1])
-        state.update((total, alerts))
-        if out is not None:
-            yield out
+        ts_ms = pdf["ts"].astype("int64").to_numpy() // 1_000_000
+        emits, total, alerts = fold_alert_cents(
+            cents, int(round(total * 100)), alerts, thr_cents
+        )
+        state.update((total / 100.0, alerts))
+        if emits:
+            yield pd.DataFrame(
+                [(user_id, s, c / 100.0, int(ts_ms[i])) for i, s, c in emits],
+                columns=["user_id", "alert_seq", "running_total", "ts_ms"],
+            )
 
     cols = ["user_id", "ts", "value"] + (
         ["event_id"] if "event_id" in events.columns else []

@@ -1,0 +1,152 @@
+"""Property-based and edge-case hardening.
+
+1. The vectorized alert fold vs a straightforward per-row reference fold
+   (hypothesis: random cent sequences incl. negatives, random carried
+   state, random batch splits -- stateful continuation must compose).
+2. Cross-engine expression parity on adversarial strings: every pure-SQL
+   text operator must produce identical results in Spark and DuckDB for
+   empty/whitespace/unicode/punctuation inputs, not just the fixture.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rlink_rs_spark.streaming.stateful import fold_alert_cents
+
+
+def _reference_fold(cents, total_cents, alerts, thr_cents):
+    """Per-row reference: the semantics the vectorized fold must match."""
+    emits = []
+    for i, c in enumerate(cents):
+        total_cents += c
+        while total_cents >= (alerts + 1) * thr_cents:
+            alerts += 1
+            emits.append((i, alerts, total_cents))
+        # a dip never decrements `alerts`
+    return emits, total_cents, alerts
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    cents=st.lists(st.integers(min_value=-50_000, max_value=50_000), min_size=1, max_size=60),
+    total0=st.integers(min_value=-10_000, max_value=200_000),
+    alerts0=st.integers(min_value=0, max_value=5),
+    thr=st.integers(min_value=1, max_value=100_000),
+)
+def test_fold_alert_cents_matches_reference(cents, total0, alerts0, thr):
+    # precondition the reference fold imposes on carried state: alerts
+    # already covers the carried total (true by construction in the stream)
+    alerts0 = max(alerts0, total0 // thr if total0 >= 0 else 0)
+    got = fold_alert_cents(cents, total0, alerts0, thr)
+    want = _reference_fold(cents, total0, alerts0, thr)
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    cents=st.lists(st.integers(min_value=-10_000, max_value=10_000), min_size=2, max_size=40),
+    split=st.integers(min_value=1, max_value=39),
+    thr=st.integers(min_value=1, max_value=20_000),
+)
+def test_fold_alert_cents_composes_across_batches(cents, split, thr):
+    """Folding [A ++ B] equals folding A then B with carried state -- the
+    micro-batch continuation property."""
+    split = min(split, len(cents) - 1)
+    one_emits, one_total, one_alerts = fold_alert_cents(cents, 0, 0, thr)
+    a_emits, a_total, a_alerts = fold_alert_cents(cents[:split], 0, 0, thr)
+    b_emits, b_total, b_alerts = fold_alert_cents(cents[split:], a_total, a_alerts, thr)
+    combined = a_emits + [(i + split, s, c) for i, s, c in b_emits]
+    assert combined == one_emits
+    assert (b_total, b_alerts) == (one_total, one_alerts)
+
+
+EDGE_STRINGS = [
+    "",
+    " ",
+    "   ",
+    "one",
+    "one two",
+    "a  b",  # double space -> empty token
+    "the the the the the",
+    "Hello, World! 42",
+    "tab\tand\nnewline",
+    "ünïcödé tökens ärë fìne",
+    "trailing space ",
+    " leading",
+    "punct!!! ???",
+    "1 2 3 4 5 6 7 8 9 10 11 12",
+    "x" * 500,
+    ("word " * 50).strip(),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_tables(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(EDGE_STRINGS)], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("edge_documents")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(EDGE_STRINGS))
+    )
+    return df, con
+
+
+def _compare(spark_rows, duck_rows):
+    s = sorted(tuple(r) for r in spark_rows)
+    d = sorted(tuple(r) for r in duck_rows)
+    assert s == d, f"engine divergence:\nspark={s[:5]}\nduck={d[:5]}"
+
+
+def test_edge_strings_text_ops_parity(spark, edge_tables):
+    """quality score, BPE tokens, rolling hash, fingerprint, and shingles
+    must agree across engines on adversarial strings."""
+    from rlink_rs_spark.operators.dedup import shingles_sql, with_shingles
+    from rlink_rs_spark.queries.text import _BPE_PAT, _RH_HASH32_DUCK, _RH_MOD
+
+    df, con = edge_tables
+
+    # BPE-ish token count
+    from pyspark.sql import functions as F
+
+    s_rows = df.select(
+        "doc_id", F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)")).alias("n")
+    ).collect()
+    d_rows = con.sql(
+        f"SELECT doc_id, len(regexp_extract_all(text, '{_BPE_PAT}')) AS n FROM documents"
+    ).fetchall()
+    _compare(s_rows, d_rows)
+
+    # rolling hash
+    fold = (
+        "aggregate(transform(split(text, ' '), "
+        "t -> CAST(conv(substring(md5(t), 9, 8), 16, 10) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % {_RH_MOD})"
+    )
+    s_rows = df.select("doc_id", F.expr(fold).alias("h")).collect()
+    d_rows = con.sql(
+        "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(text, ' '), t -> {_RH_HASH32_DUCK})), "
+        f"(acc, h) -> (acc * 31 + h) % {_RH_MOD}) AS h FROM documents"
+    ).fetchall()
+    _compare(s_rows, d_rows)
+
+    # md5 fingerprint of normalized text
+    s_rows = df.select(
+        "doc_id", F.md5(F.lower(F.trim("text")).cast("binary")).alias("f")
+    ).collect()
+    d_rows = con.sql("SELECT doc_id, md5(lower(trim(text))) AS f FROM documents").fetchall()
+    _compare(s_rows, d_rows)
+
+    # shingles (the ANSI short-doc regression surface)
+    s_rows = with_shingles(df, k=3).collect()
+    d_rows = con.sql(
+        f"SELECT DISTINCT doc_id, unnest({shingles_sql(3)}) AS shingle FROM documents"
+    ).fetchall()
+    _compare(s_rows, d_rows)
