@@ -119,6 +119,52 @@ def extract_features(
     return staged.mapInPandas(op, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+        T.StructField("resized", T.BooleanType(), False),
+    ]
+)
+
+
+def resize(
+    media: DataFrame,
+    target_width: int,
+    target_height: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image-resize plumbing via mapInPandas: payload -> decoded pixels ->
+    scaled -> re-encoded payload, with meta.width/height rewritten to the
+    target. The pixel transform is STUBBED (no image libs in this
+    container): the stub passes the payload through unchanged but performs
+    the full schema/meta rewrite; decode_stub=False raises at the exact
+    seam where PIL's Image.resize would plug in. Arrow-batched, no
+    shuffle -- resize parallelizes per input split like extract_features."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv -- not available "
+                    "in this container; use decode_stub=True"
+                )
+            metas = pdf["meta"].map(
+                lambda m: {**(m or {}), "width": target_width, "height": target_height}
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"],  # stub: bytes unchanged
+                    "meta": metas,
+                    "resized": pdf["payload"].notna(),
+                }
+            )
+
+    return media.mapInPandas(op, RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled timestamp
     (real decoder would attach the frame payload; stub attaches offsets).

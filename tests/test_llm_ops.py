@@ -135,6 +135,22 @@ def test_multimodal_decode_stub_raises(spark, sf_dir):
         extract_features(media, decode_stub=False).collect()
 
 
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    from rlink_rs_spark.operators.multimodal import documents_as_media, resize
+    from rlink_rs_spark.tables import load_table
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents").limit(20))
+    out = resize(media, target_width=224, target_height=224).collect()
+    assert len(out) == 20
+    assert all(r.resized for r in out)
+    assert all(r.meta.width == 224 and r.meta.height == 224 for r in out)
+    # stub passes payload bytes through; schema contract holds
+    orig = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert all(bytes(r.payload) == orig[r.media_id] for r in out)
+    with pytest.raises(Exception, match="NotImplementedError|real image resize"):
+        resize(media, 64, 64, decode_stub=False).collect()
+
+
 def test_frame_sample_counts(spark):
     from pyspark.sql import functions as F
 
