@@ -255,6 +255,61 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_window_agg",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER w > {_GAP_MS}
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ), agg AS (
+      SELECT user_id,
+             MIN(epoch_ms(ts)) AS session_start_ms,
+             MAX(epoch_ms(ts)) + {_GAP_MS} AS session_end_ms,
+             COUNT(*) AS n_events,
+             {SUM_EXACT_SQL.format(col='value')} AS sum_value
+      FROM sessions GROUP BY user_id, sid
+    )
+    SELECT * FROM agg
+    WHERE session_end_ms < (SELECT epoch_ms(MAX(ts)) - {_DELAY_MS} FROM events)
+    """,
+    "Session windows executed AS A STREAM: chunked replay -> withWatermark "
+    "-> F.session_window(30 min) -> append mode. The state store merges "
+    "session fragments across micro-batches; a session emits once the "
+    "watermark passes its end (last event + gap < max_ts - delay -- "
+    "verified empirically). Oracle = gaps-and-islands restricted to "
+    "watermark-closed sessions.",
+)
+def streaming_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    agg = (
+        src.withWatermark("ts", f"{_DELAY_MS} milliseconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("session_start_ms"),
+            F.unix_millis("session_window.end").alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, shuffle_partitions=8)
+
+
+@register(
     "session_window_agg",
     f"""
     WITH ordered AS (
