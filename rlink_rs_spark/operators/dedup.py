@@ -96,10 +96,27 @@ def hash32(col: Column) -> Column:
 # --- MinHash + LSH -----------------------------------------------------------
 
 def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id", n_hashes: int = 16) -> DataFrame:
-    """Per-doc MinHash signature: h_i = min over shingles of hash64(i, s).
-    One aggregation, no row expansion by n_hashes."""
-    aggs = [F.min(hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(n_hashes)]
-    return shingled.groupBy(id_col).agg(*aggs)
+    """Per-doc MinHash signature: one aggregation, no row expansion by
+    n_hashes. Each salted md5 digest (32 hex chars) yields TWO independent
+    60-bit hashes (chars 1-15 and 16-30), so n_hashes costs n_hashes/2 md5
+    evaluations; the digests are projected once explicitly rather than
+    relying on subexpression elimination inside the aggregate.
+    DuckDB twin: ('0x' || substr(md5('{j}:' || s), {1|16}, 15))::BIGINT."""
+    n_digests = (n_hashes + 1) // 2
+    digests = shingled.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle"))).alias(f"__m{j}")
+            for j in range(n_digests)
+        ],
+    )
+    aggs = [
+        F.min(
+            F.conv(F.substring(f"__m{i // 2}", 1 if i % 2 == 0 else 16, 15), 16, 10).cast("long")
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return digests.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -27,8 +27,10 @@ _SHINGLED_SQL = f"""
 
 _N_HASHES, _BANDS, _ROWS = 16, 4, 4
 
+# two 60-bit hashes per salted digest (chars 1-15 / 16-30), mirroring
+# minhash_signatures' md5-halving exactly
 _MINHASH_AGGS_SQL = ", ".join(
-    f"MIN(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS h{i}"
+    f"MIN(('0x' || substr(md5('{i // 2}:' || shingle), {1 if i % 2 == 0 else 16}, 15))::BIGINT) AS h{i}"
     for i in range(_N_HASHES)
 )
 
