@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def union_aligned(*dfs: DataFrame) -> DataFrame:
@@ -59,6 +60,54 @@ def interval_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(upper))
     )
     return left.join(right, on=cond, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join (backward): for each left row, the latest right row with
+    right_ts <= left_ts per key, null-extended when none exists.
+
+    Implementation is the scalable union-and-fill shape -- tag both sides,
+    union, one shuffle on the key, forward-fill the right columns with
+    last_value(ignorenulls) over (ts, side) -- NOT a range join + argmax,
+    which explodes on dense right sides. At 100 TB this is a single hash
+    exchange plus a per-key sort, the same cost as any keyed window.
+    Right rows order before left rows at equal ts, so the match is
+    inclusive (right_ts == left_ts matches), like DuckDB/pandas ASOF."""
+    l_cols = [c for c in left.columns]
+    l = left.select(
+        *l_cols,
+        F.col(left_ts).alias("__ats"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != on],
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__side"),
+        *right_cols,
+    )
+    merged = l.unionByName(r)
+    order = [F.col("__ats"), F.col("__side")] + (
+        [F.col(tiebreak)] if tiebreak else []
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged
+    for c in right_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled.where(F.col("__side") == 1).drop("__side", "__ats")
 
 
 def broadcast_enrich(

@@ -233,6 +233,135 @@ def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, output_mode="complete", shuffle_partitions=8)
 
 
+@register(
+    "asof_join_latest_click",
+    """
+    SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, p.value,
+           c.value AS click_value, epoch_ms(c.ts) AS click_ts_ms
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "As-of join (backward): each purchase matched to the user's latest "
+    "click at-or-before it, null when none. Spark lacks a native ASOF; the "
+    "operator (operators/joins.asof_join) uses the scalable union-and-fill "
+    "shape -- one key shuffle + per-key sort, never a range-join argmax "
+    "explosion. Oracle = DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.joins import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+        F.unix_millis("ts").alias("click_ts_ms"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="c_ts",
+        right_cols=["click_value", "click_ts_ms"],
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ts_ms"), "value",
+        "click_value", "click_ts_ms",
+    )
+
+
+@register(
+    "cube_agg",
+    f"""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(user_id AS VARCHAR), '(all)') AS user_bucket,
+           {SUM_EXACT_SQL.format(col='value')} AS sum_value, COUNT(*) AS cnt
+    FROM events
+    WHERE user_id < 10
+    GROUP BY CUBE (event_type, user_id)
+    """,
+    "CUBE grouping sets (all 4 combinations of two dimensions in one pass "
+    "-- absent in the reference, SURVEY §2.5 extra), completing the "
+    "rollup/cube/grouping-set family.",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    return (
+        events.cube("event_type", "user_id")
+        .agg(sum_exact("value", "sum_value"), F.count("*").alias("cnt"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("(all)")).alias("user_bucket"),
+            "sum_value",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "pivot_agg",
+    f"""
+    SELECT user_id,
+           {SUM_EXACT_SQL.format(col="CASE WHEN event_type = 'click' THEN value END")} AS click,
+           {SUM_EXACT_SQL.format(col="CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+           {SUM_EXACT_SQL.format(col="CASE WHEN event_type = 'view' THEN value END")} AS view
+    FROM events
+    WHERE user_id < 25
+    GROUP BY user_id
+    """,
+    "Pivot (long -> wide): per-user exact value sums spread across event "
+    "types. Spark's pivot is the same conditional-aggregation expansion "
+    "the oracle spells out -- one shuffle, no transpose materialization.",
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 25)
+    cents = F.sum(F.round(F.col("value") * 100).cast("long"))
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg((cents / 100.0))
+    )
+
+
+@register(
+    "profile_columns",
+    """
+    SELECT 'value' AS column_name, COUNT(*) AS n_rows,
+           COUNT(value) AS n_non_null, COUNT(DISTINCT value) AS n_distinct,
+           MIN(value) AS min_d, MAX(value) AS max_d
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(user_id), COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(event_type), COUNT(DISTINCT event_type),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM events
+    """,
+    "Column profiling (row/null/distinct counts + numeric bounds per "
+    "column) -- the data-quality pass every training pipeline runs before "
+    "ingest. One scan per column family, map-side partial aggs.",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def prof(col: str, numeric: bool) -> DataFrame:
+        aggs = [
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            (F.min(col).cast("double") if numeric else F.lit(None).cast("double")).alias("min_d"),
+            (F.max(col).cast("double") if numeric else F.lit(None).cast("double")).alias("max_d"),
+        ]
+        return events.agg(*aggs).select(F.lit(col).alias("column_name"), "*")
+
+    return prof("value", True).unionByName(prof("user_id", True)).unionByName(
+        prof("event_type", False)
+    )
+
+
 # --- engine extras: TPC-H-style relational coverage -------------------------
 
 @register(

@@ -13,16 +13,48 @@ RELATIONAL = [
     "broadcast_enrichment_join",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_star_join_volume",
     "top_k_per_group",
     "set_ops_users",
     "distinct_agg",
     "sessionization",
+    "salted_hot_key_agg",
+    "asof_join_latest_click",
+    "cube_agg",
+    "pivot_agg",
+    "profile_columns",
 ]
 
 
 @pytest.mark.parametrize("name", RELATIONAL)
 def test_relational_matches_oracle(spark, duck, sf_dir, name):
     run_query_vs_oracle(spark, duck, sf_dir, name)
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: equal timestamps match (inclusive), no prior right
+    row yields nulls, and the LATEST prior right row wins."""
+    from rlink_rs_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 50, 5.0)],
+        "k long, lts long, lval double",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 150, 2.0), (1, 300, 3.0), (3, 10, 9.0)],
+        "k long, rts long, rval double",
+    )
+    out = {
+        (r.k, r.lts): r.rval
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts", right_cols=["rval"]
+        ).collect()
+    }
+    assert out == {
+        (1, 100): 1.0,  # equal ts matches (inclusive)
+        (1, 200): 2.0,  # latest prior (150) wins over 100; 300 is future
+        (2, 50): None,  # no right rows for key 2
+    }
 
 
 def test_broadcast_join_plan_is_broadcast(spark, sf_dir):
