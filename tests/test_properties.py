@@ -64,6 +64,54 @@ def test_fold_alert_cents_composes_across_batches(cents, split, thr):
     assert (b_total, b_alerts) == (one_total, one_alerts)
 
 
+def _reference_pct(values, p, scale):
+    """Direct implementation of the reference's histogram read
+    (functions/percentile/mod.rs:80-122 accumulate, 171-210 get_result):
+    bucket each value to the smallest boundary >= it (clamp to top), then
+    walk buckets from the top until floor(n*(100-p)/100) (clamped to
+    [1, n]) tail samples are covered; answer = that bucket's boundary."""
+    import bisect
+
+    counts = {}
+    for v in values:
+        i = bisect.bisect_left(scale, v)
+        b = scale[min(i, len(scale) - 1)]
+        counts[b] = counts.get(b, 0) + 1
+    n = len(values)
+    target = max(1, min(n, (n * (100 - p)) // 100))
+    seen = 0
+    for b in sorted(counts, reverse=True):
+        seen += counts[b]
+        if seen >= target:
+            return float(b)
+    return float(min(counts))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(min_value=0.01, max_value=2_000_000, allow_nan=False), min_size=1, max_size=80
+    ),
+    p=st.sampled_from([50, 90, 95, 99]),
+)
+def test_histogram_percentile_sql_matches_reference(values, p):
+    """The shared Spark/DuckDB percentile SQL must implement exactly the
+    reference's bucket + top-down-walk algorithm (validated through DuckDB;
+    the identical SQL text is what the Spark side executes)."""
+    from rlink_rs_spark.functions.percentile import (
+        PERCENTILE_SCALE,
+        histogram_percentile_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE vals(g INTEGER, v DOUBLE)")
+    con.executemany("INSERT INTO vals VALUES (1, ?)", [(v,) for v in values])
+    sql = histogram_percentile_oracle_sql("SELECT g, v FROM vals", ["g"], "v", [p])
+    got = con.sql(sql).fetchall()[0][1]
+    want = _reference_pct(values, p, PERCENTILE_SCALE)
+    assert got == want, f"p{p} over {len(values)} values: sql={got} ref={want}"
+
+
 EDGE_STRINGS = [
     "",
     " ",
