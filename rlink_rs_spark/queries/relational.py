@@ -208,9 +208,11 @@ def q5_star_join_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Stream-static broadcast enrichment executed AS A STREAM (the "
     "reference's connect(Broadcast config, RoundRobin stream), "
     "example-connect/src/app.rs:51-72): file-replay event stream joined to "
-    "static dims inside the micro-batch plan, complete-mode keyed agg. The "
-    "batch twin broadcast_enrichment_join covers the same plan shape in "
-    "batch.",
+    "static dims inside the micro-batch plan, complete-mode keyed agg. "
+    "Complete mode re-emits full state per batch -- correct here because "
+    "the output key is nation (25 rows); high-cardinality keys must use "
+    "append/update with a watermark instead. The batch twin "
+    "broadcast_enrichment_join covers the same plan shape in batch.",
 )
 def streaming_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.operators.joins import broadcast_enrich
