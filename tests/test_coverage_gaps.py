@@ -128,6 +128,17 @@ def test_file_format_roundtrips(spark, sf_dir, tmp_path):
     assert streamed.count() == events.where(F.col("value") > 0).count()
 
 
+def test_plan_hygiene_no_unplanned_cartesians(spark, sf_dir):
+    """Every batch registry query must be free of CartesianProduct /
+    BroadcastNestedLoopJoin except the documented by-design baselines
+    (see tools/plan_audit.py, which also writes PLANS.md)."""
+    from tools.plan_audit import audit
+
+    rows, violations = audit(sf_dir)
+    assert violations == [], f"unplanned cartesian/NLJ in: {violations}"
+    assert len(rows) >= 35  # the batch surface stays audited
+
+
 def test_python_udtf_flatmap_surface(spark):
     """The reference's FlatMapFunction is a 1->N row transform with schema
     change (core/function.rs:186-195); Python UDTFs are the Spark-4 native

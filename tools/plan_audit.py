@@ -1,0 +1,89 @@
+"""Dump physical-plan hygiene for every batch registry query to PLANS.md:
+exchange count, join operators, scan pushdown evidence, and red flags
+(CartesianProduct / BroadcastNestedLoopJoin outside the by-design set).
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rlink_rs_spark.queries import REGISTRY  # noqa: E402
+from rlink_rs_spark.session import get_spark  # noqa: E402
+
+# Queries that execute streaming jobs inside fn() -- skipped (their plan is
+# the micro-batch engine's, audited via tests instead).
+STREAMING = {
+    name
+    for name in REGISTRY
+    if name.startswith(("streaming_", "stream_stream_")) or name == "kafka_loopback_seek"
+}
+
+# By-design nested-loop/cross shapes (documented in each query's docstring):
+#   cosine_topk_bruteforce -- the exact-NN baseline is a broadcast NLJ
+#   cosine_topk_ivf        -- 16-row centroid codebook cross join (broadcast)
+#   range_window_filter    -- single-row bounds frame joined without keys
+NLJ_ALLOWED = {"cosine_topk_bruteforce", "cosine_topk_ivf", "range_window_filter"}
+
+JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)")
+
+
+def audit(sf_dir: str) -> tuple[list[dict], list[str]]:
+    spark = get_spark("plan_audit")
+    rows, violations = [], []
+    for name, q in sorted(REGISTRY.items()):
+        if name in STREAMING:
+            continue
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        joins = JOIN_RE.findall(plan)
+        info = {
+            "name": name,
+            "exchanges": plan.count("Exchange "),
+            "joins": ",".join(sorted(set(joins))) or "-",
+            "pushed": "yes" if "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan) else "-",
+            "cartesian": "CartesianProduct" in plan,
+            "nlj": "BroadcastNestedLoopJoin" in plan,
+        }
+        if (info["cartesian"] or info["nlj"]) and name not in NLJ_ALLOWED:
+            violations.append(name)
+        rows.append(info)
+    return rows, violations
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    rows, violations = audit(sf_dir)
+    lines = [
+        "# PLANS — physical-plan hygiene for batch registry queries",
+        "",
+        f"Audited at `{sf_dir}`. Exchanges = shuffle/broadcast exchange count;",
+        "NLJ/cartesian allowed only for the documented by-design baselines "
+        f"({', '.join(sorted(NLJ_ALLOWED))}).",
+        "",
+        "| query | exchanges | joins | pushdown | NLJ/cartesian |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        flag = "BY-DESIGN" if (r["cartesian"] or r["nlj"]) and r["name"] in NLJ_ALLOWED else (
+            "VIOLATION" if (r["cartesian"] or r["nlj"]) else "-"
+        )
+        lines.append(
+            f"| {r['name']} | {r['exchanges']} | {r['joins']} | {r['pushed']} | {flag} |"
+        )
+    lines.append("")
+    lines.append(f"Violations: {violations or 'none'}")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}; violations: {violations or 'none'}")
+    if violations:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
