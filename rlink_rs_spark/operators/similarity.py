@@ -192,23 +192,33 @@ def cosine_topk_ivf(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
     )
     cos_vc = F.expr(cosine_expr("v", "cv", dims, base=0))
-    w_assign = Window.partitionBy("vid").orderBy(F.col("c").desc(), F.col("cell_id").asc())
 
-    def nearest_cells(df: DataFrame, n: int) -> DataFrame:
-        scored = (
+    def scored_cells(df: DataFrame) -> DataFrame:
+        return (
             df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
             .join(F.broadcast(cents))
             .select("vid", "cell_id", cos_vc.alias("c"))
         )
-        return (
-            scored.withColumn("rn", F.row_number().over(w_assign))
-            .where(F.col("rn") <= n)
-            .select("vid", "cell_id")
-        )
 
-    assign = nearest_cells(vectors, 1).withColumnRenamed("vid", "neighbor_id")
-    probes = nearest_cells(queries, n_probe).withColumnRenamed("vid", "query_id")
-    cands = probes.join(assign, "cell_id").where(
+    # cell assignment = argmax by (cosine desc, cell_id asc) via max(struct):
+    # map-side partial aggregation combines before the shuffle, so the
+    # full-vector-set side never pays a per-key sort window. Same tie-break
+    # as ROW_NUMBER over (c DESC, cell_id ASC) = 1.
+    assign = (
+        scored_cells(vectors)
+        .groupBy("vid")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("cell_id")).alias("negc"))).alias("m"))
+        .select(F.col("vid").alias("neighbor_id"), (-F.col("m.negc")).cast("long").alias("cell_id"))
+    )
+    # probes (queries x n_probe) keep the rank window -- the query set is small
+    w_probe = Window.partitionBy("vid").orderBy(F.col("c").desc(), F.col("cell_id").asc())
+    probes = (
+        scored_cells(queries)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select(F.col("vid").alias("query_id"), "cell_id")
+    )
+    cands = F.broadcast(probes).join(assign, "cell_id").where(
         F.col("query_id") != F.col("neighbor_id")
     ).select("query_id", "neighbor_id").distinct()
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
