@@ -218,6 +218,70 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_join_then_window_agg",
+    """
+    WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (SELECT user_id, value, ts FROM events WHERE event_type = 'purchase'),
+    joined AS (
+      SELECT p.value, p.ts FROM clicks c JOIN purch p
+        ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+    ),
+    agg AS (
+      SELECT (epoch_ms(ts) // 86400000) * 86400000 AS ws,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT))/100.0 AS sv
+      FROM joined GROUP BY 1
+    )
+    SELECT * FROM agg
+    WHERE ws + 86400000 <= (
+      SELECT LEAST((SELECT MAX(epoch_ms(ts)) FROM clicks),
+                   (SELECT MAX(epoch_ms(ts)) FROM purch)) - 60000
+    )
+    """,
+    "CHAINED stateful operators (Spark 4): stream-stream interval join "
+    "feeding a downstream tumbling 1-day windowed aggregation, both in one "
+    "streaming query -- watermark propagates through the join into the agg. "
+    "Oracle = batch join + daily agg over watermark-closed windows (the "
+    "closure boundary candidates coincide on daily windows at this data "
+    "scale; verified empirically at sf0.001 and sf0.01).",
+)
+def stream_join_then_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.joins import interval_join
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    clicks = (
+        file_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 minute")
+    )
+    purchases = (
+        file_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("value").alias("p_value"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = interval_join(
+        clicks, purchases, "c_user", "p_user", "click_ts", "purchase_ts",
+        "INTERVAL 0 SECONDS", "INTERVAL 6 HOURS",
+    )
+    agg = (
+        joined.groupBy(F.window("purchase_ts", "1 day"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(F.round(F.col("p_value") * 100).cast("long")) / 100.0).alias("sv"),
+        )
+        .select(F.unix_millis("window.start").alias("ws"), "n", "sv")
+    )
+    return run_to_memory(agg, shuffle_partitions=8)
+
+
+@register(
     "streaming_dedup_events",
     """
     SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
