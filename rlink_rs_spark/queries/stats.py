@@ -1,0 +1,83 @@
+"""Deterministic statistical aggregates and histograms (engine extras;
+absent in the reference, SURVEY §2.5/§2.9).
+
+Naive stddev/variance differ bit-wise across engines (Welford vs two-pass
+vs naive summation orders), so these are built from EXACT integer-cents
+power sums -- SUM(cents) and SUM(cents^2) are order-independent BIGINT
+arithmetic -- followed by one identical double-precision expression in both
+engines. Every value hashes bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rlink_rs_spark.queries.base import register
+from rlink_rs_spark.tables import load_table
+
+# shared double-precision tail (identical text in Spark SQL and DuckDB):
+# inputs sc = SUM(cents) :: BIGINT, sq = SUM(cents^2) :: BIGINT, n :: BIGINT.
+# CASTs force DOUBLE arithmetic -- a bare `sq / 10000.0` is DECIMAL division
+# in Spark (ANSI literal typing) and silently rounds at decimal scale.
+_SC = "CAST(sc AS DOUBLE) / 100.0"
+_SQ = "CAST(sq AS DOUBLE) / 10000.0"
+_MEAN = f"({_SC}) / n"
+_VAR = f"(({_SQ}) - (({_SC}) * ({_SC})) / n) / (n - 1)"
+
+
+@register(
+    "stats_agg",
+    f"""
+    WITH sums AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sc,
+             SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS sq
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, {_SC} AS sum_value,
+           {_MEAN} AS mean_value,
+           {_VAR} AS var_value,
+           SQRT({_VAR}) AS std_value
+    FROM sums
+    """,
+    "Mean/variance/stddev per key from exact integer power sums (one "
+    "map-side-combined shuffle); bit-deterministic across engines and "
+    "cluster runs, unlike the built-in Welford-path stddev.",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    sums = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sc"),
+        F.sum(cents * cents).alias("sq"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.expr(_SC).alias("sum_value"),
+        F.expr(_MEAN).alias("mean_value"),
+        F.expr(_VAR).alias("var_value"),
+        F.expr(f"SQRT({_VAR})").alias("std_value"),
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT event_type, CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type, CAST(FLOOR(value / 100.0) AS BIGINT)
+    """,
+    "Fixed-width value histogram per key (width 100): bucket assignment is "
+    "map-side, counts combine before one shuffle -- the profiling histogram "
+    "shape at any scale (cf. the percentile scale histogram, which uses "
+    "the reference's leveldb boundaries instead).",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 100.0).cast("long")
+    return events.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("cnt")
+    )
