@@ -31,6 +31,28 @@ def test_relational_matches_oracle(spark, duck, sf_dir, name):
     run_query_vs_oracle(spark, duck, sf_dir, name)
 
 
+def test_q3_falls_back_to_smj_without_broadcast(spark, sf_dir):
+    """The SCALING.md claim made executable: with auto-broadcast disabled
+    (standing in for dims too big to broadcast at 100 TB), the fact-spine
+    join degrades gracefully to SortMergeJoin and results are unchanged.
+    The explicitly-hinted broadcast of the filtered customer dim survives."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    fn = REGISTRY["q3_shipping_priority"].fn
+    want = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        got = [tuple(r) for r in df.collect()]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan  # the spine join, no longer broadcast
+    assert "BroadcastHashJoin" in plan  # the hinted dim broadcast survives
+    assert got == want
+
+
 def test_asof_join_semantics(spark):
     """Backward as-of: equal timestamps match (inclusive), no prior right
     row yields nulls, and the LATEST prior right row wins."""

@@ -262,6 +262,55 @@ def test_late_rows_dropped_by_watermark(spark, sf_dir):
     assert total <= 3  # late row contributed nothing
 
 
+def test_update_mode_converges_to_batch(spark, sf_dir):
+    """Update output mode emits changed windows per micro-batch; taking the
+    LAST emission per window key must converge to the full batch result
+    (no watermark withholding -- update emits open windows too)."""
+    events = load_table(spark, sf_dir, "events")
+    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    agg = (
+        src.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "300 seconds"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_millis("window.start").alias("ws"), "event_type", "cnt")
+    )
+    emitted = run_to_memory(agg, output_mode="update").collect()
+    last = {}
+    for r in emitted:  # memory sink appends in emission order; later wins
+        last[(r.ws, r.event_type)] = r.cnt
+    want = {
+        (r.ws, r.event_type): r.cnt
+        for r in events.groupBy(F.window("ts", "300 seconds"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.unix_millis("window.start").alias("ws"), "event_type", "cnt")
+        .collect()
+    }
+    assert last == want and last
+
+
+def test_outer_interval_join_requires_watermarks(spark, sf_dir):
+    """OUTER stream-stream joins without watermarks must be rejected (null
+    emission needs a closure signal); inner joins are merely unbounded-state
+    and legal, which is why interval_join's docstring mandates watermarks."""
+    from rlink_rs_spark.operators.joins import interval_join
+
+    clicks = (
+        file_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    )  # no watermark
+    purchases = (
+        file_stream(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+    )
+    j = interval_join(
+        clicks, purchases, "c_user", "p_user", "click_ts", "purchase_ts", how="leftOuter"
+    )
+    with pytest.raises(Exception):
+        run_to_memory(j, timeout_seconds=60)
+
+
 def test_idle_source_watermark_policy(spark, sf_dir):
     """Executable witness for the WatermarksWithIdleness divergence
     (streaming/watermarks.py): an idle source holds back the global
