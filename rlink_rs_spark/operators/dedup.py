@@ -79,14 +79,6 @@ def exact_dedup_groups(df: DataFrame, id_col: str, content_col: str) -> DataFram
 
 # --- md5-based hash family ---------------------------------------------------
 
-def hash64(col: Column, salt: int) -> Column:
-    """Deterministic 60-bit hash: first 15 hex chars of md5(salt:value).
-    DuckDB twin: ('0x' || substr(md5(concat('{salt}:', v)), 1, 15))::BIGINT."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 15), 16, 10
-    ).cast("long")
-
-
 def hash32(col: Column) -> Column:
     """32-bit hash from md5 chars 9..16 (salt-free; used by SimHash).
     DuckDB twin: ('0x' || substr(md5(v), 9, 8))::BIGINT."""

@@ -262,6 +262,37 @@ def test_late_rows_dropped_by_watermark(spark, sf_dir):
     assert total <= 3  # late row contributed nothing
 
 
+def test_observed_metrics_surface(spark, sf_dir):
+    """df.observe() metrics flow through streaming progress events -- the
+    reference's per-operator counter surface (metrics/mod.rs) mapped to
+    Spark's native observability."""
+    import tempfile
+    import uuid
+
+    from rlink_rs_spark.streaming.metrics import with_observed_counts
+
+    src = with_observed_counts(
+        file_stream(spark, sf_dir, "events").select("event_id", "value"), name="ingest"
+    )
+    name = f"obs_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rlink_ck_obs_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    observed = [
+        p["observedMetrics"]["ingest"]["rows"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("ingest")
+    ]
+    expected = load_table(spark, sf_dir, "events").count()
+    assert sum(observed) == expected
+
+
 def test_update_mode_converges_to_batch(spark, sf_dir):
     """Update output mode emits changed windows per micro-batch; taking the
     LAST emission per window key must converge to the full batch result
