@@ -64,6 +64,61 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weekday_agg",
+    """
+    SELECT CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS BIGINT) AS weekday,
+           COUNT(*) AS cnt,
+           SUM(CAST(ROUND(value * 100) AS BIGINT))/100.0 AS sum_value
+    FROM events GROUP BY 1
+    """,
+    "Temporal bucketing by day-of-week via pure epoch arithmetic "
+    "((days since epoch + 4) % 7, 0 = Monday) -- engine-neutral where the "
+    "built-in dayofweek()s disagree on week origin. Map-side, one shuffle "
+    "over 7 groups.",
+)
+def weekday_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    weekday = ((F.unix_millis("ts") / F.lit(86400000)).cast("long") + 4) % 7
+    return events.groupBy(weekday.cast("long").alias("weekday")).agg(
+        F.count("*").alias("cnt"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+    )
+
+
+@register(
+    "exact_median",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, value AS median_value
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    "Exact lower-median per key via rank (percentile_disc family, "
+    "deterministic event_id tie-break) -- the exact twin of the histogram "
+    "percentile's bucketed answer. Per-key sort window; at 100 TB prefer "
+    "the histogram for hot keys.",
+)
+def exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return ranked.where(F.col("rn") == ((F.col("n") + 1) / 2).cast("long")).select(
+        "event_type", F.col("value").alias("median_value")
+    )
+
+
+@register(
     "value_histogram",
     """
     SELECT event_type, CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,
