@@ -274,6 +274,40 @@ def asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semi_anti_join_cohorts",
+    """
+    SELECT c.c_custkey AS user_id, 'active' AS cohort
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+                  AND e.event_type = 'purchase')
+    UNION ALL
+    SELECT c.c_custkey AS user_id, 'dormant' AS cohort
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey
+                      AND e.event_type = 'purchase')
+    """,
+    "Semi/anti join pair (EXISTS / NOT EXISTS): purchasing vs dormant "
+    "customers. Spark plans LeftSemi/LeftAnti -- no fact-side row "
+    "duplication, broadcastable filter side; the dedup-filter shape used "
+    "to subtract already-processed keys at 100 TB.",
+)
+def semi_anti_join_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    purchasers = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id")
+    )
+    active = customer.join(
+        purchasers, customer.c_custkey == purchasers.user_id, "left_semi"
+    ).select(F.col("c_custkey").alias("user_id"), F.lit("active").alias("cohort"))
+    dormant = customer.join(
+        purchasers, customer.c_custkey == purchasers.user_id, "left_anti"
+    ).select(F.col("c_custkey").alias("user_id"), F.lit("dormant").alias("cohort"))
+    return active.unionByName(dormant)
+
+
+@register(
     "cube_agg",
     f"""
     SELECT COALESCE(event_type, '(all)') AS event_type,
