@@ -196,6 +196,61 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hash_sample_docs",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 100 < 10
+    """,
+    "Reproducible 10% sample by content-independent hash bucket (md5 of the "
+    "id, salt 'sample:') -- the training-data sampling primitive: fully "
+    "deterministic across runs, engines, partitionings, and cluster sizes, "
+    "unlike seeded sample()/sampleBy() whose draw depends on partition "
+    "layout. Map-side filter, no shuffle.",
+)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 9, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    return docs.where(bucket < 10).select("doc_id", "lang")
+
+
+@register(
+    "train_test_split",
+    """
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 100 < 95 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS cnt FROM assigned GROUP BY lang, split
+    """,
+    "Deterministic 90/5/5 train/valid/test split by salted hash bucket, "
+    "counted per language stratum -- reproducible dataset splits are a "
+    "pipeline correctness requirement (a re-run must never move a document "
+    "across splits). Same hash in both engines.",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 9, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    return docs.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
     "multimodal_binary_features",
     """
     SELECT doc_id,
