@@ -128,6 +128,48 @@ def test_file_format_roundtrips(spark, sf_dir, tmp_path):
     assert streamed.count() == events.where(F.col("value") > 0).count()
 
 
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column must
+    prune at the scan (PartitionFilters), reading only matching directories
+    -- the data-lake layout that makes 100 TB selective scans cheap."""
+    out = str(tmp_path / "by_type")
+    events = load_table(spark, sf_dir, "events")
+    events.write.partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).where(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(event_type" in plan or "event_type" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() == events.where(F.col("event_type") == "click").count()
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys at write time: the join plan has
+    no shuffle exchange on either side -- the SCALING.md pre-partitioning
+    claim made executable."""
+    import uuid
+
+    # warehouse dir is a static conf; managed tables land in the session's
+    # default spark-warehouse and are dropped (data removed) in finally
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"ev_bucketed_{suffix}", f"cust_bucketed_{suffix}"
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    events.write.bucketBy(8, "user_id").sortBy("user_id").saveAsTable(ta)
+    customer.withColumnRenamed("c_custkey", "user_id").write.bucketBy(8, "user_id").saveAsTable(tb)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(ta).join(spark.table(tb), "user_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        n = j.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # bucketing removed both shuffles
+    assert n > 0
+
+
 def test_aqe_splits_skewed_join(spark):
     """The SCALING.md skew claim made executable: a hot-key join under AQE
     (thresholds lowered to make fixture-sized skew visible) gets its skewed
