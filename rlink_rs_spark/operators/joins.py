@@ -75,25 +75,35 @@ def asof_join(
     right_ts <= left_ts per key, null-extended when none exists.
 
     Implementation is the scalable union-and-fill shape -- tag both sides,
-    union, one shuffle on the key, forward-fill the right columns with
+    union, one shuffle on the key, forward-fill the right row with
     last_value(ignorenulls) over (ts, side) -- NOT a range join + argmax,
     which explodes on dense right sides. At 100 TB this is a single hash
     exchange plus a per-key sort, the same cost as any keyed window.
     Right rows order before left rows at equal ts, so the match is
-    inclusive (right_ts == left_ts matches), like DuckDB/pandas ASOF."""
+    inclusive (right_ts == left_ts matches), like DuckDB/pandas ASOF.
+
+    The right columns travel as ONE struct so the fill is atomic: every
+    right_col comes from the same matched right row, and a NULL inside
+    that row survives (filling each column independently would stitch
+    values from different rows and resurrect older non-null values)."""
+    from pyspark.sql import types as T
+
     l_cols = [c for c in left.columns]
+    rstruct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     l = left.select(
         *l_cols,
         F.col(left_ts).alias("__ats"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None).cast(rstruct_type).alias("__rrow"),
     )
     r = right.select(
         F.col(on),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != on],
         F.col(right_ts).alias("__ats"),
         F.lit(0).alias("__side"),
-        *right_cols,
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rrow"),
     )
     merged = l.unionByName(r)
     order = [F.col("__ats"), F.col("__side")] + (
@@ -104,10 +114,13 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = merged
-    for c in right_cols:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return filled.where(F.col("__side") == 1).drop("__side", "__ats")
+    filled = merged.withColumn("__rrow", F.last("__rrow", ignorenulls=True).over(w))
+    unpacked = filled.select(
+        *l_cols,
+        F.col("__side"),
+        *[F.col(f"__rrow.{c}").alias(c) for c in right_cols],
+    )
+    return unpacked.where(F.col("__side") == 1).drop("__side")
 
 
 def broadcast_enrich(

@@ -23,7 +23,9 @@ from rlink_rs_spark.tables import load_table
 _SC = "CAST(sc AS DOUBLE) / 100.0"
 _SQ = "CAST(sq AS DOUBLE) / 10000.0"
 _MEAN = f"({_SC}) / n"
-_VAR = f"(({_SQ}) - (({_SC}) * ({_SC})) / n) / (n - 1)"
+# n = 1 would divide by zero (DIVIDE_BY_ZERO under Spark ANSI mode, inf in
+# DuckDB) -- singleton groups yield NULL variance/stddev in both engines.
+_VAR = f"CASE WHEN n > 1 THEN (({_SQ}) - (({_SC}) * ({_SC})) / n) / (n - 1) ELSE NULL END"
 
 
 @register(
@@ -72,7 +74,8 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1
     """,
     "Temporal bucketing by day-of-week via pure epoch arithmetic "
-    "((days since epoch + 4) % 7, 0 = Monday) -- engine-neutral where the "
+    "((days since epoch + 4) % 7, 0 = Sunday: epoch day 0 is a Thursday, "
+    "so +4 lands Sunday on 0) -- engine-neutral where the "
     "built-in dayofweek()s disagree on week origin. Map-side, one shuffle "
     "over 7 groups.",
 )

@@ -4,6 +4,7 @@ and the Pipeline transform path (plan equality vs the direct form)."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 import time
 
@@ -156,13 +157,14 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     events.write.bucketBy(8, "user_id").sortBy("user_id").saveAsTable(ta)
     customer.withColumnRenamed("c_custkey", "user_id").write.bucketBy(8, "user_id").saveAsTable(tb)
+    saved_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         j = spark.table(ta).join(spark.table(tb), "user_id")
         plan = j._jdf.queryExecution().executedPlan().toString()
         n = j.count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_threshold)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
     assert "SortMergeJoin" in plan
@@ -208,6 +210,50 @@ def test_plan_hygiene_no_unplanned_cartesians(spark, sf_dir):
     rows, violations = audit(sf_dir)
     assert violations == [], f"unplanned cartesian/NLJ in: {violations}"
     assert len(rows) >= 35  # the batch surface stays audited
+
+
+def test_stats_var_null_on_singleton_group(spark):
+    """A group with exactly one row must yield NULL variance/stddev, not a
+    DIVIDE_BY_ZERO crash under ANSI mode (n - 1 == 0)."""
+    from rlink_rs_spark.queries.stats import _MEAN, _SC, _VAR
+
+    sums = spark.createDataFrame(
+        [("solo", 1, 500, 2500), ("pair", 2, 700, 245000)],
+        "event_type string, n long, sc long, sq long",
+    )
+    rows = {
+        r.event_type: r
+        for r in sums.select(
+            "event_type",
+            F.expr(_MEAN).alias("mean_value"),
+            F.expr(_VAR).alias("var_value"),
+            F.expr(f"SQRT({_VAR})").alias("std_value"),
+        ).collect()
+    }
+    assert rows["solo"].mean_value == 5.0
+    assert rows["solo"].var_value is None
+    assert rows["solo"].std_value is None
+    assert rows["pair"].var_value is not None
+
+
+def test_plans_md_covers_full_batch_registry():
+    """The committed PLANS.md artifact must have exactly one row per audited
+    batch registry query -- a stale audit (query added but PLANS.md not
+    regenerated) fails here, not silently."""
+    import re
+
+    from rlink_rs_spark.queries import REGISTRY
+    from tools.plan_audit import STREAMING
+
+    expected = set(REGISTRY) - STREAMING
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md")) as f:
+        text = f.read()
+    in_plans = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query"}
+    assert in_plans == expected, (
+        f"PLANS.md stale: missing={sorted(expected - in_plans)} "
+        f"extra={sorted(in_plans - expected)} -- rerun python tools/plan_audit.py"
+    )
 
 
 def test_python_udtf_flatmap_surface(spark):

@@ -79,6 +79,25 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_asof_join_matched_row_is_atomic(spark):
+    """All right_cols must come from the SAME matched right row, and a NULL
+    inside that row must survive -- per-column forward fill would stitch the
+    older row's non-null value in (the DuckDB/pandas ASOF divergence)."""
+    from rlink_rs_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 200, 0.0)], "k long, lts long, lval double")
+    # older right row fully populated; the matched (latest) row has a NULL b
+    right = spark.createDataFrame(
+        [(1, 100, 1.0, 10.0), (1, 150, 2.0, None)],
+        "k long, rts long, a double, b double",
+    )
+    row = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", right_cols=["a", "b"]
+    ).collect()[0]
+    assert row.a == 2.0  # from the ts=150 matched row
+    assert row.b is None  # NOT back-filled from the ts=100 row
+
+
 def test_broadcast_join_plan_is_broadcast(spark, sf_dir):
     # the enrichment join must not shuffle the fact side
     from rlink_rs_spark.queries import REGISTRY
