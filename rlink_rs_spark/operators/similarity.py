@@ -170,6 +170,80 @@ def cosine_near_dup_pairs(
     )
 
 
+def mean_expr(sum_alias: str) -> str:
+    """Centroid coordinate from an exact integer power sum: shared verbatim
+    with the DuckDB oracle (1e6 is a DOUBLE literal in both engines --
+    a bare decimal literal would be DECIMAL arithmetic in Spark ANSI)."""
+    return f"CAST({sum_alias} AS DOUBLE) / (1e6 * CAST(cnt AS DOUBLE))"
+
+
+def train_ivf_codebook(
+    vectors: DataFrame,
+    dims: int,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd's k-means over DataFrames:
+    returns (cell_id, cv) -- the trained IVF coarse quantizer.
+
+    Init = first n_cells vectors by id (seeded, engine-neutral). Each
+    iteration: (1) assign every vector to its argmax-cosine centroid via a
+    broadcast of the codebook and a map-side max(struct) partial agg --
+    never a per-key sort window on the big side; (2) recompute each
+    centroid coordinate as an EXACT integer power sum,
+    SUM(CAST(ROUND(v[d]*1e6) AS BIGINT)) / (1e6 * cnt) -- BIGINT addition
+    is order-independent, so centroids are bit-identical across engines,
+    partitionings, and cluster sizes (a double AVG would drift with
+    partial-agg order). Cells that lose all members drop out of the
+    codebook; both engines agree.
+
+    At 100 TB: train on a hash-sampled subset (the FAISS recipe), then
+    broadcast the finished codebook -- each iteration here is one broadcast
+    join + one map-side-combined shuffle over n_cells groups."""
+    cents = vectors.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col).alias("cv")
+    )
+    cos_vc = F.expr(cosine_expr("v", "cv", dims, base=0))
+    # the ROUND/CAST quantization happens ONCE in a plain projection (one
+    # array column); the 64-wide aggregate then sums simple array elements,
+    # keeping its generated consume method small (inlining the quantizer
+    # chains into the agg blows up janino compile time)
+    iv = F.expr(
+        "array("
+        + ", ".join(f"CAST(ROUND(CAST(v[{d}] AS DOUBLE) * 1e6) AS BIGINT)" for d in range(dims))
+        + ")"
+    )
+    vecs = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    quantized = vecs.select("vid", iv.alias("iv"))
+    sum_aliases = [f"s{d}" for d in range(dims)]
+    for _ in range(iters):
+        scored = vecs.join(F.broadcast(cents)).select("vid", "cell_id", cos_vc.alias("c"))
+        assign = (
+            scored.groupBy("vid")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("cell_id")).alias("negc"))).alias("m"))
+            .select("vid", (-F.col("m.negc")).cast("long").alias("cell_id"))
+        )
+        sums = (
+            assign.join(quantized, "vid")
+            .groupBy("cell_id")
+            .agg(
+                F.count("*").alias("cnt"),
+                *[F.sum(F.col("iv")[d]).alias(sum_aliases[d]) for d in range(dims)],
+            )
+        )
+        cents = sums.select(
+            "cell_id",
+            F.array(*[F.expr(mean_expr(a)) for a in sum_aliases]).alias("cv"),
+        )
+    # the finished codebook is <= n_cells rows but its lineage holds
+    # 2*iters full-table scans -- cache it so downstream assignment and
+    # probing (2+ consumers) train exactly once (production would persist
+    # the trained codebook explicitly)
+    return cents.cache()
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -177,19 +251,19 @@ def cosine_topk_ivf(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 3,
+    train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     of n_cells centroids (one broadcast pass -- the inverted file); each
     query probes its n_probe nearest cells and scans only those candidate
-    lists. Centroids here are the first n_cells vectors by id (deterministic
-    stand-in for a trained k-means codebook -- production swaps in real
-    centroids; the dataflow is identical). At 100 TB: centroid table is
-    broadcast, cell assignment is map-side, candidate scan shuffles on
-    cell_id only."""
-    cents = vectors.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv")
+    lists. Centroids come from train_ivf_codebook (deterministic seeded
+    Lloyd's, bit-identical to the oracle's unrolled-CTE mirror). At 100 TB:
+    centroid table is broadcast, cell assignment is map-side, candidate
+    scan shuffles on cell_id only."""
+    cents = train_ivf_codebook(
+        vectors, dims, n_cells=n_cells, iters=train_iters, id_col=id_col, vec_col=vec_col
     )
     cos_vc = F.expr(cosine_expr("v", "cv", dims, base=0))
 

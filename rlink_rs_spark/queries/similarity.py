@@ -118,13 +118,52 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CELLS, _IVF_PROBE = 16, 3
+_IVF_CELLS, _IVF_PROBE, _IVF_ITERS = 16, 3, 2
 _IVF_ASSIGN_COS = cosine_expr("v.embedding", "c.cv", _DIMS, base=1)
 
+
+def _ivf_kmeans_ctes(iters: int) -> str:
+    """Unrolled Lloyd's-k-means CTE chain mirroring train_ivf_codebook
+    bit-for-bit: argmax-cosine assignment (cs DESC, cell_id ASC tie-break)
+    then integer-power-sum centroid means (order-independent BIGINT sums,
+    identical 1e6 DOUBLE division text). The final CTE is named `cents`."""
+    from rlink_rs_spark.operators.similarity import mean_expr
+
+    parts = [
+        f"cents0 AS (\n  SELECT CAST(vec_id AS BIGINT) AS cell_id, embedding AS cv"
+        f" FROM embeddings WHERE vec_id < {_IVF_CELLS}\n)"
+    ]
+    for t in range(1, iters + 1):
+        cos = cosine_expr("v.embedding", f"c.cv", _DIMS, base=1)
+        sums = ",\n         ".join(
+            f"SUM(CAST(ROUND(CAST(v.embedding[{d + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s{d}"
+            for d in range(_DIMS)
+        )
+        means = ", ".join(mean_expr(f"s{d}") for d in range(_DIMS))
+        parts.append(
+            f"asg{t}_s AS (\n"
+            f"  SELECT v.vec_id AS vid, c.cell_id, {cos} AS cs\n"
+            f"  FROM embeddings v CROSS JOIN cents{t - 1} c\n)"
+        )
+        parts.append(
+            f"asg{t} AS (\n"
+            f"  SELECT vid, cell_id FROM (\n"
+            f"    SELECT vid, cell_id, ROW_NUMBER() OVER (PARTITION BY vid"
+            f" ORDER BY cs DESC, cell_id ASC) AS rn FROM asg{t}_s\n"
+            f"  ) WHERE rn = 1\n)"
+        )
+        parts.append(
+            f"sum{t} AS (\n"
+            f"  SELECT cell_id, COUNT(*) AS cnt,\n         {sums}\n"
+            f"  FROM asg{t} JOIN embeddings v ON v.vec_id = vid GROUP BY cell_id\n)"
+        )
+        name = "cents" if t == iters else f"cents{t}"
+        parts.append(f"{name} AS (\n  SELECT cell_id, [{means}] AS cv FROM sum{t}\n)")
+    return ",\n".join(parts)
+
+
 _IVF_ORACLE = f"""
-WITH cents AS (
-  SELECT vec_id AS cell_id, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_CELLS}
-),
+WITH {_ivf_kmeans_ctes(_IVF_ITERS)},
 assign_scored AS (
   SELECT v.vec_id AS vid, c.cell_id, {_IVF_ASSIGN_COS} AS cs
   FROM embeddings v CROSS JOIN cents c
@@ -159,17 +198,18 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
 @register(
     "cosine_topk_ivf",
     _IVF_ORACLE,
-    "IVF-style ANN top-5: broadcast coarse quantizer (16 deterministic "
-    "centroids standing in for a trained codebook) assigns every vector to "
-    "one cell; queries probe their 3 nearest cells and scan only those "
-    "candidate lists -- the inverted-file scale path next to the LSH "
-    "variant.",
+    "IVF-style ANN top-5: a coarse quantizer TRAINED by deterministic "
+    "2-iteration Lloyd's k-means (integer-power-sum centroid means, "
+    "bit-identical across engines) assigns every vector to one cell; "
+    "queries probe their 3 nearest cells and scan only those candidate "
+    "lists -- the inverted-file scale path next to the LSH variant.",
 )
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
     return sim_ops.cosine_topk_ivf(
-        emb, queries, dims=_DIMS, k=_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+        emb, queries, dims=_DIMS, k=_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        train_iters=_IVF_ITERS,
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
