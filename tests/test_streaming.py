@@ -17,6 +17,31 @@ from rlink_rs_spark.streaming.runner import run_to_memory
 from rlink_rs_spark.streaming.sources import file_stream, kafka_source_options
 from rlink_rs_spark.tables import load_table
 
+_PROVIDER_PKG = "org.apache.spark.sql.execution.streaming.state"
+
+
+@pytest.fixture(
+    scope="module",
+    params=["HDFSBackedStateStoreProvider", "RocksDBStateStoreProvider"],
+    ids=["hdfs-store", "rocksdb-store"],
+    autouse=True,
+)
+def state_store_provider(request, spark):
+    """Run the whole streaming suite under BOTH state-store providers.
+    RocksDB is the 100 TB state path (state spills to native storage
+    instead of the JVM heap, SCALING.md); every checkpoint below is
+    created fresh per test invocation, so the provider -- which must not
+    change across restarts of one checkpoint -- is consistent within each
+    kill/resume pair."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, f"{_PROVIDER_PKG}.{request.param}")
+    yield request.param
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
 
 def _flagship_pipeline() -> Pipeline:
     return (
