@@ -43,6 +43,85 @@ def test_foreach_batch_bulk_sink(spark, sf_dir, tmp_path):
     assert {r["event_id"] for r in written} == set(range(expected))
 
 
+def test_foreach_batch_exactly_once_after_midbatch_crash(spark, sf_dir, tmp_path):
+    """The ES/ClickHouse exactly-once contract, executed: the bulk writer
+    crashes partway through an epoch AFTER some chunks were already sent
+    (the partial-failure window of elasticsearch_sink.rs's async bulk
+    channel), the query dies, and the resumed run re-delivers the SAME
+    epoch. With writes keyed idempotently on (epoch_id, chunk content) --
+    the documented contract -- the store converges to every row exactly
+    once, and the write log proves a redelivery actually happened (the
+    idempotence was load-bearing, not vacuous)."""
+    import glob
+    import hashlib
+    import json
+    import os
+
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+    from rlink_rs_spark.tables import load_table
+
+    store = str(tmp_path / "store")
+    log_path = str(tmp_path / "write_log")
+    marker = str(tmp_path / "crashed_once")
+    ck = str(tmp_path / "ck")
+    os.makedirs(store)
+    staged = stage_stream_dir(sf_dir, "events", chunks=5, order_col="ts")
+
+    def bulk_write(rows, epoch_id):
+        # idempotent upsert: the document id is (epoch, content digest) --
+        # a redelivered chunk overwrites itself, like ES _id or a
+        # ClickHouse ReplacingMergeTree key
+        key = hashlib.md5(
+            json.dumps(sorted(r["event_id"] for r in rows)).encode()
+        ).hexdigest()[:16]
+        with open(f"{log_path}.{os.getpid()}.{key}.{epoch_id}", "a") as f:
+            f.write("w\n")
+        with open(f"{store}/doc_{epoch_id}_{key}.json", "w") as f:
+            json.dump(rows, f)
+        if epoch_id >= 2 and not os.path.exists(marker):
+            # crash AFTER this chunk was durably written but BEFORE the
+            # epoch commits -- the partial-failure window
+            open(marker, "w").close()
+            raise RuntimeError("injected bulk-indexer failure")
+
+    def start():
+        src = stream_from_staged(spark, staged, sf_dir, "events", max_files_per_trigger=1).select(
+            "event_id", "user_id", "value"
+        )
+        return foreach_batch_sink(src, bulk_write, checkpoint=ck, max_batch_rows=200)
+
+    q = start()
+    try:
+        q.awaitTermination(240)
+    except Exception:
+        pass  # the injected failure surfaces as StreamingQueryException
+    if q.isActive:
+        q.stop()
+    assert os.path.exists(marker), "injected crash never fired"
+
+    q2 = start()
+    assert q2.awaitTermination(240), "resumed sink query timed out"
+
+    written = []
+    for p in glob.glob(f"{store}/*.json"):
+        written.extend(json.load(open(p)))
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    assert len(written) == n, "idempotent upsert must leave exactly one copy per row"
+    assert {r["event_id"] for r in written} == {
+        r.event_id for r in events.select("event_id").collect()
+    }
+    # at least one (epoch, chunk) write log has >= 2 entries or appears
+    # under a second invocation -- the redelivery the idempotence absorbed
+    log_counts = {}
+    for p in glob.glob(f"{log_path}.*"):
+        key = p.rsplit(".", 2)[-2] + "." + p.rsplit(".", 2)[-1]
+        log_counts[key] = log_counts.get(key, 0) + sum(1 for _ in open(p))
+    assert any(c >= 2 for c in log_counts.values()), (
+        f"no chunk was redelivered -- crash placement broken: {log_counts}"
+    )
+
+
 def test_loopback_stream_producer_and_seek(spark, sf_dir, tmp_path):
     """foreachBatch producer rebases offsets on the topic high-water mark
     across batches; timestamp seek returns exactly the suffix."""
