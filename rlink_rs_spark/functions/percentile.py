@@ -76,11 +76,26 @@ def histogram_percentile(
     """
     bucketed = df.select(*group_cols, bucket_column(value_col, scale).alias("__bucket"))
     counts = bucketed.groupBy(*group_cols, "__bucket").agg(F.count("*").alias("__c"))
+    return histogram_percentile_from_counts(counts, group_cols, percentiles)
 
+
+def histogram_percentile_from_counts(
+    counts: DataFrame,
+    group_cols: list[str],
+    percentiles: list[int],
+    bucket_col: str = "__bucket",
+    count_col: str = "__c",
+) -> DataFrame:
+    """Read-side decode from pre-aggregated (group, bucket, count) rows --
+    the top-down boundary walk of the reference's get_result
+    (mod.rs:171-210). Split out so the accumulate phase can run elsewhere
+    (e.g., incrementally in a streaming window: bucket counts are plain
+    sums, so the state store holds <=90 rows per (window, key) and this
+    decode runs on the emitted counts)."""
     w_grp = Window.partitionBy(*group_cols)
-    w_desc = w_grp.orderBy(F.col("__bucket").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    ranked = counts.withColumn("__scanned", F.sum("__c").over(w_desc)).withColumn(
-        "__n", F.sum("__c").over(w_grp)
+    w_desc = w_grp.orderBy(F.col(bucket_col).desc()).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = counts.withColumn("__scanned", F.sum(count_col).over(w_desc)).withColumn(
+        "__n", F.sum(count_col).over(w_grp)
     )
 
     aggs = []
@@ -91,7 +106,7 @@ def histogram_percentile(
             F.least(F.col("__n"), F.floor(F.col("__n") * F.lit((100 - p) / 100.0)).cast("long")),
         )
         aggs.append(
-            F.max(F.when(F.col("__scanned") >= target, F.col("__bucket"))).alias(f"pct_{p}")
+            F.max(F.when(F.col("__scanned") >= target, F.col(bucket_col))).alias(f"pct_{p}")
         )
     return ranked.groupBy(*group_cols).agg(*aggs)
 

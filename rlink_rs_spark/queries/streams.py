@@ -73,6 +73,72 @@ def streaming_flagship_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, shuffle_partitions=8)
 
 
+_PCT_WIN_MS = 3_600_000  # 1h tumbling, same as the batch pct query
+
+_STREAMING_PCT_SRC = f"""
+SELECT (epoch_ms(ts) // {_PCT_WIN_MS}) * {_PCT_WIN_MS} AS window_start,
+       (epoch_ms(ts) // {_PCT_WIN_MS}) * {_PCT_WIN_MS} + {_PCT_WIN_MS} AS window_end,
+       event_type, value
+FROM events
+WHERE (epoch_ms(ts) // {_PCT_WIN_MS}) * {_PCT_WIN_MS} + {_PCT_WIN_MS}
+      <= (SELECT epoch_ms(MAX(ts)) - {_DELAY_MS} FROM events)
+"""
+
+
+def _streaming_pct_oracle() -> str:
+    from rlink_rs_spark.functions.percentile import histogram_percentile_oracle_sql
+
+    return histogram_percentile_oracle_sql(
+        _STREAMING_PCT_SRC,
+        ["window_start", "window_end", "event_type"],
+        "value",
+        [99, 90],
+    )
+
+
+@register(
+    "streaming_pct_agg",
+    _streaming_pct_oracle(),
+    "The reference's in-window histogram percentile executed as Structured "
+    "Streaming (example-connect/src/app.rs:60-72 computes pct inside the "
+    "window reduce): bucket counts are plain sums, so the accumulate phase "
+    "runs fully incrementally in the state store (<=90 bucket rows per "
+    "(window, key)); append mode emits closed windows, and the top-down "
+    "boundary decode (get_result, percentile/mod.rs:171-210) runs on the "
+    "emitted counts. Oracle = batch percentile over watermark-closed 1h "
+    "windows.",
+)
+def streaming_pct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.functions.percentile import (
+        bucket_column,
+        histogram_percentile_from_counts,
+    )
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(spark, sf_dir, "events")
+    counts = (
+        src.withWatermark("ts", f"{_DELAY_MS // 1000} seconds")
+        .groupBy(
+            F.window("ts", f"{_PCT_WIN_MS // 1000} seconds"),
+            "event_type",
+            bucket_column("value").alias("__bucket"),
+        )
+        .agg(F.count("*").alias("__c"))
+        .select(
+            F.unix_millis("window.start").alias("window_start"),
+            F.unix_millis("window.end").alias("window_end"),
+            "event_type",
+            "__bucket",
+            "__c",
+        )
+    )
+    emitted = run_to_memory(counts, shuffle_partitions=8)
+    return histogram_percentile_from_counts(
+        emitted, ["window_start", "window_end", "event_type"], [99, 90]
+    )
+
+
 @register(
     "stream_stream_interval_join",
     """
