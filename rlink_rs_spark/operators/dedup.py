@@ -111,12 +111,31 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id", n_hashes: in
     return digests.groupBy(id_col).agg(*aggs)
 
 
+def _salt(col: Column, buckets: int) -> Column:
+    """Deterministic salt in [0, buckets): content-independent, stable
+    across partitionings (same property as the sampling/bucketing hashes)."""
+    return F.pmod(F.xxhash64(col), F.lit(buckets))
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", n_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Band the signature (bands x rows_per_band) and equi-join docs sharing
     any band -- the O(n^2) -> O(candidates) reduction that makes near-dup
-    feasible at 100 TB. Returns distinct (id_a, id_b), id_a < id_b."""
+    feasible at 100 TB. Returns distinct (id_a, id_b), id_a < id_b.
+
+    salt_buckets > 1 grid-blocks the self-join for hot band buckets (many
+    near-identical docs share one band signature, so that bucket's m^2 pair
+    generation otherwise lands in ONE task): each side gets a deterministic
+    id-salt and is replicated S ways, the join key grows to
+    (band, sig, cell_a, cell_b), and every pair is produced in exactly one
+    of the S^2 cells -- max task work drops m^2 -> (m/S)^2 at an S-fold
+    replication cost. Leave at 1 for uniform corpora; at 100 TB enable it
+    (or AQE skew-join) when bucket-size monitoring shows hot signatures."""
     rows = n_hashes // bands
     # Single scan: build all band signatures as an array of structs and
     # explode once (vs unionByName re-scanning `signatures` per band).
@@ -135,6 +154,27 @@ def lsh_candidate_pairs(
     banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
         id_col, "bs.band", "bs.sig"
     )
+    if salt_buckets > 1:
+        S = salt_buckets
+        grid = F.explode(F.expr(f"sequence(0, {S - 1})"))
+        a = banded.select(
+            F.col(id_col).alias("id_a"),
+            "band",
+            "sig",
+            _salt(F.col(id_col), S).alias("cell_a"),
+        ).withColumn("cell_b", grid)
+        b = banded.select(
+            F.col(id_col).alias("id_b"),
+            "band",
+            "sig",
+            _salt(F.col(id_col), S).alias("cell_b"),
+        ).withColumn("cell_a", grid)
+        return (
+            a.join(b, ["band", "sig", "cell_a", "cell_b"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -150,16 +190,43 @@ def lsh_candidate_pairs(
 
 
 def verify_jaccard(
-    candidates: DataFrame, shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.7
+    candidates: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs via per-doc shingle arrays;
     integer intersection/union counts, so the ratio is bit-identical across
-    engines. Returns (id_a, id_b, jaccard >= threshold)."""
+    engines. Returns (id_a, id_b, jaccard >= threshold).
+
+    salt_buckets > 1 salts each lookup join: a doc appearing in many
+    candidate pairs is a hot join key, so the candidate side is salted by
+    the OTHER pair member's id and the (one-row-per-doc) sets side is
+    replicated S ways -- the hot doc's pairs spread over S tasks."""
     sets = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    if salt_buckets > 1:
+        S = salt_buckets
+        rep = F.explode(F.expr(f"sequence(0, {S - 1})"))
+        a = sets.select(
+            F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+        ).withColumn("__salt_a", rep)
+        b = sets.select(
+            F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+        ).withColumn("__salt_b", rep)
+        salted = candidates.withColumn("__salt_a", _salt(F.col("id_b"), S)).withColumn(
+            "__salt_b", _salt(F.col("id_a"), S)
+        )
+        return (
+            salted.join(a, ["id_a", "__salt_a"])
+            .join(b, ["id_b", "__salt_b"])
+            .select("id_a", "id_b", (inter / union).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+        )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")

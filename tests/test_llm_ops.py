@@ -96,6 +96,58 @@ def test_ivf_kmeans_training_improves_codebook(spark, sf_dir):
     assert obj2 > obj1, f"iteration 2 did not improve the objective: {obj1} -> {obj2}"
 
 
+def test_salted_band_join_handles_hot_bucket(spark):
+    """Skewed fixture: half the corpus is one boilerplate text, so ALL of
+    those docs share every band signature -- the unsalted band self-join
+    puts that bucket's m^2 pair generation in one task. Grid-blocked
+    salting (salt_buckets=S) must (a) produce exactly the same candidate
+    pairs and (b) bound any one join cell to ~(m/S)^2 pairs."""
+    from rlink_rs_spark.operators.dedup import (
+        _salt,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_jaccard,
+        with_shingles,
+    )
+
+    hot = [(i, "the same boilerplate legal disclaimer text appears here verbatim")
+           for i in range(100)]
+    cold = [(100 + i, f"unique document number {i} with distinct words {i * 7} {i * 13}")
+            for i in range(100)]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    shingled = with_shingles(docs)
+    sigs = minhash_signatures(shingled)
+
+    S = 4
+    plain = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    salted = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, salt_buckets=S).collect()}
+    assert salted == plain and plain  # identical candidates, pairs exist
+
+    # mechanism: per-cell pair counts. The hot bucket holds m=100 docs; the
+    # biggest (band, sig, cell_a, cell_b) cell may hold at most
+    # ceil(m/S)^2 pairs vs the unsalted m*(m-1)/2 in ONE key.
+    m = 100
+    cell_sizes = (
+        docs.select("doc_id", _salt(F.col("doc_id"), S).alias("c"))
+        .where(F.col("doc_id") < m)
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    max_side = max(r["count"] for r in cell_sizes)
+    assert max_side < m  # the salt actually splits the hot bucket
+    assert max_side * max_side < m * (m - 1) / 2  # max cell work << unsalted hot key
+
+    # verify join: salted lookup must equal the plain one
+    cands = lsh_candidate_pairs(sigs)
+    v_plain = {(r.id_a, r.id_b) for r in verify_jaccard(cands, shingled, threshold=0.9).collect()}
+    v_salted = {
+        (r.id_a, r.id_b)
+        for r in verify_jaccard(cands, shingled, threshold=0.9, salt_buckets=S).collect()
+    }
+    assert v_salted == v_plain and v_plain  # the 100 identical docs all verify
+
+
 def test_embedding_near_dup_no_cartesian(spark, sf_dir):
     """Banded-LSH near-dup must be equi-join shaped, never all-pairs."""
     from rlink_rs_spark.queries import REGISTRY
