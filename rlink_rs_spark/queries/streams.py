@@ -348,6 +348,77 @@ def stream_join_then_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_three_stream_connect",
+    """
+    WITH s0 AS (SELECT user_id, value, ts FROM events WHERE event_type = 'click'),
+    s1 AS (SELECT user_id, value * 10 AS value, ts FROM events WHERE event_type = 'purchase'),
+    s2 AS (SELECT user_id, -value AS value, ts FROM events WHERE event_type = 'view'),
+    merged AS (
+      SELECT 0 AS source_idx, user_id, value, ts FROM s0
+      UNION ALL SELECT 1, user_id, value, ts FROM s1
+      UNION ALL SELECT 2, user_id, value, ts FROM s2
+    ),
+    agg AS (
+      SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start, source_idx,
+             COUNT(*) AS cnt,
+             SUM(CAST(ROUND(value * 100) AS BIGINT))/100.0 AS sum_value
+      FROM merged GROUP BY 1, 2
+    )
+    SELECT * FROM agg
+    WHERE window_start + 300000 <= (
+      SELECT LEAST((SELECT MAX(epoch_ms(ts)) FROM s0),
+                   (SELECT MAX(epoch_ms(ts)) FROM s1),
+                   (SELECT MAX(epoch_ms(ts)) FROM s2)) - 1000
+    )
+    """,
+    "THREE-input connect executed as one streaming job: a primary stream "
+    "plus two side streams, each with its own transform and watermark, "
+    "tagged with a source index (the reference dispatches N side-streams "
+    "by index, co_process_runnable.rs:84-108) and merged by N-ary "
+    "union_aligned into a downstream 5m windowed agg. The global watermark "
+    "is the MIN across all three sources; the oracle closes windows "
+    "against that min.",
+)
+def streaming_three_stream_connect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.joins import union_aligned
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    def side(event_type: str, idx: int, value_col):
+        return (
+            file_stream(spark, sf_dir, "events")
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.lit(idx).alias("source_idx"),
+                "user_id",
+                value_col.alias("value"),
+                "ts",
+            )
+            .withWatermark("ts", "1 second")
+        )
+
+    merged = union_aligned(
+        side("click", 0, F.col("value")),
+        side("purchase", 1, F.col("value") * 10),
+        side("view", 2, -F.col("value")),
+    )
+    agg = (
+        merged.groupBy(F.window("ts", "300 seconds"), "source_idx")
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis("window.start").alias("window_start"),
+            "source_idx",
+            "cnt",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, shuffle_partitions=8)
+
+
+@register(
     "streaming_dedup_events",
     """
     SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type, value
