@@ -262,6 +262,72 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- dedup clusters (connected components) -----------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: returns
+    (doc_id, cluster_id) for every doc appearing in a pair, cluster_id =
+    the minimum doc id in its component -- the canonicalization step a
+    dedup pipeline runs after pair generation (keep cluster_id, drop the
+    rest).
+
+    Iterative min-label propagation (hash-to-min): each round every node
+    takes the min of its own label and its neighbors' labels -- one
+    equi-join + one map-side-combined min-agg per round, converging in
+    O(component diameter) rounds (near-dup clusters are dense, so 2-3 in
+    practice). Convergence is detected by the strictly-decreasing label
+    sum (labels only ever decrease), one scalar agg per round -- no
+    driver-side data collection. At 100 TB: same dataflow per round;
+    for adversarial long-chain graphs swap in large-star/small-star
+    (alternating min-propagation that contracts paths in O(log n) rounds)
+    -- the per-round join shape is identical."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    # localCheckpoint (not cache) each round: caching truncates re-execution
+    # but the LOGICAL plan still nests one level per iteration and blows up
+    # analysis/toString past ~8 rounds; checkpointing cuts the lineage so
+    # every round starts from a flat scan. (On a cluster with executor loss
+    # concerns, use reliable checkpoint() to HDFS instead -- same shape.)
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_label", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:  # no label decreased -> fixpoint
+            break
+        prev_sum = new_sum
+    return labels
+
+
 # --- SimHash -----------------------------------------------------------------
 
 def simhash(shingled: DataFrame, id_col: str = "doc_id", n_bits: int = 32) -> DataFrame:

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from rlink_rs_spark.operators.dedup import (
+    connected_components,
     exact_dedup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -109,6 +110,68 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
     cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
     return verify_jaccard(cands, shingled, threshold=0.7)
+
+
+# the verified MinHash-LSH pair set, as reusable CTE text (identical to the
+# minhash_lsh_near_dup oracle, minus the jaccard output column)
+_MINHASH_PAIRS_CTES = f"""
+shingled AS ({_SHINGLED_SQL}),
+sigs AS (SELECT doc_id, {_MINHASH_AGGS_SQL} FROM shingled GROUP BY doc_id),
+banded AS ({_BAND_SELECTS_SQL}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingled GROUP BY doc_id),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cands JOIN sets sa ON sa.doc_id = id_a
+             JOIN sets sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.sh, sb.sh)) /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.7
+)"""
+
+
+@register(
+    "near_dup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id,
+           src = LEAST(src, MIN(dst)) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+    "Dedup canonicalization: connected components over the verified "
+    "MinHash-LSH near-dup pairs (min-label propagation, one equi-join + "
+    "min-agg per round, O(cluster diameter) rounds), cluster_id = min doc "
+    "id of the component -- keep is_canonical rows, drop the rest. The "
+    "oracle computes the same components via a recursive reachability "
+    "CTE.",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = with_shingles(docs)
+    sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
+    cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    pairs = verify_jaccard(cands, shingled, threshold=0.7).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
 
 
 @register(

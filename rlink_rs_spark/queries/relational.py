@@ -196,6 +196,38 @@ def q5_star_join_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    """
+    SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))/10000.0 AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: pure scan-filter-aggregate with every predicate pushed "
+    "to the parquet scan -- the canonical predicate-pushdown witness (zero "
+    "joins, one map-side-combined global agg; at 100 TB the scan cost IS "
+    "the query cost, so pushdown + column pruning decide everything).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = F.col("l_extendedprice") * F.col("l_discount")
+    return filtered.agg(
+        (F.sum(F.round(revenue * 10000).cast("long")) / 10000.0).alias("revenue"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
     "streaming_enrichment_join",
     f"""
     SELECT n.n_name AS nation, {SUM_EXACT_SQL.format(col='e.value')} AS sum_value,

@@ -96,6 +96,26 @@ def test_ivf_kmeans_training_improves_codebook(spark, sf_dir):
     assert obj2 > obj1, f"iteration 2 did not improve the objective: {obj1} -> {obj2}"
 
 
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation must find true components on the worst case
+    for propagation (a long path graph -- needs diameter rounds) and on
+    disjoint cliques, with cluster_id = min member id."""
+    from rlink_rs_spark.operators.dedup import connected_components
+
+    # path 0-1-2-...-9 (diameter 9), clique {20,21,22}, pair {30,31}
+    chain = [(i, i + 1) for i in range(9)]
+    clique = [(20, 21), (20, 22), (21, 22)]
+    pair = [(30, 31)]
+    pairs = spark.createDataFrame(chain + clique + pair, "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    want = (
+        {(i, 0) for i in range(10)}
+        | {(i, 20) for i in (20, 21, 22)}
+        | {(30, 30), (31, 30)}
+    )
+    assert got == want
+
+
 def test_salted_band_join_handles_hot_bucket(spark):
     """Skewed fixture: half the corpus is one boilerplate text, so ALL of
     those docs share every band signature -- the unsalted band self-join
