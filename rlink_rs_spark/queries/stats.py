@@ -122,6 +122,26 @@ def exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_users",
+    None,  # HLL sketch values are engine-specific; pytest bounds the error
+    "Approximate distinct users per event_type via HyperLogLog++ "
+    "(approx_count_distinct, rsd 2%) next to the exact COUNT(DISTINCT) "
+    "shape: the sketch is fixed-size per group and merges by register-max, "
+    "so the shuffle carries ~1.5KB per (key) instead of every distinct "
+    "value -- the 100 TB cardinality-profiling path. No SQL oracle (the "
+    "sketch estimate is engine-specific by construction); a pytest witness "
+    "bounds the relative error vs exact and pins partition-layout "
+    "invariance (register merge is order-independent).",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
     "value_histogram",
     """
     SELECT event_type, CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,

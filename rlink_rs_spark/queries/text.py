@@ -251,6 +251,41 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample_docs",
+    """
+    WITH rates(lang, pct) AS (VALUES ('en', 60), ('zh', 30)),
+    assigned AS (
+      SELECT d.doc_id, d.lang,
+             ('0x' || substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)), 9, 8))::BIGINT % 100 AS bucket,
+             COALESCE(r.pct, 10) AS pct
+      FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+    )
+    SELECT doc_id, lang FROM assigned WHERE bucket < pct
+    """,
+    "Stratified sampling with per-stratum rates (en 60%, zh 30%, default "
+    "10%) -- the data-mixing primitive for training corpora: rates live in "
+    "a broadcast dimension (at 100 TB a config table, not a literal CASE), "
+    "the fact side takes a map-side hash-bucket filter with zero shuffle, "
+    "and the draw is reproducible across runs, engines, and partitionings "
+    "(salted md5 of the id, like hash_sample_docs).",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame([("en", 60), ("zh", 30)], "lang string, pct int")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 9, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    return (
+        docs.join(F.broadcast(rates), "lang", "left")
+        .withColumn("pct", F.coalesce("pct", F.lit(10)))
+        .where(bucket < F.col("pct"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "multimodal_binary_features",
     """
     SELECT doc_id,

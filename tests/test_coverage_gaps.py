@@ -212,6 +212,38 @@ def test_plan_hygiene_no_unplanned_cartesians(spark, sf_dir):
     assert len(rows) >= 35  # the batch surface stays audited
 
 
+def test_approx_distinct_error_bound_and_partition_invariance(spark, sf_dir):
+    """HLL++ estimate must sit within 3x the configured rsd of the exact
+    distinct count, and be identical under a different partition layout
+    (register max-merge is order-independent -- a reproducibility
+    requirement the seeded-sample path can't give)."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.06 * n), (k, approx[k], n)
+
+    shuffled = {
+        r.event_type: r.approx_users
+        for r in events.repartition(17, "user_id")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    assert shuffled == approx
+
+
 def test_stats_var_null_on_singleton_group(spark):
     """A group with exactly one row must yield NULL variance/stddev, not a
     DIVIDE_BY_ZERO crash under ANSI mode (n - 1 == 0)."""
