@@ -196,6 +196,37 @@ def q5_star_join_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transition_matrix",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS cnt
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    "Per-user event-transition (Markov) matrix: LEAD over (ts, event_id) "
+    "within each user, counted per (from, to) pair -- the funnel/sequence "
+    "primitive. One shuffle on user_id for the window (per-user sort only), "
+    "then a map-side-combined count over <= |types|^2 groups.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
     "q6_forecast_revenue",
     """
     SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))/10000.0 AS revenue,

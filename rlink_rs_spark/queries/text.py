@@ -251,6 +251,58 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_top_terms",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM toks WHERE token <> '' GROUP BY token)
+    SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 100
+    """,
+    "Vocabulary building: global token frequencies, top 100 by count with "
+    "deterministic tie-break -- the tokenizer-training prerequisite. "
+    "Explode is map-side, the count combines partially before one shuffle "
+    "over distinct tokens, and the final top-k is TakeOrdered (per-"
+    "partition heaps merged on the driver, never a global sort of the "
+    "vocabulary).",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "redact_numbers_props",
+    """
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+           props <> regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS changed
+    FROM events
+    """,
+    "PII-style redaction pass: replace every digit run in the payload with "
+    "a placeholder (the scrubbing shape for emails/phones/ids in a real "
+    "corpus -- same regexp_replace dataflow, different patterns). Pure "
+    "map-side JVM regex, no shuffle; Spark replaces globally by default, "
+    "the oracle passes the 'g' flag for identical semantics.",
+)
+def redact_numbers_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    redacted = F.regexp_replace("props", "[0-9]+", "<NUM>")
+    return events.select(
+        "event_id",
+        redacted.alias("redacted"),
+        (F.col("props") != redacted).alias("changed"),
+    )
+
+
+@register(
     "stratified_sample_docs",
     """
     WITH rates(lang, pct) AS (VALUES ('en', 60), ('zh', 30)),

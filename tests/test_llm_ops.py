@@ -116,6 +116,43 @@ def test_connected_components_chain_and_cliques(spark):
     assert got == want
 
 
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random graphs: the DataFrame min-label propagation must equal
+    a reference union-find on every one (components, canonical = min id)."""
+    import random
+
+    from rlink_rs_spark.operators.dedup import connected_components
+
+    def union_find_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n_nodes, n_edges = rng.choice([(12, 8), (30, 25), (50, 30), (40, 80)])
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        pairs = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+        got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+        want = set(union_find_labels(edges).items())
+        assert got == want, f"trial {trial}: mismatch"
+
+
 def test_salted_band_join_handles_hot_bucket(spark):
     """Skewed fixture: half the corpus is one boilerplate text, so ALL of
     those docs share every band signature -- the unsalted band self-join
