@@ -198,3 +198,26 @@ def test_edge_strings_text_ops_parity(spark, edge_tables):
         f"SELECT DISTINCT doc_id, unnest({shingles_sql(3)}) AS shingle FROM documents"
     ).fetchall()
     _compare(s_rows, d_rows)
+
+    # digit-run redaction (Spark global default vs DuckDB 'g' flag)
+    s_rows = df.select(
+        "doc_id", F.regexp_replace("text", "[0-9]+", "<NUM>").alias("r")
+    ).collect()
+    d_rows = con.sql(
+        "SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS r FROM documents"
+    ).fetchall()
+    _compare(s_rows, d_rows)
+
+    # vocabulary token counts (explode/unnest + empty-token filter parity)
+    s_rows = (
+        df.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .count()
+        .collect()
+    )
+    d_rows = con.sql(
+        "SELECT token, COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) AS token "
+        "FROM documents) WHERE token <> '' GROUP BY token"
+    ).fetchall()
+    _compare(s_rows, d_rows)
