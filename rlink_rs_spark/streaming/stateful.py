@@ -96,6 +96,71 @@ def threshold_alerts(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
     )
 
 
+def threshold_alerts_tws(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
+    """threshold_alerts on Spark 4's transformWithStateInPandas -- the
+    successor API to applyInPandasWithState (typed state handles, timers,
+    multiple state variables; requires the RocksDB state-store provider).
+    Same fold, same output schema, so the batch oracle and the
+    applyInPandasWithState twin pin its semantics. Kept alongside the
+    older API: the reference's stateful traits map to either, and a user
+    migrating Spark versions needs both shapes to exist.
+
+    Environment note: executing this operator needs the `protobuf` package
+    (the TWS state-server protocol); in containers without it the query
+    fails at stream start with STREAMING_PYTHON_RUNNER_INITIALIZATION
+    (plan construction still works -- tested either way; the execution
+    parity test runs wherever protobuf is installed)."""
+    import numpy as np
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    thr_cents = int(round(threshold * 100))
+
+    class AlertProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", ALERT_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            prior = self._acc.get() if self._acc.exists() else (0.0, 0)
+            total, alerts = prior
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if len(pdf) == 0:
+                return
+            sort_cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+            pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+            cents = np.rint(pdf["value"].to_numpy(dtype="float64") * 100).astype("int64")
+            ts_ms = pdf["ts"].astype("int64").to_numpy() // 1_000_000
+            emits, total_c, alerts = fold_alert_cents(
+                cents, int(round(total * 100)), alerts, thr_cents
+            )
+            self._acc.update((total_c / 100.0, alerts))
+            if emits:
+                yield pd.DataFrame(
+                    [(user_id, s, c / 100.0, int(ts_ms[i])) for i, s, c in emits],
+                    columns=["user_id", "alert_seq", "running_total", "ts_ms"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    cols = ["user_id", "ts", "value"] + (
+        ["event_id"] if "event_id" in events.columns else []
+    )
+    return (
+        events.select(*cols)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=AlertProcessor(),
+            outputStructType=ALERT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
 def threshold_alerts_batch_oracle(events: DataFrame, threshold: float = 1000.0) -> DataFrame:
     """Batch twin of threshold_alerts for parity tests: cumulative sum in
     event-time order, alert when floor(cum/threshold) increases."""

@@ -139,6 +139,42 @@ def test_stateful_threshold_alerts_matches_batch(spark, sf_dir):
     assert got == want and got
 
 
+def test_transform_with_state_matches_batch(spark, sf_dir, state_store_provider):
+    """threshold_alerts on the Spark-4 transformWithStateInPandas API:
+    construction + output schema always verified; execution parity vs the
+    batch oracle runs where the API's protobuf dependency is installed
+    (absent in this container -- the documented seam, like the Kafka jar).
+    Requires RocksDB, so the HDFS-backed parametrization skips."""
+    if state_store_provider != "RocksDBStateStoreProvider":
+        pytest.skip("transformWithState requires the RocksDB state store")
+    from rlink_rs_spark.streaming.stateful import (
+        ALERT_SCHEMA,
+        threshold_alerts_batch_oracle,
+        threshold_alerts_tws,
+    )
+
+    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    tws = threshold_alerts_tws(src, threshold=1000.0)
+    assert tws.isStreaming
+    from pyspark.sql.types import _parse_datatype_string
+
+    assert tws.schema == _parse_datatype_string(ALERT_SCHEMA)
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState execution needs protobuf (absent in container)")
+
+    events = load_table(spark, sf_dir, "events")
+    streamed = run_to_memory(tws, output_mode="append")
+    got = {(r.user_id, r.alert_seq) for r in streamed.collect()}
+    want = {
+        (r.user_id, r.alert_seq)
+        for r in threshold_alerts_batch_oracle(events, threshold=1000.0).collect()
+    }
+    assert got == want and got
+
+
 def test_interval_join_chunked_replay_matches_batch(spark, sf_dir):
     """Stream-stream interval join under chunked ordered replay must equal
     the batch interval join: state retention derived from the range bound
