@@ -175,6 +175,50 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_list",
+    f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    drop_ids AS (
+      SELECT src AS doc_id FROM reach GROUP BY src
+      HAVING src <> LEAST(src, MIN(dst))
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.doc_id = d.doc_id)
+    """,
+    "The finished dedup pipeline output: every document except non-"
+    "canonical near-dup cluster members (MinHash-LSH pairs -> connected "
+    "components -> keep the min-id representative). One LeftAnti join of "
+    "the corpus against the small drop set -- at 100 TB the drop list "
+    "broadcasts and the corpus never shuffles.",
+    bench=False,  # re-runs the CC iterations; near_dup_clusters already benches them
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = with_shingles(docs)
+    sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
+    cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    pairs = verify_jaccard(cands, shingled, threshold=0.7).select("id_a", "id_b")
+    drop = (
+        connected_components(pairs)
+        .where(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "lang")
+
+
+@register(
     "simhash_near_dup",
     f"""
     WITH shingled AS ({_SHINGLED_SQL}),

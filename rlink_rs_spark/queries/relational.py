@@ -152,8 +152,8 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n    ON c.c_nationkey = n.n_nationkey
     JOIN region r    ON n.n_regionkey = r.r_regionkey
     WHERE r.r_name = 'ASIA'
-      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n.n_name
     """,
     "TPC-H Q5 shape: star join over the full schema -- region filter prunes "
@@ -164,7 +164,7 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_star_join_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1995-01-01")
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
@@ -192,6 +192,79 @@ def q5_star_join_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.round(revenue * 10000).cast("long")) / 10000.0).alias("revenue"),
             F.count("*").alias("cnt"),
         )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))/10000.0 AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20
+    """,
+    "TPC-H Q10 shape: returned-item revenue per customer, top 20 with "
+    "deterministic tie-break. Return flag + date filters pushed to both "
+    "fact scans; customer/nation broadcast; final top-k is TakeOrdered, "
+    "never a global sort.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(F.round(revenue * 10000).cast("long")) / 10000.0).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+               THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+               ELSE 0 END)/10000.0 AS promo_revenue,
+           SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))/10000.0 AS total_revenue,
+           COUNT(*) AS cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    "TPC-H Q14 shape: conditional aggregation (promo vs total revenue) over "
+    "a fact-dim join -- date filter pushed to the lineitem scan, part "
+    "broadcast, single global agg with map-side combine.",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    promo = F.when(F.col("p_type").like("PROMO%"), cents).otherwise(F.lit(0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        (F.sum(promo) / 10000.0).alias("promo_revenue"),
+        (F.sum(cents) / 10000.0).alias("total_revenue"),
+        F.count("*").alias("cnt"),
     )
 
 
