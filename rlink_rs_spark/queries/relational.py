@@ -52,6 +52,46 @@ def flat_map_filter_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rlink_rs_spark.sources.python_datasource import synth_oracle_sql  # noqa: E402
+
+_PYDS_ROWS, _PYDS_PARTS = 100, 4
+
+
+@register(
+    "python_datasource_scan",
+    f"""
+    WITH scan AS ({synth_oracle_sql(_PYDS_ROWS, _PYDS_PARTS)})
+    SELECT part, COUNT(*) AS cnt,
+           SUM(CAST(ROUND(value * 100) AS BIGINT))/100.0 AS sum_value,
+           MIN(event_id) AS first_id, MAX(event_id) AS last_id
+    FROM scan GROUP BY part
+    """,
+    "A full custom-source scan through Spark 4's Python DataSource API -- "
+    "the reference's InputFormat/InputSplit contract natively "
+    "(create_input_splits -> partitions(), read_record -> read(split); "
+    "sources/python_datasource.py): 4 splits read in parallel by Arrow-"
+    "batched Python workers, aggregated downstream. The generator is "
+    "deterministic arithmetic, so the oracle reproduces the scan with "
+    "range().",
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.sources.python_datasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    scan = (
+        spark.read.format("synthetic_events")
+        .option("rowsPerPartition", _PYDS_ROWS)
+        .option("numPartitions", _PYDS_PARTS)
+        .load()
+    )
+    return scan.groupBy("part").agg(
+        F.count("*").alias("cnt"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+
+
 # --- connect analogues ------------------------------------------------------
 
 @register(

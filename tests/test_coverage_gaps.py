@@ -212,6 +212,44 @@ def test_plan_hygiene_no_unplanned_cartesians(spark, sf_dir):
     assert len(rows) >= 35  # the batch surface stays audited
 
 
+def test_python_datasource_splits_and_stream(spark):
+    """The custom Python DataSource must honor the split contract (one
+    task per partitions() entry) and its streaming face must advance
+    offsets in contiguous, replayable micro-batches."""
+    from rlink_rs_spark.sources.python_datasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rowsPerPartition", 25)
+        .option("numPartitions", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # splits = partitions() entries
+    assert df.count() == 100
+    assert {r.part for r in df.select("part").distinct().collect()} == {0, 1, 2, 3}
+
+    import uuid
+
+    src = spark.readStream.format("synthetic_events").option("batchRows", 40).load()
+    name = f"synth_{uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline and len(q.recentProgress) < 3:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    ids = sorted(r.event_id for r in spark.table(name).collect())
+    assert len(ids) >= 80 and len(ids) % 40 == 0
+    assert ids == list(range(len(ids)))  # contiguous: offsets never skip or repeat
+
+
 def test_approx_distinct_error_bound_and_partition_invariance(spark, sf_dir):
     """HLL++ estimate must sit within 3x the configured rsd of the exact
     distinct count, and be identical under a different partition layout
