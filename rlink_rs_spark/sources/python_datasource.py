@@ -27,8 +27,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SYNTH_SCHEMA = "event_id bigint, part int, value double"
@@ -79,6 +81,60 @@ class SyntheticStreamReader(SimpleDataSourceStreamReader):
         return iter([synth_row(i, 0) for i in range(start["index"], end["index"])])
 
 
+class JsonChunkCommit(WriterCommitMessage):
+    """One per successful task: the temp file it produced + row count."""
+
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonChunkWriter(DataSourceWriter):
+    """OutputFormat parity on the writer face of the extension point
+    (ElasticsearchOutputFormat / ClickhouseSink shape, SURVEY §2.1): each
+    task streams its partition to a UNIQUELY-NAMED temp file and returns
+    a commit message; commit() publishes exactly the acknowledged files
+    (task retries leave orphaned temps that never get published -- the
+    two-phase visibility rule real file/bulk sinks follow); abort() is
+    the cleanup hook."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_chunks sink requires option('path', ...)")
+
+    def write(self, iterator) -> JsonChunkCommit:
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f"_tmp_part{part}_{uuid.uuid4().hex[:12]}.json")
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return JsonChunkCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            final = m.path.replace("_tmp_", "part_", 1)
+            os.rename(m.path, final)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -92,6 +148,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> DataSourceStreamReader:
         return SyntheticStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return JsonChunkWriter(self.options)
 
 
 def register_synthetic_source(spark) -> None:

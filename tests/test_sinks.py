@@ -165,6 +165,31 @@ def test_loopback_stream_producer_and_seek(spark, sf_dir, tmp_path):
     assert got.count() == expected
 
 
+def test_python_datasource_writer_two_phase_commit(spark, sf_dir, tmp_path):
+    """The DataSourceWriter face: per-task temp files are published only
+    at commit() (no _tmp_ files remain, every row lands exactly once),
+    and row content round-trips."""
+    import glob
+    import json
+
+    from rlink_rs_spark.sources.python_datasource import register_synthetic_source
+    from rlink_rs_spark.tables import load_table
+
+    register_synthetic_source(spark)
+    out = str(tmp_path / "chunks")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    events.repartition(4).write.format("synthetic_events").option("path", out).mode(
+        "append"
+    ).save()
+
+    assert not glob.glob(f"{out}/_tmp_*"), "uncommitted temp files leaked"
+    files = glob.glob(f"{out}/part_*")
+    assert len(files) >= 1
+    rows = [json.loads(line) for p in files for line in open(p)]
+    assert len(rows) == events.count()
+    assert {r["event_id"] for r in rows} == {r.event_id for r in events.collect()}
+
+
 def test_kafka_sink_options():
     assert kafka_sink_options("out", "b:9092") == {
         "kafka.bootstrap.servers": "b:9092",
