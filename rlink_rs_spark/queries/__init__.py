@@ -15,5 +15,6 @@ from rlink_rs_spark.queries import dedup  # noqa: E402,F401
 from rlink_rs_spark.queries import similarity  # noqa: E402,F401
 from rlink_rs_spark.queries import text  # noqa: E402,F401
 from rlink_rs_spark.queries import stats  # noqa: E402,F401
+from rlink_rs_spark.queries import tpch  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query"]
