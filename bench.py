@@ -40,17 +40,21 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(result)
+    # The driver captures a bounded stdout tail; with 78 queries the single
+    # JSON line can outgrow it (BENCH_r03.json lost its head that way). Write
+    # the full artifact to a file too, so the numbers always survive.
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json")
+    with open(out, "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

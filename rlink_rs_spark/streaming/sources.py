@@ -93,6 +93,10 @@ def stream_from_staged(
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Match the batch loader: no-timezone parquet timestamps read as
+    # TimestampType (session pinned UTC), never TIMESTAMP_NTZ -- the
+    # captured schema below drives the streaming scan too.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     raw_schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger:

@@ -54,6 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the DuckDB oracle interprets naive timestamps as UTC.
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Spark 4.1 infers parquet timestamp-without-timezone as TIMESTAMP_NTZ,
+    # which unix_millis()/withWatermark() reject. With the session pinned to
+    # UTC the instant is identical either way, so read as TimestampType.
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)

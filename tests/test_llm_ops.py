@@ -116,6 +116,23 @@ def test_connected_components_chain_and_cliques(spark):
     assert got == want
 
 
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """Adversarial path graph (VERDICT r3 item 5): 500 nodes in a single
+    chain has diameter 499 -- plain min-propagation needs ~499 rounds and
+    would exhaust max_iters=50. Pointer doubling must close it in
+    O(log n) rounds with the correct single component."""
+    from rlink_rs_spark.operators.dedup import connected_components
+
+    n = 500
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == {(i, 0) for i in range(n)}
+    rounds = connected_components.last_rounds
+    assert rounds <= 16, f"expected O(log n) convergence, took {rounds} rounds"
+
+
 def test_connected_components_random_graphs_vs_union_find(spark):
     """Seeded random graphs: the DataFrame min-label propagation must equal
     a reference union-find on every one (components, canonical = min id)."""
@@ -203,6 +220,58 @@ def test_salted_band_join_handles_hot_bucket(spark):
         for r in verify_jaccard(cands, shingled, threshold=0.9, salt_buckets=S).collect()
     }
     assert v_salted == v_plain and v_plain  # the 100 identical docs all verify
+
+
+def test_auto_salt_heuristic(spark):
+    """salt_buckets="auto" (VERDICT r3 item 6): the skew guard must keep the
+    unsalted plan for uniform corpora (hottest bucket under threshold -> S=1,
+    PLANS.md rows unchanged) and pick S>1 on a hot bucket above it, with
+    identical candidate pairs either way."""
+    from rlink_rs_spark.operators.dedup import (
+        auto_salt_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        with_shingles,
+    )
+
+    hot = [(i, "the same boilerplate legal disclaimer text appears here verbatim")
+           for i in range(100)]
+    cold = [(100 + i, f"unique document number {i} with distinct words {i * 7} {i * 13}")
+            for i in range(100)]
+    docs = spark.createDataFrame(hot + cold, "doc_id long, text string")
+    sigs = minhash_signatures(with_shingles(docs))
+
+    # uniform threshold: hottest bucket (100 docs) is under the default 1024
+    plain = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, salt_buckets="auto").collect()}
+    assert lsh_candidate_pairs.last_salt_buckets == 1
+
+    # a task-sized threshold below the hot bucket must trigger salting; call
+    # the helper directly with a low threshold to avoid building a 2000-doc
+    # fixture -- the decision rule, not the corpus size, is under test
+    from pyspark.sql import functions as FF
+
+    banded = sigs.select(
+        "doc_id",
+        FF.explode(
+            FF.array(
+                *[
+                    FF.struct(
+                        FF.lit(b).alias("band"),
+                        FF.concat_ws(
+                            ",", *[FF.col(f"h{b * 4 + r}").cast("string") for r in range(4)]
+                        ).alias("sig"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    s = auto_salt_buckets(banded, hot_threshold=50, target_cell=25)
+    assert s > 1
+
+    # and salted output at that S matches the unsalted candidates exactly
+    salted = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, salt_buckets=s).collect()}
+    assert salted == plain and plain
 
 
 def test_embedding_near_dup_no_cartesian(spark, sf_dir):
