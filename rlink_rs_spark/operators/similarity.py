@@ -342,6 +342,72 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def cosine_topk_gemm(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production-form cosine top-k: the Arrow-batched GEMM path that
+    SCALING.md prescribes for real dimensionality, where the bit-parity sum
+    chains (an oracle-determinism contract, not a deployment choice) give
+    way to one numpy float64 matrix multiply per Arrow batch.
+
+    The query set (small by the top-k contract) is collected once, row-
+    normalized into a (q x d) matrix, and shipped in the UDF closure -- the
+    same role a broadcast variable plays. Each Arrow batch of corpus
+    vectors then does a single (n x d)(d x q) GEMM and keeps only its
+    per-batch top-k rows per query (argpartition, no sort of the batch), so
+    the Python stage emits at most batches*q*k rows; a final per-query
+    rank window over that small candidate set picks the global top-k.
+    At 100 TB: map-side GEMM + bounded emission, one tiny final shuffle on
+    query_id; the corpus never leaves the executors.
+
+    Scores differ from the chain/oracle variants only by float summation
+    order (~1e-15); use the chain variants when bit-equality to an external
+    engine matters."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def gemm_topk(batches):
+        for pdf in batches:
+            ids = pdf["nid"].to_numpy(dtype=np.int64)
+            vm = np.array(list(pdf["v"]), dtype=np.float64)
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            scores = vm @ qm.T  # (n x q)
+            # per-batch, per-query top-k (exclude self-matches) without
+            # sorting the whole batch
+            for j, qid in enumerate(q_ids):
+                col = scores[:, j]
+                mask = ids != qid
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                kk = min(k, cand_idx.size)
+                top = cand_idx[np.argpartition(-col[cand_idx], kk - 1)[:kk]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(kk, qid, dtype=np.int64),
+                        "neighbor_id": ids[top],
+                        "cosine": col[top],
+                    }
+                )
+
+    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+    partial = v.mapInPandas(gemm_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return partial.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

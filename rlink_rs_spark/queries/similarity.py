@@ -249,6 +249,25 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cosine_topk_gemm",
+    None,  # rows-only gate: float64 GEMM sums in a different order than the
+    # bit-parity chains the SQL oracle mirrors (~1e-15 score drift); pytest
+    # pins id/rank equality + 1e-9 score closeness against the brute oracle
+    "Production-form cosine top-5: Arrow-batched numpy GEMM per corpus "
+    "batch against the (broadcast) normalized query matrix, per-batch "
+    "argpartition top-k so the Python stage emits batches*q*k rows, final "
+    "rank window on the small candidate set. The deployment fast path "
+    "next to the chain-based oracle twins.",
+)
+def cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return sim_ops.cosine_topk_gemm(emb, queries, dims=_DIMS, k=_K).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+@register(
     "cosine_topk_lsh",
     _LSH_ORACLE,
     "ANN top-5 via random-hyperplane LSH (8 md5-derived +-1 planes): "

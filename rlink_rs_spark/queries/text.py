@@ -360,3 +360,88 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(blob).alias("content_hash"),
         F.substring("text", 1, 16).alias("header_preview"),
     )
+
+
+_PIPE_QUALITY_MIN = 0.5
+
+_PIPE_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id, lang,
+         md5(lower(trim(text))) AS fp,
+         len({_TOK_DUCK}) AS nt,
+         length(text) AS nc,
+         len(list_filter({_TOK_DUCK}, t -> t IN ({{stop_in}}))) AS sc,
+         len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe
+  FROM documents
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM staged
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT *, {{quality}} AS quality FROM kept
+),
+split_assigned AS (
+  SELECT lang, n_bpe,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 100 AS bucket
+  FROM scored WHERE quality >= {_PIPE_QUALITY_MIN}
+)
+SELECT lang,
+       CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens
+FROM split_assigned
+GROUP BY lang, split
+""".format(
+    stop_in=_in_list_sql(STOPWORDS),
+    quality=quality_score_sql("nt", "nc", "sc"),
+)
+
+
+@register(
+    "corpus_prep_pipeline",
+    _PIPE_ORACLE,
+    "End-to-end corpus preparation in ONE dataflow: exact dedup (md5 "
+    "fingerprint, min-id winner) -> quality filter (banded heuristic >= "
+    f"{_PIPE_QUALITY_MIN}) -> deterministic 90/5/5 split assignment -> "
+    "per-(lang, split) manifest with doc and BPE-token totals. The "
+    "composition a training-data pipeline actually runs, showing the "
+    "pieces compose in one plan: all per-doc metrics in a single map-side "
+    "projection, dedup as ONE map-side-combined min(struct) shuffle (never "
+    "a per-key sort window), split assignment map-side, final 10-group agg.",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop_in = _in_list_sql(STOPWORDS)
+    norm = F.lower(F.trim(F.col("text")))
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(norm.cast("binary")).alias("fp"),
+        F.size(F.split("text", " ")).alias("nt"),
+        F.length("text").alias("nc"),
+        F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_in})))").alias("sc"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)")).alias("n_bpe"),
+    )
+    # exact dedup keeping the min-doc_id row and its metrics in one agg:
+    # min(struct) compares doc_id first (unique), so the winner is
+    # deterministic and the shuffle gets a map-side partial combine
+    kept = (
+        staged.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "lang", "nt", "nc", "sc", "n_bpe")).alias("m"))
+        .select("m.doc_id", "m.lang", "m.nt", "m.nc", "m.sc", "m.n_bpe")
+    )
+    scored = kept.withColumn("quality", F.expr(quality_score_sql("nt", "nc", "sc")))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 9, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    split = F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    return (
+        scored.where(F.col("quality") >= _PIPE_QUALITY_MIN)
+        .select("lang", split.alias("split"), "n_bpe")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_bpe").alias("total_bpe_tokens"))
+    )

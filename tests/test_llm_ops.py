@@ -96,6 +96,27 @@ def test_ivf_kmeans_training_improves_codebook(spark, sf_dir):
     assert obj2 > obj1, f"iteration 2 did not improve the objective: {obj1} -> {obj2}"
 
 
+def test_gemm_topk_matches_bruteforce(spark, sf_dir):
+    """The Arrow-batched GEMM fast path must produce the same neighbor ids
+    and ranks as the chain-based exact brute force, with scores equal to
+    float-reassociation tolerance (the only permitted difference)."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in REGISTRY["cosine_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    gemm = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in REGISTRY["cosine_topk_gemm"].fn(spark, sf_dir).collect()
+    }
+    assert gemm.keys() == exact.keys()
+    for key, (nid, cos) in exact.items():
+        g_nid, g_cos = gemm[key]
+        assert g_nid == nid, f"{key}: neighbor {g_nid} != {nid}"
+        assert abs(g_cos - cos) < 1e-9, f"{key}: score drift {g_cos} vs {cos}"
+
+
 def test_connected_components_chain_and_cliques(spark):
     """Min-label propagation must find true components on the worst case
     for propagation (a long path graph -- needs diameter rounds) and on
