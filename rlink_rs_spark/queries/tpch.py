@@ -362,3 +362,117 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    WITH shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    bad_supp AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT sh.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM shipped sh JOIN part p ON p.p_partkey = sh.l_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 9, 15, 23, 36, 49)
+      AND sh.l_suppkey NOT IN (SELECT s_suppkey FROM bad_supp)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "TPC-H Q16 shape: distinct supplier counts per (brand, type, size) with "
+    "a NOT IN supplier exclusion (negative acctbal stands in for the absent "
+    "complaints predicate; shipped pairs stand in for partsupp). Scale: "
+    "the exclusion list is tiny -> broadcast left-anti; distinct pairs are "
+    "a map-side-combinable agg; part filter broadcasts.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shipped = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 9, 15, 23, 36, 49))
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        shipped.join(F.broadcast(bad), shipped.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_bracket_revenue",
+    f"""
+    SELECT {REV_SQL.format(col='l.l_extendedprice', disc='l.l_discount')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19 shape: disjunctive bracket predicates spanning both join "
+    "sides (brand x size x quantity OR-brackets; shipmode/container columns "
+    "absent). Scale: the join stays a broadcast equi-join on partkey with "
+    "the OR residual evaluated post-join -- never a cartesian; integer-cents "
+    "revenue is bit-exact.",
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
+    )
+    return joined.where(bracket).agg(_revenue_exact("revenue"))
+
+
+@register(
+    "q22_dormant_customers",
+    """
+    WITH bal AS (
+      SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS tot, COUNT(*) AS cnt
+      FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))/100.0 AS totacctbal
+    FROM customer c, bal
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * bal.cnt > bal.tot
+      AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H Q22 shape: above-average-balance customers with no recent orders "
+    "(no 2000+ order stands in for no-order-at-all, which is vacuous on the "
+    "fixture; mktsegment stands in for the phone country code). The "
+    "avg-balance scalar subquery is exact integer-cents arithmetic "
+    "(bal*100*cnt > total_cents), so the threshold is bit-identical across "
+    "engines -- a double AVG would make boundary rows engine-dependent. "
+    "Scale: the 1-row aggregate broadcasts; the recent-customer exclusion "
+    "is a left-anti shuffle on custkey.",
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("tot"),
+        F.count("*").alias("cnt"),
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        cust.crossJoin(F.broadcast(bal))
+        .where(cents * F.col("cnt") > F.col("tot"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(cents) / 100.0).alias("totacctbal"),
+        )
+    )

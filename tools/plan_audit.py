@@ -28,7 +28,14 @@ STREAMING = {
 #   cosine_topk_bruteforce -- the exact-NN baseline is a broadcast NLJ
 #   cosine_topk_ivf        -- 16-row centroid codebook cross join (broadcast)
 #   range_window_filter    -- single-row bounds frame joined without keys
-NLJ_ALLOWED = {"cosine_topk_bruteforce", "cosine_topk_ivf", "range_window_filter"}
+#   q22_dormant_customers  -- 1-row scalar-aggregate (avg balance) broadcast
+#                             cross, the canonical scalar-subquery plan
+NLJ_ALLOWED = {
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "range_window_filter",
+    "q22_dormant_customers",
+}
 
 JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)")
 
