@@ -280,3 +280,50 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_topk_lsh(emb, queries, dims=_DIMS, k=_K, n_planes=_N_PLANES).select(
         "query_id", "neighbor_id", "cosine", "rank"
     )
+
+
+_SQ_SCALE = 200
+from rlink_rs_spark.operators.similarity import quantize_expr  # noqa: E402
+
+_SQ_Q_DUCK = "[" + ", ".join(quantize_expr("embedding", _DIMS, 1, _SQ_SCALE)) + "]"
+_SQ_NRM_DUCK = " + ".join(f"q[{d + 1}] * q[{d + 1}]" for d in range(_DIMS))
+_SQ_DOT_DUCK = " + ".join(f"a.q[{d + 1}] * b.q[{d + 1}]" for d in range(_DIMS))
+
+_SQ_ORACLE = f"""
+WITH staged AS (
+  SELECT vec_id, {_SQ_Q_DUCK} AS q, {_BUCKET_DUCK} AS bucket FROM embeddings
+),
+normed AS (
+  SELECT vec_id, q, bucket, ({_SQ_NRM_DUCK}) AS nrm FROM staged
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(({_SQ_DOT_DUCK}) AS DOUBLE)
+           / (SQRT(CAST(a.nrm AS DOUBLE)) * SQRT(CAST(b.nrm AS DOUBLE))) AS cosine_q
+  FROM normed a JOIN normed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE a.vec_id < {_N_QUERIES}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine_q DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_q, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "cosine_topk_sq",
+    _SQ_ORACLE,
+    "Scalar-quantized ANN top-5 (FAISS SQ8 shape): int8 codes (4x smaller "
+    "than float32) + LSH-bucket candidate restriction + exact BIGINT "
+    "dot/norm scoring -- the storage-bound 100 TB variant. Integer "
+    "arithmetic end to end makes even the quantized scores value-hash "
+    "comparable across engines.",
+)
+def cosine_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return sim_ops.cosine_topk_sq(
+        emb, queries, dims=_DIMS, k=_K, scale=_SQ_SCALE, n_planes=_N_PLANES
+    ).select("query_id", "neighbor_id", "cosine_q", "rank")

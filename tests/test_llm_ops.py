@@ -96,6 +96,27 @@ def test_ivf_kmeans_training_improves_codebook(spark, sf_dir):
     assert obj2 > obj1, f"iteration 2 did not improve the objective: {obj1} -> {obj2}"
 
 
+def test_sq_topk_ranking_quality(spark, sf_dir):
+    """Int8 scalar quantization must not wreck the ranking: against the
+    float-exact LSH variant (identical bucket candidate restriction), the
+    quantized top-k must recover the vast majority of neighbor pairs --
+    SQ8 at 64 dims costs ~1e-3 score error, far below typical neighbor
+    gaps."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["cosine_topk_lsh"].fn(spark, sf_dir).collect()
+    }
+    sq = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["cosine_topk_sq"].fn(spark, sf_dir).collect()
+    }
+    assert sq, "SQ variant returned no neighbors"
+    overlap = len(sq & exact) / len(exact)
+    assert overlap >= 0.8, f"quantized ranking diverged: overlap {overlap:.2f}"
+
+
 def test_gemm_topk_matches_bruteforce(spark, sf_dir):
     """The Arrow-batched GEMM fast path must produce the same neighbor ids
     and ranks as the chain-based exact brute force, with scores equal to
