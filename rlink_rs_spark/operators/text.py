@@ -64,3 +64,69 @@ def quality_score_sql(n_tokens: str, n_chars: str, stop_cnt: str) -> str:
         f"(CASE WHEN {stop_ratio} >= 0.01 THEN 1.0 WHEN {stop_ratio} > 0.0 THEN 0.5 ELSE 0.0 END)"
         ") / 3.0, 4) AS DOUBLE)"
     )
+
+
+# --- BPE merge training ------------------------------------------------------
+
+BPE_SEP = "\x1f"  # ASCII unit separator: cannot appear in whitespace tokens
+
+
+def train_bpe_merges(docs, text_col: str = "text", n_merges: int = 4):
+    """Distributed BPE tokenizer training (the merge-learning loop of the
+    GPT-2/sentencepiece family) as DataFrame iterations.
+
+    Classic BPE trains on the WORD-FREQUENCY table, not the corpus: the
+    corpus is scanned once into (distinct word, freq) -- at 100 TB that
+    table is vocabulary-sized (millions of rows), so every training
+    iteration after the first scan is corpus-size-independent. Each
+    iteration: (1) adjacent-symbol pair counts weighted by word freq --
+    one map-side-combined shuffle over the vocab; (2) global argmax pair
+    (count desc, pair asc -- deterministic) as a 1-row driver scalar, the
+    same iterative-driver pattern as connected_components' convergence
+    check; (3) merge application as a map-side string replace over the
+    unit-separator-joined symbol string (left-to-right non-overlapping
+    replace == the sequential BPE merge fold; both engines share these
+    semantics, so the DuckDB oracle matches exactly).
+
+    Returns (iteration, left_sym, right_sym, pair_count) -- the learned
+    merge table, the artifact a tokenizer ships."""
+    from pyspark.sql import DataFrame
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    chars = F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    cur = words.select("freq", F.concat_ws(BPE_SEP, chars).alias("s")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    pair_structs = F.expr(
+        "transform(sequence(1, size(a) - 1), "
+        "i -> struct(element_at(a, i) AS l, element_at(a, i + 1) AS r))"
+    )
+    for t in range(1, n_merges + 1):
+        arr = cur.withColumn("a", F.split("s", BPE_SEP)).where(F.size("a") >= 2)
+        pairs = arr.select("freq", F.explode(pair_structs).alias("p")).select(
+            "freq", "p.l", "p.r"
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((t, best.l, best.r, best.cnt))
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(best.l + BPE_SEP + best.r), F.lit(best.l + best.r)
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, schema="iteration int, left_sym string, right_sym string, pair_count long"
+    )

@@ -445,3 +445,65 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"), F.sum("n_bpe").alias("total_bpe_tokens"))
     )
+
+
+_BPE_MERGES = 4
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-iteration DuckDB mirror of train_bpe_merges (the same
+    technique as the IVF k-means oracle): per iteration, pair counts from
+    the previous symbol arrays, the argmax pair as a 1-row CTE, and the
+    merge applied via the shared left-to-right non-overlapping
+    string-replace semantics."""
+    parts = [
+        "w AS (\n"
+        "  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq\n"
+        "  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)\n"
+        "  WHERE word <> '' GROUP BY word\n)",
+        "a0 AS (\n"
+        "  SELECT freq, list_transform(range(1, length(word)+1), i -> substr(word, i, 1)) AS a\n"
+        "  FROM w\n)",
+    ]
+    for t in range(1, n_merges + 1):
+        prev = f"a{t - 1}"
+        parts.append(
+            f"p{t} AS (\n"
+            f"  SELECT a[i] AS l, a[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt\n"
+            f"  FROM {prev}, unnest(range(1, len(a))) AS t{t}(i)\n"
+            f"  WHERE len(a) >= 2 GROUP BY a[i], a[i+1]\n)"
+        )
+        parts.append(
+            f"b{t} AS (SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)"
+        )
+        if t < n_merges:
+            parts.append(
+                f"a{t} AS (\n"
+                f"  SELECT freq, string_split(\n"
+                f"    replace(array_to_string(a, chr(31)),\n"
+                f"            (SELECT l FROM b{t}) || chr(31) || (SELECT r FROM b{t}),\n"
+                f"            (SELECT l FROM b{t}) || (SELECT r FROM b{t})), chr(31)) AS a\n"
+                f"  FROM {prev}\n)"
+            )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {t} AS iteration, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_oracle(_BPE_MERGES),
+    "Distributed BPE tokenizer training: learn the first "
+    f"{_BPE_MERGES} merge rules from the corpus. Trains on the distinct-"
+    "word frequency table (vocabulary-sized, corpus-size-independent after "
+    "one scan -- the classic BPE formulation); per iteration one map-side-"
+    "combined pair-count shuffle + a 1-row argmax + a map-side merge "
+    "replace. Oracle mirrors every iteration as unrolled CTEs.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.text import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, n_merges=_BPE_MERGES)
