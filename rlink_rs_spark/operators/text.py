@@ -83,10 +83,15 @@ def train_bpe_merges(docs, text_col: str = "text", n_merges: int = 4):
     one map-side-combined shuffle over the vocab; (2) global argmax pair
     (count desc, pair asc -- deterministic) as a 1-row driver scalar, the
     same iterative-driver pattern as connected_components' convergence
-    check; (3) merge application as a map-side string replace over the
-    unit-separator-joined symbol string (left-to-right non-overlapping
-    replace == the sequential BPE merge fold; both engines share these
-    semantics, so the DuckDB oracle matches exactly).
+    check; (3) merge application as a map-side string replace over a
+    separator-ANCHORED symbol string: each symbol is wrapped in unit
+    separators (`SEP sym SEP`, adjacent symbols sharing a double SEP), so
+    the replace pattern `SEP l SEP SEP r SEP` can only match whole symbols
+    -- a bare `l+SEP+r` pattern would also fire when l is a SUFFIX of a
+    longer symbol (e.g. rule (he,n) on symbols [the, n]), diverging from
+    sequential BPE. Left-to-right non-overlapping replace == the
+    sequential BPE merge fold; both engines share these semantics, so the
+    DuckDB oracle matches exactly.
 
     Returns (iteration, left_sym, right_sym, pair_count) -- the learned
     merge table, the artifact a tokenizer ships."""
@@ -100,16 +105,20 @@ def train_bpe_merges(docs, text_col: str = "text", n_merges: int = 4):
         .agg(F.count("*").alias("freq"))
     )
     chars = F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-    cur = words.select("freq", F.concat_ws(BPE_SEP, chars).alias("s")).localCheckpoint(
-        eager=True
-    )
+    sep2 = BPE_SEP + BPE_SEP
+    cur = words.select(
+        "freq",
+        F.concat(F.lit(BPE_SEP), F.concat_ws(sep2, chars), F.lit(BPE_SEP)).alias("s"),
+    ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     pair_structs = F.expr(
         "transform(sequence(1, size(a) - 1), "
         "i -> struct(element_at(a, i) AS l, element_at(a, i + 1) AS r))"
     )
     for t in range(1, n_merges + 1):
-        arr = cur.withColumn("a", F.split("s", BPE_SEP)).where(F.size("a") >= 2)
+        arr = cur.withColumn(
+            "a", F.split(F.expr("substring(s, 2, length(s) - 2)"), sep2)
+        ).where(F.size("a") >= 2)
         pairs = arr.select("freq", F.explode(pair_structs).alias("p")).select(
             "freq", "p.l", "p.r"
         )
@@ -124,7 +133,9 @@ def train_bpe_merges(docs, text_col: str = "text", n_merges: int = 4):
         cur = cur.withColumn(
             "s",
             F.replace(
-                F.col("s"), F.lit(best.l + BPE_SEP + best.r), F.lit(best.l + best.r)
+                F.col("s"),
+                F.lit(BPE_SEP + best.l + sep2 + best.r + BPE_SEP),
+                F.lit(BPE_SEP + best.l + best.r + BPE_SEP),
             ),
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(

@@ -454,8 +454,10 @@ def _bpe_oracle(n_merges: int) -> str:
     """Unrolled-iteration DuckDB mirror of train_bpe_merges (the same
     technique as the IVF k-means oracle): per iteration, pair counts from
     the previous symbol arrays, the argmax pair as a 1-row CTE, and the
-    merge applied via the shared left-to-right non-overlapping
-    string-replace semantics."""
+    merge applied via the shared left-to-right non-overlapping replace on
+    the separator-ANCHORED symbol string (`SEP sym SEP` per symbol, double
+    SEP between symbols) so the pattern `SEP l SEP SEP r SEP` matches only
+    whole symbols -- identical to train_bpe_merges' representation."""
     parts = [
         "w AS (\n"
         "  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq\n"
@@ -480,10 +482,14 @@ def _bpe_oracle(n_merges: int) -> str:
             parts.append(
                 f"a{t} AS (\n"
                 f"  SELECT freq, string_split(\n"
-                f"    replace(array_to_string(a, chr(31)),\n"
-                f"            (SELECT l FROM b{t}) || chr(31) || (SELECT r FROM b{t}),\n"
-                f"            (SELECT l FROM b{t}) || (SELECT r FROM b{t})), chr(31)) AS a\n"
-                f"  FROM {prev}\n)"
+                f"    substr(s2, 2, length(s2) - 2), chr(31) || chr(31)) AS a\n"
+                f"  FROM (SELECT freq, replace(\n"
+                f"      chr(31) || array_to_string(a, chr(31) || chr(31)) || chr(31),\n"
+                f"      chr(31) || (SELECT l FROM b{t}) || chr(31) || chr(31)\n"
+                f"              || (SELECT r FROM b{t}) || chr(31),\n"
+                f"      chr(31) || (SELECT l FROM b{t}) || (SELECT r FROM b{t})\n"
+                f"              || chr(31)) AS s2\n"
+                f"    FROM {prev})\n)"
             )
     selects = "\nUNION ALL\n".join(
         f"SELECT {t} AS iteration, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b{t}"

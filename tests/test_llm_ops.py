@@ -96,54 +96,79 @@ def test_ivf_kmeans_training_improves_codebook(spark, sf_dir):
     assert obj2 > obj1, f"iteration 2 did not improve the objective: {obj1} -> {obj2}"
 
 
-def test_bpe_merges_match_reference(spark):
-    """The distributed BPE trainer must learn exactly the merges a plain
-    sequential reference implementation learns (same pair weighting by word
-    frequency, same (count desc, pair asc) tie-break, same left-to-right
-    non-overlapping merge application)."""
+def _sequential_bpe(texts, k):
+    """Plain sequential BPE reference: pair counts weighted by word
+    frequency, (count desc, pair asc) tie-break, left-to-right
+    non-overlapping whole-symbol merge application."""
     from collections import Counter
 
+    freq = Counter(w for t in texts for w in t.split(" ") if w)
+    syms = {w: list(w) for w in freq}
+    out = []
+    for it in range(1, k + 1):
+        counts = Counter()
+        for w, f in freq.items():
+            a = syms[w]
+            for i in range(len(a) - 1):
+                counts[(a[i], a[i + 1])] += f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((it, l, r, c))
+        for w in syms:
+            a, merged, i = syms[w], [], 0
+            while i < len(a):
+                if i + 1 < len(a) and a[i] == l and a[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(a[i])
+                    i += 1
+            syms[w] = merged
+    return out
+
+
+def _spark_bpe(spark, texts, k):
     from rlink_rs_spark.operators.text import train_bpe_merges
 
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return [
+        (r.iteration, r.left_sym, r.right_sym, r.pair_count)
+        for r in train_bpe_merges(docs, n_merges=k).orderBy("iteration").collect()
+    ]
+
+
+def test_bpe_merges_match_reference(spark):
+    """The distributed BPE trainer must learn exactly the merges a plain
+    sequential reference implementation learns."""
     texts = [
         "the cat sat on the mat",
         "the hat and the bat",
         "banana bandana cabana",
         "aaa aaaa aa",
     ]
+    assert _spark_bpe(spark, texts, 3) == _sequential_bpe(texts, 3)
 
-    def reference(texts, k):
-        freq = Counter(w for t in texts for w in t.split(" ") if w)
-        syms = {w: list(w) for w in freq}
-        out = []
-        for it in range(1, k + 1):
-            counts = Counter()
-            for w, f in freq.items():
-                a = syms[w]
-                for i in range(len(a) - 1):
-                    counts[(a[i], a[i + 1])] += f
-            if not counts:
-                break
-            (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-            out.append((it, l, r, c))
-            for w in syms:
-                a, merged, i = syms[w], [], 0
-                while i < len(a):
-                    if i + 1 < len(a) and a[i] == l and a[i + 1] == r:
-                        merged.append(l + r)
-                        i += 2
-                    else:
-                        merged.append(a[i])
-                        i += 1
-                syms[w] = merged
-        return out
 
-    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
-    got = [
-        (r.iteration, r.left_sym, r.right_sym, r.pair_count)
-        for r in train_bpe_merges(docs, n_merges=3).orderBy("iteration").collect()
-    ]
-    assert got == reference(texts, 3)
+def test_bpe_merge_application_whole_symbol_boundary(spark):
+    """Merge application must compare WHOLE symbols. Corpus engineered so
+    the learned order is (h,e), (t,he), (he,n): after merge 2 the word
+    'then' holds symbols [the, n], and rule (he,n) must NOT fire there --
+    'he' is only a suffix of the symbol 'the' -- so merge 4 is (the,n).
+    An unanchored separator-joined string replace wrongly collapses
+    [the, n] -> [then] at merge 3 and diverges at merge 4 (regression
+    test for the anchored `SEP sym SEP` representation)."""
+    texts = ["the the the the the", "hen hen hen", "then then"]
+    want = _sequential_bpe(texts, 4)
+    assert [m[:3] for m in want] == [
+        (1, "h", "e"),
+        (2, "t", "he"),
+        (3, "he", "n"),
+        (4, "the", "n"),
+    ], "corpus no longer drives the intended merge order"
+    assert _spark_bpe(spark, texts, 4) == want
 
 
 def test_sq_topk_ranking_quality(spark, sf_dir):
