@@ -19,45 +19,59 @@ from rlink_rs_spark.queries import stats  # noqa: E402,F401
 from rlink_rs_spark.queries import tpch  # noqa: E402,F401
 
 # The driver's correctness gate hashes the FIRST 50 registry entries only
-# (CORRECTNESS_r02..r04 are each exactly 50 rows, in registration order).
-# Rotate so that window holds: the flagship (entry() smoke) first, then every
-# query that has never had a driver row (similarity/text/sampling/stats/TPC-H
-# blocks, registered late historically), then the windowed/streaming block
-# that round 4's TIMESTAMP_NTZ environment change broke (green again after
-# the tables.py inferTimestampNTZ fix -- a fresh driver row proves it), then
-# filler. Queries pushed past 50 are all driver-green in r3 or earlier.
+# (CORRECTNESS_r02..r05 are each exactly 50 rows, in registration order).
+# The window ROTATES each round so coverage cycles instead of shrinking
+# (ADVICE r5): flagship (entry() smoke) always first, then every query that
+# has never had a driver row (round-5 additions), then the 28 queries whose
+# last driver row is r3 (displaced by round 5's rotation -- a fresh row
+# re-proves them on the current fixtures), then queries changed this round
+# (approx_distinct_users' new exact-HLL oracle, embedding_cosine_near_dup
+# under perf work) and the streaming/windowed block most sensitive to
+# fixture drift. Exactly 50 entries; test_registry enforces the count and
+# that every name resolves.
 _DRIVER_WINDOW_PRIORITY = [
     "flagship_sliding_window_agg",
-    # -- never driver-checked (r2-local / local-only green; VERDICT r3 item 1)
-    "embedding_cosine_near_dup",
-    "cosine_topk_ivf",
-    "cosine_topk_lsh",
-    "text_stats_tokens",
-    "lang_id_heuristic",
-    "quality_score_docs",
-    "token_count_bpe",
-    "rolling_hash_fingerprint",
-    "doc_fingerprint",
-    "hash_sample_docs",
-    "train_test_split",
-    "vocab_top_terms",
-    "redact_numbers_props",
-    "stratified_sample_docs",
-    "multimodal_binary_features",
-    "stats_agg",
-    "weekday_agg",
-    "exact_median",
+    # -- never driver-checked (round-5 additions; VERDICT r5 item 1)
+    "cosine_topk_gemm",
+    "cosine_topk_sq",
+    "corpus_prep_pipeline",
+    "bpe_train_merges",
+    "q16_supplier_part_counts",
+    "q19_bracket_revenue",
+    "q22_dormant_customers",
+    # -- last driver row r3; rotated back in to re-prove on current fixtures
+    "salted_hot_key_agg",
+    "q5_star_join_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    "event_transition_matrix",
+    "q6_forecast_revenue",
+    "streaming_enrichment_join",
+    "semi_anti_join_cohorts",
+    "cube_agg",
+    "pivot_agg",
+    "profile_columns",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "top_k_per_group",
+    "set_ops_users",
+    "distinct_agg",
+    "avg_agg",
+    "pipeline_enriched_agg",
+    "kafka_envelope_roundtrip",
+    "kafka_loopback_seek",
+    "rollup_agg",
+    "exact_dedup_docs",
+    "ngram_jaccard_dedup",
+    "minhash_lsh_near_dup",
+    "near_dup_clusters",
+    "dedup_keep_list",
+    "simhash_near_dup",
+    "cosine_topk_bruteforce",
+    # -- changed this round: needs a fresh driver row
     "approx_distinct_users",
-    "value_histogram",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q18_large_volume_customers",
-    # -- broken by round 4's TIMESTAMP_NTZ testdata change, now fixed
+    "embedding_cosine_near_dup",
+    # -- streaming/windowed block (most sensitive to fixture/timestamp drift)
     "tumbling_window_agg",
     "window_offset_agg",
     "multi_key_window_agg",
@@ -68,17 +82,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "sessionization",
     "session_window_agg",
     "streaming_flagship_agg",
-    "streaming_pct_agg",
     "stream_stream_interval_join",
-    "stream_stream_outer_join",
-    "stream_join_then_window_agg",
     "streaming_three_stream_connect",
-    "streaming_dedup_events",
-    "streaming_session_window_agg",
-    # -- filler to 50 (r4-green, cheap)
-    "flat_map_filter_transform",
-    "python_datasource_scan",
-    "union_connect",
 ]
 
 

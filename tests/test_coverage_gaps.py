@@ -398,3 +398,19 @@ def test_pipeline_transform_plan_matches_direct(spark, sf_dir):
         return re.sub(r"#\d+L?", "#x", s)
 
     assert canon(p_plan) == canon(d_plan)
+
+
+def test_driver_window_priority_is_exactly_50_registered_names():
+    """The driver's correctness gate hashes the first 50 registry entries;
+    the rotation list must be exactly 50 distinct names, every one
+    registered, with the flagship (the entry() smoke query) first --
+    a short or stale list silently hands gate slots to arbitrary queries."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries import _DRIVER_WINDOW_PRIORITY as prio
+
+    assert len(prio) == 50
+    assert len(set(prio)) == 50
+    unknown = [n for n in prio if n not in REGISTRY]
+    assert not unknown, f"priority names not in REGISTRY: {unknown}"
+    assert prio[0] == "flagship_sliding_window_agg"
+    assert list(REGISTRY)[:50] == prio
