@@ -94,3 +94,56 @@ def grouped_agg(df: DataFrame, keys: list[str | Column], aggs: list[Agg]) -> Dat
     key_by_runnable.rs:67-105 / window_base_reduce.rs:84-101, both subsumed
     by Spark HashAggregate)."""
     return df.groupBy(*keys).agg(*[a.to_column() for a in aggs])
+
+
+def kmv_distinct_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = 1024, salt_buckets: int = 64
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group: keep the K
+    smallest 60-bit md5-derived hashes of ``value_col``; the estimate is
+    ``(K-1) * 2^60 / kth_smallest`` (Bar-Yossef et al. 2002), EXACT when a
+    group has fewer than K distinct values. Every operation -- md5,
+    hex->int, row_number, one IEEE double divide -- is deterministic and
+    engine-agnostic, so the result is reproducible across partition
+    layouts and hash-matchable by a SQL oracle (unlike HLL++ registers).
+
+    Scale path: stage 1 prunes each (group, salt) shard to its K smallest
+    distinct hashes, bounding every sort partition at K rows per shard;
+    the final per-group window ranks at most ``salt_buckets * K`` rows.
+    Returns (group_col, approx_distinct, cnt): sketch estimate + exact
+    total row count."""
+    from pyspark.sql.window import Window
+
+    two60 = 1 << 60
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    dist = (
+        df.select(group_col, h.alias("h"))
+        .groupBy(group_col, "h")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = dist.groupBy(group_col).agg(F.sum("c").alias("cnt"))
+    w_salt = Window.partitionBy(group_col, "salt").orderBy("h")
+    pruned = (
+        dist.withColumn("salt", F.pmod(F.col("h"), F.lit(salt_buckets)))
+        .withColumn("rn1", F.row_number().over(w_salt))
+        .where(F.col("rn1") <= k)
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    kmv = (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n_small"), F.max("h").alias("kth"))
+    )
+    est = F.floor(
+        F.lit(float(k - 1)) * F.lit(float(two60)) / F.col("kth").cast("double")
+    ).cast("long")
+    return kmv.join(tot, group_col).select(
+        group_col,
+        F.when(F.col("n_small") < k, F.col("n_small")).otherwise(est).alias(
+            "approx_distinct"
+        ),
+        "cnt",
+    )

@@ -251,10 +251,11 @@ def test_python_datasource_splits_and_stream(spark):
 
 
 def test_approx_distinct_error_bound_and_partition_invariance(spark, sf_dir):
-    """HLL++ estimate must sit within 3x the configured rsd of the exact
-    distinct count, and be identical under a different partition layout
-    (register max-merge is order-independent -- a reproducibility
-    requirement the seeded-sample path can't give)."""
+    """KMV estimate must sit within 6% of the exact distinct count (exact
+    below K by construction), and be identical under a different partition
+    layout (min-K of a hash set is order-independent -- a reproducibility
+    requirement HLL++ register layouts can't give across engines)."""
+    from rlink_rs_spark.operators.aggregations import kmv_distinct_sketch
     from rlink_rs_spark.queries import REGISTRY
 
     approx = {
@@ -273,13 +274,28 @@ def test_approx_distinct_error_bound_and_partition_invariance(spark, sf_dir):
         assert abs(approx[k] - n) <= max(1, 0.06 * n), (k, approx[k], n)
 
     shuffled = {
-        r.event_type: r.approx_users
-        for r in events.repartition(17, "user_id")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
-        .collect()
+        r.event_type: r.approx_distinct
+        for r in kmv_distinct_sketch(
+            events.repartition(17, "user_id"), "event_type", "user_id"
+        ).collect()
     }
     assert shuffled == approx
+
+
+def test_kmv_sketch_estimator_path_above_k(spark):
+    """Above K distinct values the KMV estimator must engage (not clamp to
+    K) and land within 2/sqrt(K) of truth; deterministic md5 hashing makes
+    this a fixed, non-flaky assertion."""
+    from rlink_rs_spark.operators.aggregations import kmv_distinct_sketch
+
+    n, k = 5000, 256
+    df = spark.range(n * 3).select(
+        F.lit("g").alias("g"), (F.col("id") % n).alias("v")
+    )
+    row = kmv_distinct_sketch(df, "g", "v", k=k).collect()[0]
+    assert row.cnt == n * 3
+    assert row.approx_distinct > k
+    assert abs(row.approx_distinct - n) <= 2.0 / (k ** 0.5) * n, row.approx_distinct
 
 
 def test_stats_var_null_on_singleton_group(spark):
