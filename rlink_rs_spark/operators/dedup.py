@@ -315,6 +315,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    check_every: int = 1,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: returns
     (doc_id, cluster_id) for every doc appearing in a pair, cluster_id =
@@ -333,7 +334,17 @@ def connected_components(
     is detected by the strictly-decreasing label sum (labels only ever
     decrease), one scalar agg per round -- no driver-side data collection.
     At 100 TB: same dataflow per round; the label table carries one long
-    per node in pairs, orders of magnitude smaller than the corpus."""
+    per node in pairs, orders of magnitude smaller than the corpus.
+
+    Loop hygiene (measured, round 6): the eager checkpoint job does the
+    round's real work and the convergence sum then reads the cached
+    blocks (~ms at tested scale) -- fusing both into one job via a lazy
+    checkpoint measured 20-35% SLOWER end-to-end (7.6-8.8s vs 6.5s at
+    sf0.1), so eager + per-round scalar stays. At 100 TB the sum is a
+    full extra pass over a billions-row label table: set ``check_every``
+    to 2-4 there to amortize it (costs up to check_every-1 extra rounds
+    after the fixpoint; pointless at small round counts, hence default 1).
+    """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -351,7 +362,10 @@ def connected_components(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    # no initial-sum job: the first comparison is against a sentinel the
+    # first checked round can never equal (labels are monotone decreasing
+    # and some label strictly decreases whenever an edge exists)
+    prev_sum: object = ()
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
@@ -382,11 +396,12 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels = new_labels
-        if new_sum == prev_sum:  # no label decreased -> fixpoint
-            break
-        prev_sum = new_sum
+        if rounds % check_every == 0:
+            new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+            if new_sum == prev_sum:  # no label decreased -> fixpoint
+                break
+            prev_sum = new_sum
     connected_components.last_rounds = rounds  # test/diagnostic witness
     return labels
 

@@ -287,6 +287,24 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == want, f"trial {trial}: mismatch"
 
 
+def test_connected_components_check_every_equivalent(spark):
+    """check_every > 1 (the 100 TB amortization of the convergence pass)
+    must yield the identical labeling as per-round checking -- it may only
+    run extra no-op rounds past the fixpoint, never change the answer."""
+    from rlink_rs_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)] + [(200, 201), (201, 202)],
+        "id_a long, id_b long",
+    )
+    base = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    amortized = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, check_every=3).collect()
+    }
+    assert amortized == base
+
+
 def test_salted_band_join_handles_hot_bucket(spark):
     """Skewed fixture: half the corpus is one boilerplate text, so ALL of
     those docs share every band signature -- the unsalted band self-join
