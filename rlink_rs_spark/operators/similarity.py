@@ -406,21 +406,29 @@ def cosine_topk_gemm(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Production-form cosine top-k: the Arrow-batched GEMM path that
     SCALING.md prescribes for real dimensionality, where the bit-parity sum
     chains (an oracle-determinism contract, not a deployment choice) give
     way to one numpy float64 matrix multiply per Arrow batch.
 
-    The query set (small by the top-k contract) is collected once, row-
-    normalized into a (q x d) matrix, and shipped in the UDF closure -- the
-    same role a broadcast variable plays. Each Arrow batch of corpus
-    vectors then does a single (n x d)(d x q) GEMM and keeps only its
-    per-batch top-k rows per query (argpartition, no sort of the batch), so
-    the Python stage emits at most batches*q*k rows; a final per-query
-    rank window over that small candidate set picks the global top-k.
-    At 100 TB: map-side GEMM + bounded emission, one tiny final shuffle on
-    query_id; the corpus never leaves the executors.
+    The query set is collected once, row-normalized into a (q x d) matrix,
+    and shipped via SparkContext.broadcast (torrent distribution, one copy
+    per executor -- not serialized into every task closure). SIZE
+    CONTRACT: the query set must fit on the driver and every executor
+    ((q x d) float64s, e.g. 65k queries x 128 dims = 64 MB); ``max_queries``
+    enforces it and raising it is an explicit opt-in. Each Arrow batch of
+    corpus vectors then does a single (n x d)(d x q) GEMM and keeps only
+    its per-batch top-k rows per query (argpartition, no sort of the
+    batch), so the Python stage emits at most batches*q*k rows; a final
+    per-query rank window over that small candidate set picks the global
+    top-k. At 100 TB: map-side GEMM + bounded emission, one tiny final
+    shuffle on query_id; the corpus never leaves the executors.
+
+    All-zero vectors score 0.0 against everything (norm clamped to 1),
+    never NaN -- NaN would poison both argpartition and the DESC rank
+    window with engine-specific orderings.
 
     Scores differ from the chain/oracle variants only by float summation
     order (~1e-15); use the chain variants when bit-equality to an external
@@ -428,18 +436,30 @@ def cosine_topk_gemm(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_gemm query set exceeds max_queries={max_queries}; "
+            "the broadcast (q x d) matrix must fit on every executor -- "
+            "raise max_queries explicitly if it does"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(qm, axis=1, keepdims=True)
+    q_norms[q_norms == 0] = 1.0
+    qm /= q_norms
+    bq = vectors.sparkSession.sparkContext.broadcast((q_ids, qm))
 
     out_schema = "query_id long, neighbor_id long, cosine double"
 
     def gemm_topk(batches):
+        q_ids, qm = bq.value
         for pdf in batches:
             ids = pdf["nid"].to_numpy(dtype=np.int64)
             vm = np.array(list(pdf["v"]), dtype=np.float64)
-            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            v_norms = np.linalg.norm(vm, axis=1, keepdims=True)
+            v_norms[v_norms == 0] = 1.0
+            vm /= v_norms
             scores = vm @ qm.T  # (n x q)
             # per-batch, per-query top-k (exclude self-matches) without
             # sorting the whole batch

@@ -213,6 +213,34 @@ def test_gemm_topk_matches_bruteforce(spark, sf_dir):
         assert abs(g_cos - cos) < 1e-9, f"{key}: score drift {g_cos} vs {cos}"
 
 
+def test_gemm_topk_zero_norm_vector_and_query_cap(spark):
+    """An all-zero embedding must score 0.0 (norm clamped), never NaN --
+    NaN would poison argpartition and the DESC rank window with
+    engine-specific orderings. And a query set above max_queries must be
+    rejected up front, not silently collected to the driver."""
+    import math
+
+    import pytest as _pytest
+
+    from rlink_rs_spark.operators.similarity import cosine_topk_gemm
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # degenerate
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk_gemm(vecs, vecs, dims=3, k=3).collect()
+    assert out, "no neighbors returned"
+    assert all(not math.isnan(r.cosine) for r in out)
+    zero_scores = [r.cosine for r in out if r.query_id == 2 or r.neighbor_id == 2]
+    assert zero_scores and all(s == 0.0 for s in zero_scores)
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_gemm(vecs, vecs, dims=3, k=2, max_queries=2)
+
+
 def test_connected_components_chain_and_cliques(spark):
     """Min-label propagation must find true components on the worst case
     for propagation (a long path graph -- needs diameter rounds) and on
