@@ -430,3 +430,15 @@ def test_driver_window_priority_is_exactly_50_registered_names():
     assert not unknown, f"priority names not in REGISTRY: {unknown}"
     assert prio[0] == "flagship_sliding_window_agg"
     assert list(REGISTRY)[:50] == prio
+
+
+def test_not_benched_queries_have_documented_reasons():
+    """Every bench=False registry entry must carry a visible reason in the
+    bench artifact (BENCH JSON `not_benched`), and the documented set must
+    not drift from the registry."""
+    from bench import NOT_BENCHED
+    from rlink_rs_spark.queries import REGISTRY
+
+    unbenched = {n for n, q in REGISTRY.items() if not q.bench}
+    assert unbenched == set(NOT_BENCHED)
+    assert all(reason.strip() for reason in NOT_BENCHED.values())
