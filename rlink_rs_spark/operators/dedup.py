@@ -146,6 +146,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     salt_buckets: int | str = 1,
+    salt_out: dict | None = None,
 ) -> DataFrame:
     """Band the signature (bands x rows_per_band) and equi-join docs sharing
     any band -- the O(n^2) -> O(candidates) reduction that makes near-dup
@@ -159,7 +160,12 @@ def lsh_candidate_pairs(
     of the S^2 cells -- max task work drops m^2 -> (m/S)^2 at an S-fold
     replication cost. salt_buckets="auto" measures the hottest bucket first
     (auto_salt_buckets) and salts only when it exceeds the task-sized
-    threshold -- uniform corpora keep the unsalted single-join plan."""
+    threshold -- uniform corpora keep the unsalted single-join plan.
+
+    NOTE: salt_buckets="auto" runs ONE EAGER Spark job (the hottest-bucket
+    scalar agg) at plan-CONSTRUCTION time, inside this otherwise-lazy
+    builder; pass ``salt_out={}`` to receive the chosen factor as
+    ``salt_out["salt_buckets"]`` (returned per call -- no shared state)."""
     rows = n_hashes // bands
     # Single scan: build all band signatures as an array of structs and
     # explode once (vs unionByName re-scanning `signatures` per band).
@@ -180,7 +186,8 @@ def lsh_candidate_pairs(
     )
     if salt_buckets == "auto":
         salt_buckets = auto_salt_buckets(banded)
-        lsh_candidate_pairs.last_salt_buckets = salt_buckets  # test witness
+    if salt_out is not None:
+        salt_out["salt_buckets"] = salt_buckets
     if salt_buckets > 1:
         S = salt_buckets
         grid = F.explode(F.expr(f"sequence(0, {S - 1})"))
@@ -222,6 +229,7 @@ def verify_jaccard(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     salt_buckets: int | str = 1,
+    salt_out: dict | None = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs via per-doc shingle arrays;
     integer intersection/union counts, so the ratio is bit-identical across
@@ -233,7 +241,12 @@ def verify_jaccard(
     replicated S ways -- the hot doc's pairs spread over S tasks.
     salt_buckets="auto" measures the hottest doc's candidate degree first
     (one scalar agg over the pair list) and salts only when it exceeds a
-    task-sized threshold."""
+    task-sized threshold.
+
+    NOTE: salt_buckets="auto" runs ONE EAGER Spark job (the max-degree
+    scalar agg over the candidate list) at plan-CONSTRUCTION time; pass
+    ``salt_out={}`` to receive the chosen factor as
+    ``salt_out["salt_buckets"]`` (returned per call -- no shared state)."""
     if salt_buckets == "auto":
         row = (
             candidates.select(F.explode(F.array("id_a", "id_b")).alias("d"))
@@ -249,7 +262,8 @@ def verify_jaccard(
             import math
 
             salt_buckets = max(2, min(16, math.ceil(degree / 1024)))
-        verify_jaccard.last_salt_buckets = salt_buckets  # test witness
+    if salt_out is not None:
+        salt_out["salt_buckets"] = salt_buckets
     sets = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

@@ -405,8 +405,9 @@ def test_auto_salt_heuristic(spark):
     sigs = minhash_signatures(with_shingles(docs))
 
     # uniform threshold: hottest bucket (100 docs) is under the default 1024
-    plain = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, salt_buckets="auto").collect()}
-    assert lsh_candidate_pairs.last_salt_buckets == 1
+    plain_salt = {}
+    plain = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs, salt_buckets="auto", salt_out=plain_salt).collect()}
+    assert plain_salt["salt_buckets"] == 1
 
     # a task-sized threshold below the hot bucket must trigger salting; call
     # the helper directly with a low threshold to avoid building a 2000-doc
