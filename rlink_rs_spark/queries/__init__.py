@@ -39,6 +39,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "q16_supplier_part_counts",
     "q19_bracket_revenue",
     "q22_dormant_customers",
+    # -- new this round (r6): remaining TPC-H shapes, locally gate-green
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
     # -- last driver row r3; rotated back in to re-prove on current fixtures
     "salted_hot_key_agg",
     "q5_star_join_volume",
@@ -71,14 +77,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- changed this round: needs a fresh driver row
     "approx_distinct_users",
     "embedding_cosine_near_dup",
-    # -- streaming/windowed block (most sensitive to fixture/timestamp drift)
-    "tumbling_window_agg",
-    "window_offset_agg",
-    "multi_key_window_agg",
+    # -- streaming/windowed block (most sensitive to fixture/timestamp drift;
+    #    the simple r5-green windowed shapes rotated out to make room above)
     "pct_window_agg",
     "pct_output_decode",
-    "range_window_filter",
-    "asof_join_latest_click",
     "sessionization",
     "session_window_agg",
     "streaming_flagship_agg",

@@ -476,3 +476,245 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(cents) / 100.0).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS val_cents
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (SELECT SUM(val_cents) AS tot, CAST(COUNT(*) AS BIGINT) AS n FROM pv)
+    SELECT l_partkey, val_cents/10000.0 AS part_value
+    FROM pv, tot WHERE val_cents * 2 * tot.n > 3 * tot.tot
+    """,
+    "TPC-H Q11 shape: per-key value share against a global threshold "
+    "(partsupp stock value stands in as per-part shipped revenue). TPC-H's "
+    "SUM*FRACTION/SF threshold is scale-adjusted by spec; here the "
+    "equivalent scale-free form is value > 1.5x the mean part value, as "
+    "pure integer arithmetic (val_cents * 2 * n_parts > 3 * total_cents) "
+    "so boundary parts are bit-identical across engines. Scale: one "
+    "map-side-combined agg builds the per-part table; the 1-row "
+    "(total, count) broadcasts; no second pass over the fact table.",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    pv = li.groupBy("l_partkey").agg(F.sum(cents).alias("val_cents"))
+    tot = pv.agg(F.sum("val_cents").alias("tot"), F.count("*").alias("n"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("val_cents") * 2 * F.col("n") > 3 * F.col("tot"))
+        .select("l_partkey", (F.col("val_cents") / 10000.0).alias("part_value"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    ), mx AS (SELECT MAX(rev_cents) AS mx FROM rev)
+    SELECT s.s_suppkey, s.s_name, rev.rev_cents/10000.0 AS total_revenue
+    FROM rev, mx JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.rev_cents = mx.mx
+    """,
+    "TPC-H Q15 shape: the revenue view + its MAX as a scalar subquery, "
+    "keeping every supplier tied at the maximum (equality on exact integer "
+    "cents -- a double SUM would make the tie engine-dependent). Scale: "
+    "quarter filter pushed to the scan, one map-side-combined agg, 1-row "
+    "max broadcast, supplier broadcast.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast(
+        "long"
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_cents"))
+    mx = rev.agg(F.max("rev_cents").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_cents") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("rev_cents") / 10000.0).alias("total_revenue"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sumq,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+      GROUP BY l_partkey
+    )
+    SELECT SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))/100.0/7.0 AS avg_yearly
+    FROM lineitem l JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE CAST(l.l_quantity AS BIGINT) * 5 * pq.cnt < pq.sumq
+    """,
+    "TPC-H Q17 shape: lost revenue from small-quantity orders; the "
+    "correlated per-part AVG(quantity) subquery is rewritten as agg-then-"
+    "join, and the 20%-of-average threshold is cleared of division "
+    "(qty * 5 * cnt < sumq, all BIGINT) so boundary rows are bit-identical "
+    "across engines. Scale: the brand/type filter broadcasts through the "
+    "part join, the per-part agg is map-side combinable, and the fact "
+    "re-join hits only the filtered parts.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    pq = filtered.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sumq"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(pq, "l_partkey")
+        .where(F.col("l_quantity").cast("long") * 5 * F.col("cnt") < F.col("sumq"))
+        .agg(
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0 / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q20_promo_suppliers",
+    """
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ), pair_qty AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CASE WHEN l_shipdate < TIMESTAMP '1998-07-01'
+                      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS early_qty,
+             SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem JOIN red_parts ON p_partkey = l_partkey
+      GROUP BY l_partkey, l_suppkey
+    ), excess AS (
+      SELECT DISTINCT l_suppkey FROM pair_qty WHERE early_qty * 2 > total_qty
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN excess e ON e.l_suppkey = s.s_suppkey
+                    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    """,
+    "TPC-H Q20 shape: nested IN-subqueries (promo parts -> part/supplier "
+    "pairs above a correlated quantity threshold -> suppliers in one "
+    "nation) rewritten as agg-then-semi-join; availqty > 0.5*shipped "
+    "stands in as early-period share > half of total (integer compare, "
+    "2*early > total). Scale: the red-part filter broadcasts into the "
+    "fact scan, the pair agg is map-side combinable, and the supplier/"
+    "nation joins broadcast.",
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    pair_qty = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < "1998-07-01", qty).otherwise(0)).alias(
+                "early_qty"
+            ),
+            F.sum(qty).alias("total_qty"),
+        )
+    )
+    excess = (
+        pair_qty.where(F.col("early_qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH f_orders AS (
+      SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+    ), late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN f_orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC LIMIT 100
+    """,
+    "TPC-H Q21 shape: suppliers who alone held up a finished multi-supplier "
+    "order -- the EXISTS / NOT-EXISTS pair becomes a left-semi join (some "
+    "OTHER supplier shipped in the order) and a left-anti join (no OTHER "
+    "supplier was also late); 'late' adapts receipt-after-commit to "
+    "shipdate > orderdate + 90 days on the reduced schema. Scale: both "
+    "existence probes are equi-joins on orderkey (shuffle once, no "
+    "per-row subquery execution); supplier broadcasts; numwait counts "
+    "lineitems, preserving l1 multiplicity exactly like the SQL.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(orders_f, li.l_orderkey == orders_f.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = late.join(
+        others,
+        (late.l_orderkey == F.col("o2")) & (late.l_suppkey != F.col("s2")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        waited.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(100)
+    )

@@ -30,11 +30,15 @@ STREAMING = {
 #   range_window_filter    -- single-row bounds frame joined without keys
 #   q22_dormant_customers  -- 1-row scalar-aggregate (avg balance) broadcast
 #                             cross, the canonical scalar-subquery plan
+#   q11_important_stock    -- same shape: 1-row (total, count) broadcast cross
+#                             (q15's analogue converts to a hash join because
+#                             its filter is an equality; q11's is >)
 NLJ_ALLOWED = {
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "range_window_filter",
     "q22_dormant_customers",
+    "q11_important_stock",
 }
 
 JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)")
