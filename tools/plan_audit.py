@@ -33,12 +33,14 @@ STREAMING = {
 #   q11_important_stock    -- same shape: 1-row (total, count) broadcast cross
 #                             (q15's analogue converts to a hash join because
 #                             its filter is an equality; q11's is >)
+#   temperature_resample_weights -- same shape: 1-row normalizer broadcast
 NLJ_ALLOWED = {
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "range_window_filter",
     "q22_dormant_customers",
     "q11_important_stock",
+    "temperature_resample_weights",
 }
 
 JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)")
