@@ -72,25 +72,26 @@ _MAX_TOP_WORD_FRAC = 0.3
 @register(
     "repetition_quality_signals",
     f"""
-    WITH t AS (
+    WITH arrs AS (
       SELECT doc_id, string_split(text, ' ') AS w,
+             list_distinct(string_split(text, ' ')) AS dw,
              [string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
               for i in range(1, len(string_split(text, ' ')))] AS bg
       FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS nw, CAST(len(dw) AS BIGINT) AS ndw,
+             CAST(list_max(list_transform(dw, x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS topc,
+             CAST(len(bg) AS BIGINT) AS nb, CAST(len(list_distinct(bg)) AS BIGINT) AS ndb
+      FROM arrs
     )
-    SELECT doc_id,
-           CAST(len(w) AS BIGINT) AS n_tokens,
-           CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
-           CAST(list_max(list_transform(list_distinct(w),
-                x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) AS top_word_frac,
-           CASE WHEN len(bg) = 0 THEN 0.0
-                ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
-           END AS dup_bigram_frac,
-           (CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= {_MAX_DUP_WORD_FRAC}
-            AND CAST(list_max(list_transform(list_distinct(w),
-                 x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) <= {_MAX_TOP_WORD_FRAC})
-           AS passes_repetition_filter
-    FROM t
+    SELECT doc_id, nw AS n_tokens,
+           CAST(nw - ndw AS DOUBLE) / nw AS dup_word_frac,
+           CAST(topc AS DOUBLE) / nw AS top_word_frac,
+           CASE WHEN nb = 0 THEN 0.0 ELSE CAST(nb - ndb AS DOUBLE) / nb END AS dup_bigram_frac,
+           (CAST(nw - ndw AS DOUBLE) / nw <= {_MAX_DUP_WORD_FRAC}
+            AND CAST(topc AS DOUBLE) / nw <= {_MAX_TOP_WORD_FRAC}) AS passes_repetition_filter
+    FROM counts
     """,
     "Gopher-style repetition quality signals per document: duplicate-word "
     "fraction, most-frequent-word fraction, duplicate-bigram fraction, and "
@@ -98,33 +99,47 @@ _MAX_TOP_WORD_FRAC = 0.3
     "pipeline applies after dedup. All ratios are exact-integer counts over "
     "one IEEE double divide, so both engines agree bit-for-bit. Scale: "
     "pure map-side projection, zero shuffles; the per-doc mode is computed "
-    "on the (short) token array, never via a global explode.",
+    "on the (short) token array, never via a global explode, and every "
+    "higher-order-function count is evaluated ONCE in a staged projection "
+    "(HOF lambdas get no common-subexpression elimination -- repeating "
+    "them in the gate column measured 3x slower).",
 )
 def repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = "split(text, ' ')"
-    bg = (
-        f"transform(sequence(1, size({w}) - 1), "
-        f"i -> concat(element_at({w}, i), ' ', element_at({w}, i + 1)))"
-    )
-    dup_word = f"CAST(size({w}) - size(array_distinct({w})) AS DOUBLE) / size({w})"
-    top_word = (
-        f"CAST(array_max(transform(array_distinct({w}), "
-        f"x -> size(filter({w}, y -> y = x)))) AS DOUBLE) / size({w})"
-    )
-    dup_bigram = (
-        f"CASE WHEN size({bg}) = 0 THEN 0.0D "
-        f"ELSE CAST(size({bg}) - size(array_distinct({bg})) AS DOUBLE) / size({bg}) END"
-    )
-    return docs.select(
+    arrs = docs.select(
         "doc_id",
-        F.expr(f"size({w})").cast("long").alias("n_tokens"),
-        F.expr(dup_word).alias("dup_word_frac"),
-        F.expr(top_word).alias("top_word_frac"),
-        F.expr(dup_bigram).alias("dup_bigram_frac"),
+        F.expr("split(text, ' ')").alias("w"),
+        F.expr("array_distinct(split(text, ' '))").alias("dw"),
         F.expr(
-            f"({dup_word}) <= {_MAX_DUP_WORD_FRAC} AND ({top_word}) <= {_MAX_TOP_WORD_FRAC}"
-        ).alias("passes_repetition_filter"),
+            "transform(sequence(1, size(split(text, ' ')) - 1), "
+            "i -> concat(element_at(split(text, ' '), i), ' ', "
+            "element_at(split(text, ' '), i + 1)))"
+        ).alias("bg"),
+    )
+    counts = arrs.select(
+        "doc_id",
+        F.expr("size(w)").cast("long").alias("nw"),
+        F.expr("size(dw)").cast("long").alias("ndw"),
+        F.expr("array_max(transform(dw, x -> size(filter(w, y -> y = x))))")
+        .cast("long")
+        .alias("topc"),
+        F.expr("size(bg)").cast("long").alias("nb"),
+        F.expr("size(array_distinct(bg))").cast("long").alias("ndb"),
+    )
+    dup_word = (F.col("nw") - F.col("ndw")).cast("double") / F.col("nw")
+    top_word = F.col("topc").cast("double") / F.col("nw")
+    dup_bigram = F.when(F.col("nb") == 0, F.lit(0.0)).otherwise(
+        (F.col("nb") - F.col("ndb")).cast("double") / F.col("nb")
+    )
+    return counts.select(
+        "doc_id",
+        F.col("nw").alias("n_tokens"),
+        dup_word.alias("dup_word_frac"),
+        top_word.alias("top_word_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+        ((dup_word <= _MAX_DUP_WORD_FRAC) & (top_word <= _MAX_TOP_WORD_FRAC)).alias(
+            "passes_repetition_filter"
+        ),
     )
 
 
