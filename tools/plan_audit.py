@@ -34,7 +34,10 @@ STREAMING = {
 #                             (q15's analogue converts to a hash join because
 #                             its filter is an equality; q11's is >)
 #   temperature_resample_weights -- same shape: 1-row normalizer broadcast
+#   pagerank_trade_graph   -- same shape: 1-row node-count broadcast cross,
+#                             once per unrolled iteration
 NLJ_ALLOWED = {
+    "pagerank_trade_graph",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "range_window_filter",
