@@ -41,12 +41,19 @@ _DRIVER_WINDOW_PRIORITY = [
     "q16_supplier_part_counts",
     "q19_bracket_revenue",
     "q22_dormant_customers",
-    # -- new this round (r6): remaining TPC-H shapes, locally gate-green
+    # -- new this round (r6), locally gate-green: remaining TPC-H shapes,
+    #    pretraining-pipeline ops, band join, PageRank
     "q11_important_stock",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
+    "benchmark_decontamination",
+    "repetition_quality_signals",
+    "pack_sequences",
+    "temperature_resample_weights",
+    "value_band_join",
+    "pagerank_trade_graph",
     # -- last driver row r3; rotated back in to re-prove on current fixtures
     "salted_hot_key_agg",
     "q5_star_join_volume",
@@ -56,15 +63,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "q6_forecast_revenue",
     "streaming_enrichment_join",
     "semi_anti_join_cohorts",
-    "cube_agg",
-    "pivot_agg",
     "profile_columns",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "top_k_per_group",
-    "set_ops_users",
-    "distinct_agg",
-    "avg_agg",
+    # (top_k_per_group / set_ops_users / distinct_agg / avg_agg / cube_agg /
+    #  pivot_agg: r3-driver-green simple shapes, re-proven against the local
+    #  gate this round -- rotated out to give the six r6 queries driver rows)
     "pipeline_enriched_agg",
     "kafka_envelope_roundtrip",
     "kafka_loopback_seek",
