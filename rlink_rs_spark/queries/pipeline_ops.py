@@ -163,7 +163,7 @@ _CTX_LEN = 256  # training context length in (whitespace) tokens
       FROM sized
     )
     SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n) AS total_tokens
+           CAST(SUM(n) AS BIGINT) AS total_tokens
     FROM packed GROUP BY lang, bin
     """,
     "Greedy concat-and-chop sequence packing: documents stream in doc_id "

@@ -25,6 +25,10 @@ ORACLED = [
     "token_count_bpe",
     "rolling_hash_fingerprint",
     "multimodal_binary_features",
+    "benchmark_decontamination",
+    "repetition_quality_signals",
+    "pack_sequences",
+    "temperature_resample_weights",
 ]
 
 
