@@ -514,3 +514,131 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def l2_chain_expr(a: str, b: str, dims: int, base: int) -> str:
+    """Balanced sum of squared differences (exact-bit shared with the
+    DuckDB oracle, like dot_chain_expr)."""
+    terms = []
+    for i in range(dims):
+        d = f"(CAST({a}[{i + base}] AS DOUBLE) - CAST({b}[{i + base}] AS DOUBLE))"
+        terms.append(f"({d} * {d})")
+    return _balanced_sum(terms)
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    m_sub: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (FAISS IndexPQ shape), completing the ANN
+    family next to IVF (coarse cells), SQ8 (scalar codes), and GEMM (exact
+    fast path): the vector splits into m_sub subspaces, each quantized to
+    one of ksub per-subspace centroids, so a 64-dim float vector becomes
+    m_sub small codes (here 4 codes = 4 bytes -- 64x smaller than float64).
+    Query scoring is asymmetric distance computation (ADC): per query, a
+    (m_sub x ksub) lookup table of exact subspace L2 distances to every
+    centroid; a vector's approximate distance is the sum of its codes'
+    table entries.
+
+    Dataflow (all subspaces train in ONE shuffle per step, not m_sub
+    loops): explode each vector into (id, m, subvector); k-means init =
+    first ksub ids' subvectors; per iteration one broadcast-codebook join
+    + min(struct) argmin + integer-power-sum centroid means (bit-identical
+    across engines, same contract as train_ivf_codebook). Codes and the
+    query LUT come from the same argmin join; per-(query, m, cell) LUT
+    distances are rounded to 1e-9-scale BIGINTs BEFORE the per-pair sum,
+    so the ADC total is order-independent exact integer arithmetic and
+    the DuckDB oracle value-hash matches.
+
+    At 100 TB: codes storage is m_sub bytes/vector; scoring is a
+    broadcast-LUT equi-join on (m, code) + one map-side-combined sum --
+    the corpus never shuffles; train the codebook on a hash-sample and
+    persist like the IVF artifact."""
+    dsub = dims // m_sub
+
+    def subvecs(df: DataFrame, idn: str) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.expr(f"slice({vec_col}, {m * dsub + 1}, {dsub})").alias("sv"),
+                )
+                for m in range(m_sub)
+            ]
+        )
+        return df.select(F.col(id_col).alias(idn), F.explode(structs).alias("x")).select(
+            idn, F.col("x.m").alias("m"), F.col("x.sv").alias("sv")
+        )
+
+    sv = subvecs(vectors, "vid")
+    l2 = F.expr(l2_chain_expr("sv", "cv", dsub, 0))
+    cents = sv.where(F.col("vid") < ksub).select(
+        "m", F.col("vid").cast("long").alias("cell_id"), F.col("sv").alias("cv")
+    )
+    ivq = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(ROUND(CAST(sv[{d}] AS DOUBLE) * 1e6) AS BIGINT)" for d in range(dsub)
+        )
+        + ")"
+    )
+    svq = sv.select("vid", "m", ivq.alias("iv"))
+    sum_aliases = [f"s{d}" for d in range(dsub)]
+    for _ in range(iters):
+        scored = sv.join(F.broadcast(cents), "m").select(
+            "vid", "m", "cell_id", l2.alias("d2")
+        )
+        assign = (
+            scored.groupBy("vid", "m")
+            .agg(F.min(F.struct(F.col("d2"), F.col("cell_id"))).alias("mn"))
+            .select("vid", "m", F.col("mn.cell_id").alias("cell_id"))
+        )
+        sums = (
+            assign.join(svq, ["vid", "m"])
+            .groupBy("m", "cell_id")
+            .agg(
+                F.count("*").alias("cnt"),
+                *[F.sum(F.col("iv")[d]).alias(sum_aliases[d]) for d in range(dsub)],
+            )
+        )
+        cents = sums.select(
+            "m",
+            "cell_id",
+            F.array(*[F.expr(mean_expr(a)) for a in sum_aliases]).alias("cv"),
+        )
+    cents = cents.cache()  # trained codebook: reused by codes AND the LUT
+    coded = sv.join(F.broadcast(cents), "m").select("vid", "m", "cell_id", l2.alias("d2"))
+    codes = (
+        coded.groupBy("vid", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cell_id"))).alias("mn"))
+        .select("vid", "m", F.col("mn.cell_id").alias("code"))
+    )
+    qsv = subvecs(queries, "query_id")
+    lut = qsv.join(F.broadcast(cents), "m").select(
+        "query_id", "m", "cell_id", F.round(l2 * 1e9).cast("long").alias("d2i")
+    )
+    pairs = codes.join(
+        F.broadcast(lut), (codes.m == lut.m) & (codes.code == lut.cell_id)
+    )
+    dist = pairs.groupBy("query_id", F.col("vid").alias("neighbor_id")).agg(
+        F.sum("d2i").alias("di")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("di").asc(), F.col("neighbor_id").asc())
+    return (
+        dist.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("di").cast("double") / 1e9).alias("adc_dist"),
+            "rank",
+        )
+    )

@@ -335,3 +335,106 @@ def cosine_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_topk_sq(
         emb, queries, dims=_DIMS, k=_K, scale=_SQ_SCALE, n_planes=_N_PLANES
     ).select("query_id", "neighbor_id", "cosine_q", "rank")
+
+
+# --- product quantization (FAISS IndexPQ shape) ------------------------------
+
+from rlink_rs_spark.operators.similarity import l2_chain_expr, mean_expr  # noqa: E402
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS = 4, 16, 1
+_PQ_DSUB = _DIMS // _PQ_M
+
+
+def _pq_oracle() -> str:
+    dsub = _PQ_DSUB
+    l2 = l2_chain_expr("s.sv", "c.cv", dsub, 1)
+    sub_selects = "\nUNION ALL\n".join(
+        f"SELECT vec_id AS vid, {m} AS m,"
+        f" embedding[{m * dsub + 1}:{(m + 1) * dsub}] AS sv FROM embeddings"
+        for m in range(_PQ_M)
+    )
+    sums = ",\n         ".join(
+        f"SUM(CAST(ROUND(CAST(s.sv[{d + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s{d}"
+        for d in range(dsub)
+    )
+    means = ", ".join(mean_expr(f"s{d}") for d in range(dsub))
+    parts = [
+        f"sv AS (\n{sub_selects}\n)",
+        f"c0 AS (SELECT m, CAST(vid AS BIGINT) AS cell_id, sv AS cv FROM sv WHERE vid < {_PQ_KSUB})",
+    ]
+    prev = "c0"
+    for t in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"a{t}s AS (\n"
+            f"  SELECT s.vid, s.m, c.cell_id, {l2} AS d2\n"
+            f"  FROM sv s JOIN {prev} c ON c.m = s.m\n)"
+        )
+        parts.append(
+            f"a{t} AS (\n"
+            f"  SELECT vid, m, cell_id FROM (\n"
+            f"    SELECT vid, m, cell_id, ROW_NUMBER() OVER (PARTITION BY vid, m"
+            f" ORDER BY d2 ASC, cell_id ASC) AS rn FROM a{t}s\n  ) WHERE rn = 1\n)"
+        )
+        parts.append(
+            f"s{t} AS (\n"
+            f"  SELECT a.m, a.cell_id, CAST(COUNT(*) AS BIGINT) AS cnt,\n         {sums}\n"
+            f"  FROM a{t} a JOIN sv s ON s.vid = a.vid AND s.m = a.m\n"
+            f"  GROUP BY a.m, a.cell_id\n)"
+        )
+        parts.append(f"c{t} AS (SELECT m, cell_id, [{means}] AS cv FROM s{t})")
+        prev = f"c{t}"
+    parts.append(
+        f"cds AS (\n  SELECT s.vid, s.m, c.cell_id, {l2} AS d2\n"
+        f"  FROM sv s JOIN {prev} c ON c.m = s.m\n)"
+    )
+    parts.append(
+        "codes AS (\n  SELECT vid, m, cell_id AS code FROM (\n"
+        "    SELECT vid, m, cell_id, ROW_NUMBER() OVER (PARTITION BY vid, m"
+        " ORDER BY d2 ASC, cell_id ASC) AS rn FROM cds\n  ) WHERE rn = 1\n)"
+    )
+    parts.append(
+        f"lut AS (\n  SELECT s.vid AS query_id, s.m, c.cell_id,\n"
+        f"         CAST(ROUND(({l2}) * 1e9) AS BIGINT) AS d2i\n"
+        f"  FROM sv s JOIN {prev} c ON c.m = s.m WHERE s.vid < {_N_QUERIES}\n)"
+    )
+    parts.append(
+        "dist AS (\n  SELECT l.query_id, k.vid AS neighbor_id,"
+        " CAST(SUM(l.d2i) AS BIGINT) AS di\n"
+        "  FROM codes k JOIN lut l ON l.m = k.m AND l.cell_id = k.code\n"
+        "  GROUP BY l.query_id, k.vid\n)"
+    )
+    parts.append(
+        "ranked AS (\n  SELECT query_id, neighbor_id, di,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY di ASC, neighbor_id ASC) AS rank\n"
+        "  FROM dist WHERE query_id <> neighbor_id\n)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT query_id, neighbor_id, CAST(di AS DOUBLE) / 1000000000.0 AS adc_dist, rank"
+        f"\nFROM ranked WHERE rank <= {_K}"
+    )
+
+
+@register(
+    "cosine_topk_pq",
+    _pq_oracle(),
+    f"Product-quantization ANN top-{_K} (FAISS IndexPQ shape), completing "
+    f"the family next to IVF/SQ8/GEMM: {_PQ_M} subspaces x {_PQ_KSUB} "
+    "centroids turn a 64-dim float vector into 4 one-byte codes (64x "
+    "smaller than float64); scoring is asymmetric distance computation "
+    "against a per-query (m, cell) lookup table. All subspace codebooks "
+    "train simultaneously in one exploded dataflow (per iteration: one "
+    "broadcast join + min-struct argmin + integer-power-sum means), and "
+    "LUT entries round to 1e-9-scale BIGINTs before the per-pair sum, so "
+    "the ADC total is order-independent and the unrolled DuckDB oracle "
+    "value-hash matches. 100 TB: codes are bytes per vector, the LUT "
+    "broadcasts, the corpus never shuffles.",
+)
+def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return sim_ops.pq_adc_topk(
+        emb, queries, dims=_DIMS, m_sub=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, k=_K
+    )

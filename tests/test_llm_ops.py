@@ -596,3 +596,84 @@ def test_temperature_weights_upweight_tail_languages(spark, sf_dir):
         raw_share = r.n_docs / total
         if raw_share < 1.0 / len(rows):
             assert r.weight >= raw_share, (r.lang, r.weight, raw_share)
+
+
+def test_pq_training_reduces_quantization_error(spark, sf_dir):
+    """Each PQ k-means iteration must reduce total quantization error
+    (sum over (vector, subspace) of min L2^2 to the codebook) vs the
+    untrained first-ksub init -- the trained-codebook witness, mirroring
+    the IVF objective test. Output shape: exactly k ranks per query."""
+    from pyspark.sql import functions as F
+
+    from rlink_rs_spark.operators.similarity import l2_chain_expr, pq_adc_topk
+    from rlink_rs_spark.queries.similarity import _DIMS, _K, _N_QUERIES, _PQ_DSUB, _PQ_KSUB, _PQ_M
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def mse(iters):
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.expr(f"slice(embedding, {m * _PQ_DSUB + 1}, {_PQ_DSUB})").alias("sv"),
+                )
+                for m in range(_PQ_M)
+            ]
+        )
+        sv = emb.select(F.col("vec_id").alias("vid"), F.explode(structs).alias("x")).select(
+            "vid", F.col("x.m").alias("m"), F.col("x.sv").alias("sv")
+        )
+        # rebuild the codebook exactly as pq_adc_topk does, at the given iters
+        from rlink_rs_spark.operators.similarity import mean_expr
+
+        cents = sv.where(F.col("vid") < _PQ_KSUB).select(
+            "m", F.col("vid").cast("long").alias("cell_id"), F.col("sv").alias("cv")
+        )
+        l2 = F.expr(l2_chain_expr("sv", "cv", _PQ_DSUB, 0))
+        ivq = F.expr(
+            "array("
+            + ", ".join(
+                f"CAST(ROUND(CAST(sv[{d}] AS DOUBLE) * 1e6) AS BIGINT)"
+                for d in range(_PQ_DSUB)
+            )
+            + ")"
+        )
+        svq = sv.select("vid", "m", ivq.alias("iv"))
+        aliases = [f"s{d}" for d in range(_PQ_DSUB)]
+        for _ in range(iters):
+            scored = sv.join(F.broadcast(cents), "m").select("vid", "m", "cell_id", l2.alias("d2"))
+            assign = (
+                scored.groupBy("vid", "m")
+                .agg(F.min(F.struct(F.col("d2"), F.col("cell_id"))).alias("mn"))
+                .select("vid", "m", F.col("mn.cell_id").alias("cell_id"))
+            )
+            sums = (
+                assign.join(svq, ["vid", "m"])
+                .groupBy("m", "cell_id")
+                .agg(
+                    F.count("*").alias("cnt"),
+                    *[F.sum(F.col("iv")[d]).alias(aliases[d]) for d in range(_PQ_DSUB)],
+                )
+            )
+            cents = sums.select(
+                "m", "cell_id", F.array(*[F.expr(mean_expr(a)) for a in aliases]).alias("cv")
+            )
+        best = (
+            sv.join(F.broadcast(cents), "m")
+            .select("vid", "m", l2.alias("d2"))
+            .groupBy("vid", "m")
+            .agg(F.min("d2").alias("d"))
+        )
+        return best.agg(F.sum("d")).collect()[0][0]
+
+    e0, e1 = mse(0), mse(1)
+    assert e1 < e0, f"training did not reduce quantization error: {e0} -> {e1}"
+
+    out = pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < _N_QUERIES), dims=_DIMS, k=_K
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert len(per_q) == _N_QUERIES
+    assert all(sorted(v) == list(range(1, _K + 1)) for v in per_q.values())
