@@ -29,6 +29,7 @@ ORACLED = [
     "repetition_quality_signals",
     "pack_sequences",
     "temperature_resample_weights",
+    "cosine_topk_pq",
 ]
 
 

@@ -14,6 +14,7 @@ WINDOWED = [
     "multi_key_window_agg",
     "pct_window_agg",
     "range_window_filter",
+    "moving_average_7d",
 ]
 
 
