@@ -552,3 +552,63 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+_DYN_GAP_ERR_MS, _DYN_GAP_STD_MS = 3_600_000, 1_800_000
+
+
+@register(
+    "dynamic_gap_sessions",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_ms(ts) AS t,
+             CASE WHEN event_type = 'error' THEN {_DYN_GAP_ERR_MS}
+                  ELSE {_DYN_GAP_STD_MS} END AS gap
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, value, t, gap,
+             MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM e
+    ), b AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR t > prev_end THEN 1 ELSE 0 END AS brk
+      FROM r
+    ), s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b
+    )
+    SELECT user_id,
+           MIN(t) AS session_start_ms,
+           MAX(t + gap) AS session_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {SUM_EXACT_SQL.format(col='value')} AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    "DYNAMIC-gap session windows: the gap is a per-row expression (error "
+    "events hold sessions open 60 min, others 30 min) -- "
+    "F.session_window(ts, CASE ...), the Spark-3.2+ generalization of the "
+    "fixed-gap session the reference lacks entirely. Oracle = gaps-and-"
+    "islands with a RUNNING MAX of per-row ends (a LAG against the "
+    "previous row is no longer sufficient once gaps vary). Scale: "
+    "identical to fixed-gap sessions -- one shuffle on the key, ordered "
+    "merge per key, state bounded by the open session.",
+)
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", "60 minutes").otherwise("30 minutes")
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("session_start_ms"),
+            F.unix_millis("session_window.end").alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )

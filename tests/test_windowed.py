@@ -15,6 +15,7 @@ WINDOWED = [
     "pct_window_agg",
     "range_window_filter",
     "moving_average_7d",
+    "dynamic_gap_sessions",
 ]
 
 
