@@ -464,3 +464,25 @@ def test_value_band_join_is_symmetric(spark, sf_dir):
     rows = REGISTRY["value_band_join"].fn(spark, sf_dir).collect()
     assert rows
     assert sum(r.near_peers for r in rows) % 2 == 0
+
+
+def test_every_oracled_query_has_a_local_witness():
+    """Meta-coverage guard: every registry query with an oracle must appear
+    in at least one pytest oracle-parity list OR the driver's 50-row
+    window -- so window rotation can never silently leave a query with no
+    active correctness witness."""
+    from rlink_rs_spark.queries import REGISTRY, _DRIVER_WINDOW_PRIORITY
+    from tests.test_llm_ops import ORACLED as llm
+    from tests.test_relational import RELATIONAL as rel
+    from tests.test_tpch import TPCH as tpch
+    from tests.test_windowed import WINDOWED as win
+
+    covered = set(llm) | set(rel) | set(tpch) | set(win) | set(_DRIVER_WINDOW_PRIORITY)
+    # streaming queries run through their own suite (tests/test_streaming.py
+    # replays them for real); they are witnessed there plus the window
+    streaming = {n for n in REGISTRY if n.startswith("streaming_") or n.startswith("stream_")}
+    missing = [
+        n for n, q in REGISTRY.items()
+        if q.oracle is not None and n not in covered and n not in streaming
+    ]
+    assert not missing, f"oracled queries with no active witness: {missing}"

@@ -30,6 +30,11 @@ ORACLED = [
     "pack_sequences",
     "temperature_resample_weights",
     "cosine_topk_pq",
+    "hash_sample_docs",
+    "train_test_split",
+    "vocab_top_terms",
+    "redact_numbers_props",
+    "stratified_sample_docs",
 ]
 
 

@@ -23,6 +23,11 @@ RELATIONAL = [
     "cube_agg",
     "pivot_agg",
     "profile_columns",
+    "python_datasource_scan",
+    "stats_agg",
+    "weekday_agg",
+    "exact_median",
+    "value_histogram",
 ]
 
 

@@ -10,6 +10,14 @@ import pytest
 from tests.helpers import run_query_vs_oracle
 
 TPCH = [
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
     "q11_important_stock",
     "q15_top_supplier",
     "q16_supplier_part_counts",
