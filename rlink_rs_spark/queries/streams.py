@@ -612,3 +612,67 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "streaming_dynamic_gap_sessions",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_id, value, epoch_ms(ts) AS t,
+             CASE WHEN event_type = 'error' THEN {_DYN_GAP_ERR_MS}
+                  ELSE {_DYN_GAP_STD_MS} END AS gap
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, value, t, gap,
+             MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_end
+      FROM e
+    ), b AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR t > prev_end THEN 1 ELSE 0 END AS brk
+      FROM r
+    ), s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b
+    ), agg AS (
+      SELECT user_id,
+             MIN(t) AS session_start_ms,
+             MAX(t + gap) AS session_end_ms,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             {SUM_EXACT_SQL.format(col='value')} AS sum_value
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT * FROM agg
+    WHERE session_end_ms < (SELECT epoch_ms(MAX(ts)) - {_DELAY_MS} FROM events)
+    """,
+    "DYNAMIC-gap session windows AS A STREAM: per-row gap expression "
+    "(errors 60 min, others 30) under withWatermark + append mode -- the "
+    "state store merges variable-length session fragments across "
+    "micro-batches and emits once the watermark passes each session's "
+    "end. Oracle = the batch dynamic-gap gaps-and-islands (running max of "
+    "per-row ends) restricted to watermark-closed sessions -- streaming "
+    "converges exactly to batch on bounded input.",
+)
+def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    gap = F.when(F.col("event_type") == "error", "60 minutes").otherwise("30 minutes")
+    agg = (
+        src.withWatermark("ts", f"{_DELAY_MS} milliseconds")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("session_window.start").alias("session_start_ms"),
+            F.unix_millis("session_window.end").alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, shuffle_partitions=8)
