@@ -322,6 +322,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def exact_substring_coverage(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+    max_dup_frac: float = 0.5,
+) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2021): flag every k-token
+    span occurring in >= min_docs distinct documents, then per document
+    count token positions covered by at least one flagged span and gate on
+    covered fraction <= max_dup_frac. Output: (id, n_tokens, dup_tokens,
+    dup_frac, keep).
+
+    The paper's suffix array is re-expressed as a positions-aware k-gram
+    inverted index: spans md5-hash to narrow 32-char keys before the
+    shuffle, only the duplicated-span subset joins back to the postings,
+    and the coverage union is a distinct over at most k x the duplicated
+    rows. All-pairs document comparison is never formed. Mirrors the
+    reference's dataflow style (flat_map -> key_by -> reduce,
+    rlink/src/core/function.rs) as pure expression pipelines.
+    """
+    t = "__t"
+    parts = " , ' ', ".join(f"{t}[i + {j}]" for j in range(k))
+    # 0-based posexplode start + 1 == the DuckDB oracle's 1-based range index
+    gram_expr = (
+        f"CASE WHEN size({t}) >= {k} "
+        f"THEN transform(sequence(0, size({t}) - {k}), i -> concat({parts})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    g = (
+        docs.select(F.col(id_col), tokens_col(text_col).alias(t))
+        .select(F.col(id_col), F.posexplode(F.expr(gram_expr)).alias("p0", "gram"))
+        .select(
+            id_col,
+            (F.col("p0") + 1).cast("long").alias("pos"),
+            F.md5(F.col("gram").cast("binary")).alias("gram_h"),
+        )
+    )
+    dup = (
+        g.groupBy("gram_h")
+        .agg(F.count_distinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram_h")
+    )
+    cov = (
+        g.join(dup, "gram_h")
+        .select(
+            id_col,
+            F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("covpos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    sized = docs.select(
+        F.col(id_col), F.size(tokens_col(text_col)).cast("long").alias("n_tokens")
+    )
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    dup_frac = dup_tokens.cast("double") / F.col("n_tokens")
+    return sized.join(cov, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        dup_tokens.alias("dup_tokens"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac <= max_dup_frac).alias("keep"),
+    )
+
+
 # --- dedup clusters (connected components) -----------------------------------
 
 def connected_components(

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from rlink_rs_spark.operators.dedup import shingles_sql, with_shingles
+from rlink_rs_spark.operators.dedup import (
+    exact_substring_coverage,
+    shingles_sql,
+    with_shingles,
+)
 from rlink_rs_spark.queries.base import register
 from rlink_rs_spark.tables import load_table
 
@@ -191,6 +195,118 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.groupBy("lang", "bin").agg(
         F.count("*").alias("n_docs"), F.sum("n").alias("total_tokens")
+    )
+
+
+# --- deterministic training shuffle + sharding -------------------------------
+
+_SHUF_SEED = 42
+_N_SHARDS = 8
+
+
+@register(
+    "training_shuffle_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuffle:{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id, h % {_N_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % {_N_SHARDS} ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    "Deterministic global training shuffle + sharding: each document gets a "
+    f"seeded 60-bit md5 hash, shard = hash % {_N_SHARDS}, and a position "
+    "within its shard by hash order -- the reproducible 'shuffle the corpus "
+    "before training' step, stable across re-runs and partitionings (the "
+    "order is a pure function of (seed, doc_id), never of physical layout). "
+    "Scale: the hash is map-side; ordering is PER SHARD (thousands of "
+    "shards in a real corpus), so each sort is partition-local after one "
+    "hash-partitioned exchange -- there is never a global sort of the "
+    "corpus, and shard files stream out independently.",
+)
+def training_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"shuffle:{_SHUF_SEED}:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = docs.select("doc_id", h.alias("h")).withColumn(
+        "shard", F.pmod(F.col("h"), F.lit(_N_SHARDS))
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+# --- exact-substring dedup signal (Lee et al. 2021) ---------------------------
+
+_SUB_K = 8  # token-span length flagged when repeated across documents
+_SUB_MIN_DOCS = 2  # "duplicated" = the span occurs in >= this many distinct docs
+_SUB_MAX_DUP_FRAC = 0.5  # keep gate: at most this fraction of tokens duplicated
+
+
+def _span_grams_sql(k: int) -> str:
+    """DuckDB fragment: (doc_id, pos, gram_h) for every k-token span start
+    (1-based pos), gram keyed by md5. Twin of the posexplode construction."""
+    lst = "string_split(text, ' ')"
+    parts = " || ' ' || ".join(f"{lst}[pos + {j}]" for j in range(k))
+    return (
+        f"SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5({parts}) AS gram_h FROM ("
+        f"SELECT doc_id, text, unnest(range(1, len({lst}) - {k - 2})) AS pos "
+        f"FROM documents)"
+    )
+
+
+@register(
+    "exact_substring_dedup",
+    f"""
+    WITH g AS ({_span_grams_sql(_SUB_K)}),
+    dup AS (
+      SELECT gram_h FROM g GROUP BY gram_h
+      HAVING COUNT(DISTINCT doc_id) >= {_SUB_MIN_DOCS}
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.pos + o.o AS covpos
+      FROM g JOIN dup USING (gram_h) CROSS JOIN range({_SUB_K}) o(o)
+    ),
+    percov AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id
+    ),
+    sized AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT s.doc_id, s.n_tokens,
+           COALESCE(percov.dup_tokens, 0) AS dup_tokens,
+           CAST(COALESCE(percov.dup_tokens, 0) AS DOUBLE) / s.n_tokens AS dup_frac,
+           CAST(COALESCE(percov.dup_tokens, 0) AS DOUBLE) / s.n_tokens
+             <= {_SUB_MAX_DUP_FRAC} AS keep
+    FROM sized s LEFT JOIN percov ON s.doc_id = percov.doc_id
+    """,
+    "Exact-substring dedup signal (Lee et al. 2021, 'Deduplicating Training "
+    f"Data Makes Language Models Better'): any {_SUB_K}-token span occurring "
+    f"in >= {_SUB_MIN_DOCS} distinct documents is duplicated text; per doc, "
+    "count the token positions covered by at least one duplicated span and "
+    f"gate on duplicated fraction <= {_SUB_MAX_DUP_FRAC}. The suffix-array "
+    "step of the paper re-expressed as a positions-aware k-gram inverted "
+    "index. Scale: spans are hashed to 32-char md5 keys before the shuffle "
+    "(narrow rows), the duplicated-span set is the ONLY thing joined back "
+    "(a tiny fraction of the corpus), coverage union is a distinct over at "
+    f"most {_SUB_K}x the duplicated-span rows, and every aggregate is "
+    "map-side combined; all-pairs document comparison is never formed.",
+)
+def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_coverage(
+        docs, k=_SUB_K, min_docs=_SUB_MIN_DOCS, max_dup_frac=_SUB_MAX_DUP_FRAC
     )
 
 

@@ -30,6 +30,8 @@ ORACLED = [
     "pack_sequences",
     "temperature_resample_weights",
     "cosine_topk_pq",
+    "training_shuffle_shards",
+    "exact_substring_dedup",
     "hash_sample_docs",
     "train_test_split",
     "vocab_top_terms",
@@ -602,6 +604,79 @@ def test_temperature_weights_upweight_tail_languages(spark, sf_dir):
         raw_share = r.n_docs / total
         if raw_share < 1.0 / len(rows):
             assert r.weight >= raw_share, (r.lang, r.weight, raw_share)
+
+
+def test_training_shuffle_contiguous_stable_and_complete(spark, sf_dir):
+    """Every document appears exactly once, per-shard positions are a
+    contiguous 1..n sequence, and the assignment is a pure function of
+    (seed, doc_id): recomputing from a repartitioned/reordered input
+    yields the identical (doc_id, shard, pos) triples."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["training_shuffle_shards"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+    # physical-layout independence: recompute over a shuffled 3-partition copy
+    from rlink_rs_spark.queries.pipeline_ops import training_shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents").repartition(3, "lang")
+    docs.createOrReplaceTempView("__shuffle_probe")
+    again = {
+        (r.doc_id, r.shard, r.pos)
+        for r in training_shuffle_shards(spark, sf_dir).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_exact_substring_coverage_on_planted_corpus(spark):
+    """Two docs sharing exactly one k-token span each get dup_tokens == k
+    (span at distinct offsets); an unrelated doc gets 0; a short doc
+    (< k tokens) yields 0 coverage instead of erroring; overlapping
+    duplicated spans count covered positions once (union, not sum)."""
+    from rlink_rs_spark.operators.dedup import exact_substring_coverage
+
+    shared = "q w e r t y u i"  # 8 tokens, the k=8 span both docs contain
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {shared} d e f"),
+            (2, f"{shared} z z z z z z z z"),
+            (3, "m n o p m n o p m n o p"),  # self-repetition only: not cross-doc
+            (4, "tiny doc"),
+            # 5/6 share NINE tokens -> two overlapping duplicated 8-spans,
+            # but coverage must count the 9 distinct positions, not 16
+            (5, "q w e r t y u i j k k k k k k k"),
+            (6, "x x x x q w e r t y u i j y y y"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in exact_substring_coverage(docs, k=8).collect()}
+    assert out[1].dup_tokens == 8 and out[2].dup_tokens == 8
+    assert out[3].dup_tokens == 0 and out[3].keep
+    assert out[4].dup_tokens == 0 and out[4].n_tokens == 2
+    assert out[5].dup_tokens == 9 and out[6].dup_tokens == 9
+    assert out[2].dup_frac == 0.5 and out[2].keep  # gate boundary (<=) is keep
+    assert not out[6].keep  # 9/16 > 0.5
+
+
+def test_exact_substring_dedup_flags_planted_near_dups(spark, sf_dir):
+    """The fixture's planted near-dup docs must surface: some docs carry
+    duplicated spans, every coverage count is bounded by n_tokens, and
+    keep mirrors the gate."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.pipeline_ops import _SUB_MAX_DUP_FRAC
+
+    rows = REGISTRY["exact_substring_dedup"].fn(spark, sf_dir).collect()
+    assert any(r.dup_tokens > 0 for r in rows), "no duplicated spans found"
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.n_tokens
+        assert r.keep == (r.dup_frac <= _SUB_MAX_DUP_FRAC)
 
 
 def test_pq_training_reduces_quantization_error(spark, sf_dir):
