@@ -103,6 +103,75 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dims: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space with a
+    trained k-means codebook, then mark semantic duplicates WITHIN each
+    cluster -- a vector is dropped iff some same-cluster vector with higher
+    keep-priority has cosine >= threshold to it. Keep-priority follows the
+    paper's diversity rule: the member FARTHEST from its centroid (lowest
+    centroid-cosine) wins, id ASC breaking exact ties, which makes the
+    declarative drop set order-independent (the paper's sequential greedy
+    is replaced by an exists-higher-priority-duplicate predicate).
+    Output: (id, cell_id, centroid_cosine, keep).
+
+    Scale: the codebook broadcasts and assignment is one map-side
+    argmax (map-side-combined max(struct)); the pairwise stage is an
+    equi-join ON cell_id only -- quadratic within a cluster but SemDeDup's
+    deployment contract is #clusters grows with the corpus so cluster
+    occupancy stays bounded (the paper uses 50k clusters for LAION);
+    all-pairs across clusters is never formed."""
+    cos_vc = F.expr(cosine_expr("v", "cv", dims, base=0))
+    scored = (
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(codebook))
+        .select("vid", "cell_id", cos_vc.alias("c"))
+    )
+    # same argmax-by-max(struct) assignment (and tie-break) as cosine_topk_ivf
+    assign = (
+        scored.groupBy("vid")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("cell_id")).alias("negc"))).alias("m"))
+        .select(
+            "vid",
+            (-F.col("m.negc")).cast("long").alias("cell_id"),
+            F.col("m.c").alias("ccos"),
+        )
+    )
+    withv = assign.join(
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")), "vid"
+    )
+    a = withv.select(
+        F.col("vid").alias("id_a"), "cell_id", F.col("ccos").alias("ca"), F.col("v").alias("va")
+    )
+    b = withv.select(
+        F.col("vid").alias("id_b"), "cell_id", F.col("ccos").alias("cb"), F.col("v").alias("vb")
+    )
+    higher_priority = (F.col("ca") < F.col("cb")) | (
+        (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    pair_cos = F.expr(cosine_expr("va", "vb", dims, base=0))
+    dropped = (
+        a.join(b, "cell_id")
+        .where((F.col("id_a") != F.col("id_b")) & higher_priority)
+        .where(pair_cos >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return assign.join(dropped, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        "cell_id",
+        F.col("ccos").alias("centroid_cosine"),
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     dims: int,

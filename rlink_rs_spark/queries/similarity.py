@@ -256,6 +256,71 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
+_SEM_THR = 0.35  # same planted-near-dup percentile as embedding_cosine_near_dup
+
+_SEM_PAIR_COS = cosine_expr("va.embedding", "vb.embedding", _DIMS, base=1)
+
+_SEMDEDUP_ORACLE = f"""
+WITH {{kmeans}},
+assign_scored AS (
+  SELECT v.vec_id AS vid, c.cell_id, {_IVF_ASSIGN_COS} AS cs
+  FROM embeddings v CROSS JOIN cents c
+),
+assign AS (
+  SELECT vid, cell_id, cs FROM (
+    SELECT vid, cell_id, cs,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+    FROM assign_scored
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vid
+  FROM assign a JOIN assign b
+    ON a.cell_id = b.cell_id AND a.vid <> b.vid
+   AND (a.cs < b.cs OR (a.cs = b.cs AND a.vid < b.vid))
+  JOIN embeddings va ON va.vec_id = a.vid
+  JOIN embeddings vb ON vb.vec_id = b.vid
+  WHERE ({_SEM_PAIR_COS}) >= {{thr}}
+)
+SELECT a.vid AS vec_id, a.cell_id, a.cs AS centroid_cosine,
+       d.vid IS NULL AS keep
+FROM assign a LEFT JOIN dropped d ON d.vid = a.vid
+""".format(kmeans="{kmeans}", thr=_SEM_THR)
+
+
+@register(
+    "semantic_dedup",
+    _SEMDEDUP_ORACLE.format(kmeans=_ivf_kmeans_ctes(_IVF_ITERS)),
+    "SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings with the "
+    "SAME persisted IVF codebook the ANN queries probe, then within each "
+    "cluster drop any vector having a higher-keep-priority semantic "
+    f"duplicate at cosine >= {_SEM_THR}; priority keeps the member "
+    "FARTHEST from its centroid (the paper's diversity rule), made "
+    "order-independent as an exists-higher-priority-duplicate predicate. "
+    "Scale: broadcast codebook + map-side argmax assignment; the pairwise "
+    "stage equi-joins on cell_id only, and cluster occupancy stays bounded "
+    "because #clusters grows with the corpus (50k for LAION in the paper).",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = sim_ops.load_or_train_ivf_codebook(
+        spark,
+        emb,
+        dims=_DIMS,
+        cache_dir=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "artifacts",
+            "ivf_codebooks",
+        ),
+        fingerprint=_embeddings_fingerprint(sf_dir),
+        n_cells=_IVF_CELLS,
+        iters=_IVF_ITERS,
+    )
+    return sim_ops.semantic_dedup(emb, codebook, dims=_DIMS, threshold=_SEM_THR)
+
+
 @register(
     "cosine_topk_gemm",
     None,  # rows-only gate: float64 GEMM sums in a different order than the

@@ -30,6 +30,7 @@ ORACLED = [
     "pack_sequences",
     "temperature_resample_weights",
     "cosine_topk_pq",
+    "semantic_dedup",
     "training_shuffle_shards",
     "exact_substring_dedup",
     "hash_sample_docs",
@@ -677,6 +678,39 @@ def test_exact_substring_dedup_flags_planted_near_dups(spark, sf_dir):
     for r in rows:
         assert 0 <= r.dup_tokens <= r.n_tokens
         assert r.keep == (r.dup_frac <= _SUB_MAX_DUP_FRAC)
+
+
+def test_semantic_dedup_kept_set_is_mutually_dissimilar(spark, sf_dir):
+    """After SemDeDup, no two KEPT vectors in the same cluster may still be
+    semantic duplicates (one of any such pair has higher priority and would
+    have dropped the other); the highest-priority member of every cluster
+    is always kept; and the fixture's planted similar pairs produce drops."""
+    import numpy as np
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.similarity import _SEM_THR
+
+    rows = REGISTRY["semantic_dedup"].fn(spark, sf_dir).collect()
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert any(not r.keep for r in rows), "no semantic duplicates dropped"
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    for cell, members in by_cell.items():
+        # paper's diversity rule: farthest-from-centroid member always kept
+        top = min(members, key=lambda r: (r.centroid_cosine, r.vec_id))
+        assert top.keep, (cell, top.vec_id)
+        kept = [r for r in members if r.keep]
+        for i, ra in enumerate(kept):
+            va = vecs[ra.vec_id]
+            for rb in kept[i + 1 :]:
+                vb = vecs[rb.vec_id]
+                cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                # 1e-6 margin tolerates numpy-vs-chain summation order
+                assert cos < _SEM_THR + 1e-6, (cell, ra.vec_id, rb.vec_id, cos)
 
 
 def test_pq_training_reduces_quantization_error(spark, sf_dir):
