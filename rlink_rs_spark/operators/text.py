@@ -141,3 +141,52 @@ def train_bpe_merges(docs, text_col: str = "text", n_merges: int = 4):
     return spark.createDataFrame(
         merges, schema="iteration int, left_sym string, right_sym string, pair_count long"
     )
+
+
+def apply_bpe_token_counts(docs, merges, text_col: str = "text", id_col: str = "doc_id"):
+    """Tokenize the corpus with a TRAINED merge table (the deployment face
+    of train_bpe_merges): per word, start from characters and apply each
+    merge rule in training order as the same separator-anchored
+    left-to-right non-overlapping replace used during training, then count
+    the resulting symbols. Emits (id, n_words, n_bpe_tokens, bpe_per_word).
+
+    ``merges`` is the collected rule list [(left_sym, right_sym), ...] in
+    iteration order -- a tokenizer artifact is KBs, so the rules embed as
+    literals in ONE map-side expression: tokenization is a zero-shuffle
+    projection at any corpus size (the reference's flat_map shape,
+    rlink/src/core/function.rs:60-76). The whole pipeline is built as a
+    staged projection so each higher-order-function evaluates once."""
+    sep = "chr(31)"
+    sep2 = f"concat({sep}, {sep})"
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    # SEP || c1 || SEP SEP || c2 || ... || SEP  (anchored char string)
+    anchored = (
+        f"concat({sep}, array_join(transform(sequence(1, length(w)), "
+        f"i -> substring(w, i, 1)), {sep2}), {sep})"
+    )
+    applied = anchored
+    for l, r in merges:
+        pat = f"concat({sep}, {lit(l)}, {sep2}, {lit(r)}, {sep})"
+        rep = f"concat({sep}, {lit(l + r)}, {sep})"
+        applied = f"replace({applied}, {pat}, {rep})"
+    # inner transform materializes each word's merged string ONCE; the outer
+    # lambda only counts symbols in it
+    symcnt = f"CAST(size(split(substring(s, 2, length(s) - 2), {sep2})) AS BIGINT)"
+    words = F.expr(f"filter(split({text_col}, ' '), w -> w != '')")
+    staged = docs.select(F.col(id_col), words.alias("__ws")).select(
+        id_col,
+        F.expr("size(__ws)").cast("long").alias("n_words"),
+        F.expr(
+            f"aggregate(transform(transform(__ws, w -> {applied}), s -> {symcnt}), "
+            f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("n_bpe_tokens"),
+    )
+    return staged.select(
+        id_col,
+        "n_words",
+        "n_bpe_tokens",
+        (F.col("n_bpe_tokens").cast("double") / F.col("n_words")).alias("bpe_per_word"),
+    )

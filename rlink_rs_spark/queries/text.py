@@ -450,14 +450,15 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 4
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled-iteration DuckDB mirror of train_bpe_merges (the same
-    technique as the IVF k-means oracle): per iteration, pair counts from
-    the previous symbol arrays, the argmax pair as a 1-row CTE, and the
-    merge applied via the shared left-to-right non-overlapping replace on
-    the separator-ANCHORED symbol string (`SEP sym SEP` per symbol, double
-    SEP between symbols) so the pattern `SEP l SEP SEP r SEP` matches only
-    whole symbols -- identical to train_bpe_merges' representation."""
+def _bpe_training_parts(n_merges: int) -> list[str]:
+    """CTE chain deriving the learned merge rules b1..bN (shared by the
+    training oracle and the tokenize-apply oracle): per iteration, pair
+    counts from the previous symbol arrays, the argmax pair as a 1-row
+    CTE, and the merge applied via the shared left-to-right
+    non-overlapping replace on the separator-ANCHORED symbol string
+    (`SEP sym SEP` per symbol, double SEP between symbols) so the pattern
+    `SEP l SEP SEP r SEP` matches only whole symbols -- identical to
+    train_bpe_merges' representation."""
     parts = [
         "w AS (\n"
         "  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq\n"
@@ -491,11 +492,53 @@ def _bpe_oracle(n_merges: int) -> str:
                 f"              || chr(31)) AS s2\n"
                 f"    FROM {prev})\n)"
             )
+    return parts
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-iteration DuckDB mirror of train_bpe_merges (the same
+    technique as the IVF k-means oracle)."""
+    parts = _bpe_training_parts(n_merges)
     selects = "\nUNION ALL\n".join(
         f"SELECT {t} AS iteration, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b{t}"
         for t in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+def _bpe_apply_oracle(n_merges: int) -> str:
+    """Tokenize-apply oracle: derive the merge rules with the SAME training
+    CTE chain, then apply them to every word of every document (anchored
+    replace chain in rule order) and count resulting symbols per doc."""
+    parts = _bpe_training_parts(n_merges)
+    rep = (
+        "chr(31) || array_to_string(list_transform(range(1, length(w)+1), "
+        "i -> substr(w, i, 1)), chr(31) || chr(31)) || chr(31)"
+    )
+    for t in range(1, n_merges + 1):
+        rep = (
+            f"replace({rep},\n"
+            f"  chr(31) || (SELECT l FROM b{t}) || chr(31) || chr(31)"
+            f" || (SELECT r FROM b{t}) || chr(31),\n"
+            f"  chr(31) || (SELECT l FROM b{t}) || (SELECT r FROM b{t}) || chr(31))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+wds AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+app AS (SELECT doc_id, {rep} AS s FROM wds WHERE w <> ''),
+cnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(string_split(substr(s, 2, length(s) - 2),
+                                   chr(31) || chr(31)))) AS BIGINT) AS n_bpe_tokens
+  FROM app GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_bpe_tokens,
+       CAST(n_bpe_tokens AS DOUBLE) / n_words AS bpe_per_word
+FROM cnt
+"""
+    )
 
 
 @register(
@@ -513,3 +556,24 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return train_bpe_merges(docs, n_merges=_BPE_MERGES)
+
+
+@register(
+    "bpe_tokenize_corpus",
+    _bpe_apply_oracle(_BPE_MERGES),
+    "Tokenize the whole corpus with the TRAINED BPE merge table (the "
+    "deployment face of bpe_train_merges): per word, apply each learned "
+    "rule in training order via the separator-anchored whole-symbol "
+    "replace, count resulting symbols per document. The merge table is a "
+    "KB-sized artifact embedded as literals in ONE map-side expression, "
+    "so tokenization is a zero-shuffle projection at any corpus size; "
+    "training cost is vocabulary-bounded and amortizes across runs. "
+    "Oracle re-derives the rules with the same unrolled CTE chain and "
+    "applies them per word.",
+)
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.text import apply_bpe_token_counts, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = train_bpe_merges(docs, n_merges=_BPE_MERGES).orderBy("iteration").collect()
+    return apply_bpe_token_counts(docs, [(r.left_sym, r.right_sym) for r in rules])

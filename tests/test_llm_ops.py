@@ -31,6 +31,7 @@ ORACLED = [
     "temperature_resample_weights",
     "cosine_topk_pq",
     "semantic_dedup",
+    "bpe_tokenize_corpus",
     "training_shuffle_shards",
     "exact_substring_dedup",
     "hash_sample_docs",
@@ -678,6 +679,44 @@ def test_exact_substring_dedup_flags_planted_near_dups(spark, sf_dir):
     for r in rows:
         assert 0 <= r.dup_tokens <= r.n_tokens
         assert r.keep == (r.dup_frac <= _SUB_MAX_DUP_FRAC)
+
+
+def test_bpe_tokenize_matches_sequential_reference(spark, sf_dir):
+    """Corpus tokenization must agree with a plain-Python sequential BPE
+    fold (chars -> apply each learned rule left-to-right non-overlapping
+    on whole symbols) on every document, and counts must satisfy
+    n_words <= n_bpe_tokens <= total chars."""
+    from rlink_rs_spark.operators.text import train_bpe_merges
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.text import _BPE_MERGES
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = [
+        (r.left_sym, r.right_sym)
+        for r in train_bpe_merges(docs, n_merges=_BPE_MERGES).orderBy("iteration").collect()
+    ]
+
+    def seq_bpe_count(word: str) -> int:
+        syms = list(word)
+        for l, r in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.doc_id: r for r in REGISTRY["bpe_tokenize_corpus"].fn(spark, sf_dir).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        words = [w for w in row.text.split(" ") if w]
+        expect = sum(seq_bpe_count(w) for w in words)
+        g = got[row.doc_id]
+        assert g.n_bpe_tokens == expect, (row.doc_id, g.n_bpe_tokens, expect)
+        assert g.n_words <= g.n_bpe_tokens <= sum(len(w) for w in words)
 
 
 def test_semantic_dedup_kept_set_is_mutually_dissimilar(spark, sf_dir):
