@@ -676,3 +676,64 @@ def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     return run_to_memory(agg, shuffle_partitions=8)
+
+
+_TOPK_WIN_MS = 600_000  # 10-minute tumbling windows
+_TOPK_K = 3
+
+
+@register(
+    "streaming_windowed_topk",
+    f"""
+    WITH counts AS (
+      SELECT (epoch_ms(ts) // {_TOPK_WIN_MS}) * {_TOPK_WIN_MS} AS window_start,
+             (epoch_ms(ts) // {_TOPK_WIN_MS}) * {_TOPK_WIN_MS} + {_TOPK_WIN_MS} AS window_end,
+             user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    closed AS (
+      SELECT * FROM counts
+      WHERE window_end <= (SELECT epoch_ms(MAX(ts)) - {_DELAY_MS} FROM events)
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                     ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rnk
+      FROM closed
+    )
+    SELECT window_start, window_end, user_id, cnt, rnk
+    FROM ranked WHERE rnk <= {_TOPK_K}
+    """,
+    "Streaming windowed top-k (trending items): per 10-minute tumbling "
+    f"window the top-{_TOPK_K} users by event count. The stream maintains "
+    "only the per-(window, user) counts (watermark-evicted state, append "
+    "mode); the rank runs downstream on each CLOSED window's finalized "
+    "counts -- the standard two-stage trending topology, since a rank "
+    "inside the stream would re-sort on every late row for no benefit. "
+    "Scale: counts are map-side-combined before the stateful shuffle and "
+    "state is bounded by watermark eviction; the downstream rank touches "
+    "only closed-window aggregates (users-per-window rows, not events).",
+)
+def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+    from rlink_rs_spark.streaming.watermarks import bounded_out_of_orderness
+
+    ev = file_stream(spark, sf_dir, "events")
+    counts = (
+        bounded_out_of_orderness("ts", _DELAY_MS / 1000).apply(ev)
+        .groupBy(F.window("ts", f"{_TOPK_WIN_MS // 1000} seconds"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_millis("window.start").alias("window_start"),
+            F.unix_millis("window.end").alias("window_end"),
+            "user_id",
+            "cnt",
+        )
+    )
+    closed = run_to_memory(counts, shuffle_partitions=8)
+    w = Window.partitionBy("window_start").orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    return closed.withColumn("rnk", F.row_number().over(w).cast("long")).where(
+        F.col("rnk") <= _TOPK_K
+    )
