@@ -1020,3 +1020,77 @@ def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("id_a").alias("event_id"))
         .agg(F.count("*").alias("near_peers"))
     )
+
+
+# --- Z-order layout (multi-dimensional clustering for data skipping) ---------
+
+_Z_BITS = 8  # bits per dimension; z-value is 2*_Z_BITS wide
+_Z_FILES_BITS = 4  # file id = top 4 z bits -> 16 files
+_Z_HOUR_MS = 3_600_000
+
+
+def _z_interleave(u: str, t: str, bits: int) -> str:
+    """Bit-interleave expression (Morton code), valid in Spark SQL and
+    DuckDB: u's bit b lands at position 2b+1, t's at 2b."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({u} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({t} >> {b}) & 1) << {2 * b})")
+    return " + ".join(terms)
+
+
+_Z_U = f"(user_id % {1 << _Z_BITS})"
+_Z_T = f"((epoch_ms(ts) // {_Z_HOUR_MS}) % {1 << _Z_BITS})"
+
+
+@register(
+    "zorder_layout_stats",
+    f"""
+    WITH z AS (
+      SELECT {_Z_U} AS u_bucket, {_Z_T} AS t_bucket,
+             {_z_interleave(_Z_U, _Z_T, _Z_BITS)} AS zval
+      FROM events
+    )
+    SELECT zval >> {2 * _Z_BITS - _Z_FILES_BITS} AS file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(u_bucket) AS min_u, MAX(u_bucket) AS max_u,
+           MIN(t_bucket) AS min_t, MAX(t_bucket) AS max_t
+    FROM z GROUP BY 1
+    """,
+    "Z-order (Morton-curve) layout for multi-dimensional data skipping: "
+    "interleave the bits of (user bucket, hour bucket), assign each row "
+    "to an output file by its z-value PREFIX, and emit the per-file "
+    "min/max column stats a reader's predicate pushdown would prune on. "
+    "A z prefix fixes the top bits of BOTH dimensions, so every file "
+    "covers a small rectangle in (user, time) space -- unlike a "
+    "single-column sort, where the secondary dimension spans its full "
+    "range in every file. Scale: the z-value and file id are pure "
+    "map-side integer expressions (prefix assignment IS the range split, "
+    "no global sort or NTILE); production writes with "
+    "repartitionByRange(zval).sortWithinPartitions(zval) and this stat "
+    "table is exactly the parquet footer min/max the scan prunes on.",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = F.pmod(F.col("user_id"), F.lit(1 << _Z_BITS))
+    t = F.pmod(F.floor(F.unix_millis("ts") / _Z_HOUR_MS), F.lit(1 << _Z_BITS))
+    z = ev.select(u.alias("u_bucket"), t.alias("t_bucket")).select(
+        "u_bucket",
+        "t_bucket",
+        F.expr(_z_interleave("u_bucket", "t_bucket", _Z_BITS)).alias("zval"),
+    )
+    return (
+        z.select(
+            F.shiftright("zval", 2 * _Z_BITS - _Z_FILES_BITS).alias("file_id"),
+            "u_bucket",
+            "t_bucket",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("u_bucket").alias("min_u"),
+            F.max("u_bucket").alias("max_u"),
+            F.min("t_bucket").alias("min_t"),
+            F.max("t_bucket").alias("max_t"),
+        )
+    )

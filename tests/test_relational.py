@@ -28,6 +28,7 @@ RELATIONAL = [
     "weekday_agg",
     "exact_median",
     "value_histogram",
+    "zorder_layout_stats",
 ]
 
 
@@ -117,3 +118,22 @@ def test_q1_filter_pushdown(spark, sf_dir):
 
     plan = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_zorder_files_bound_both_dimensions(spark, sf_dir):
+    """The data-skipping guarantee: a 4-bit z prefix fixes the top 2 bits
+    of BOTH 8-bit dimensions, so every output file's min/max stats span at
+    most 2^6 values in user AND time -- whereas any single-column sort
+    leaves the secondary dimension spanning its full range. Also checks
+    completeness (file row counts sum to the table) and prefix validity."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.relational import _Z_BITS, _Z_FILES_BITS
+    from rlink_rs_spark.tables import load_table
+
+    rows = REGISTRY["zorder_layout_stats"].fn(spark, sf_dir).collect()
+    span = 1 << (_Z_BITS - _Z_FILES_BITS // 2)  # 2 prefix bits per dimension
+    assert sum(r.n_rows for r in rows) == load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert 0 <= r.file_id < (1 << _Z_FILES_BITS)
+        assert r.max_u - r.min_u < span, r
+        assert r.max_t - r.min_t < span, r
