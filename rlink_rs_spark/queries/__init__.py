@@ -54,40 +54,46 @@ _DRIVER_WINDOW_PRIORITY = [
     "temperature_resample_weights",
     "value_band_join",
     "pagerank_trade_graph",
+    # -- late r6 additions, never driver-checked: PQ ANN, RANGE-frame moving
+    #    average, dynamic-gap sessions (batch + streaming), and the second
+    #    r6 wave (training shuffle, exact-substring dedup, SemDeDup, BPE
+    #    tokenize-apply, streaming top-k, z-order layout, source mix,
+    #    leakage-free split)
+    "cosine_topk_pq",
+    "moving_average_7d",
+    "dynamic_gap_sessions",
+    "streaming_dynamic_gap_sessions",
+    "training_shuffle_shards",
+    "exact_substring_dedup",
+    "semantic_dedup",
+    "bpe_tokenize_corpus",
+    "streaming_windowed_topk",
+    "zorder_layout_stats",
+    "source_mix_report",
+    "leakage_free_split",
     # -- last driver row r3; rotated back in to re-prove on current fixtures
-    "salted_hot_key_agg",
-    "q5_star_join_volume",
+    # (q1/q3/q5/salted_hot_key_agg/profile_columns/sessionization/
+    #  pct_window_agg and the dedup/ANN baselines rotated out this round to
+    #  make room for the 12 never-checked queries above -- each of those is
+    #  r3-driver-green AND sits in a pytest oracle-parity list, so the
+    #  meta-coverage guard keeps an active local witness on all of them)
     "q10_returned_items",
     "q14_promo_share",
     "event_transition_matrix",
     "q6_forecast_revenue",
     "streaming_enrichment_join",
     "semi_anti_join_cohorts",
-    "profile_columns",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    # (top_k_per_group / set_ops_users / distinct_agg / avg_agg / cube_agg /
-    #  pivot_agg: r3-driver-green simple shapes, re-proven against the local
-    #  gate this round -- rotated out to give the six r6 queries driver rows)
     "pipeline_enriched_agg",
     "kafka_envelope_roundtrip",
     "kafka_loopback_seek",
     "rollup_agg",
-    "exact_dedup_docs",
-    "ngram_jaccard_dedup",
-    "minhash_lsh_near_dup",
     "near_dup_clusters",
     "dedup_keep_list",
-    "simhash_near_dup",
-    "cosine_topk_bruteforce",
-    # -- changed this round: needs a fresh driver row
+    # -- changed in r6: needs a fresh driver row
     "approx_distinct_users",
     "embedding_cosine_near_dup",
-    # -- streaming/windowed block (most sensitive to fixture/timestamp drift;
-    #    the simple r5-green windowed shapes rotated out to make room above)
-    "pct_window_agg",
+    # -- streaming/windowed block (most sensitive to fixture/timestamp drift)
     "pct_output_decode",
-    "sessionization",
     "session_window_agg",
     "streaming_flagship_agg",
     "stream_stream_interval_join",

@@ -36,6 +36,9 @@ STREAMING = {
 #   temperature_resample_weights -- same shape: 1-row normalizer broadcast
 #   pagerank_trade_graph   -- same shape: 1-row node-count broadcast cross,
 #                             once per unrolled iteration
+#   semantic_dedup         -- 16-row centroid codebook broadcast cross (the
+#                             cosine_topk_ivf assignment shape)
+#   source_mix_report      -- 1-row corpus-total broadcast cross (corpus share)
 NLJ_ALLOWED = {
     "pagerank_trade_graph",
     "cosine_topk_bruteforce",
@@ -44,6 +47,8 @@ NLJ_ALLOWED = {
     "q22_dormant_customers",
     "q11_important_stock",
     "temperature_resample_weights",
+    "semantic_dedup",
+    "source_mix_report",
 }
 
 JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)")
