@@ -41,6 +41,7 @@ ORACLED = [
     "vocab_top_terms",
     "redact_numbers_props",
     "stratified_sample_docs",
+    "lm_perplexity_filter",
 ]
 
 
@@ -874,3 +875,23 @@ def test_pq_training_reduces_quantization_error(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert len(per_q) == _N_QUERIES
     assert all(sorted(v) == list(range(1, _K + 1)) for v in per_q.values())
+
+
+def test_lm_filter_prefers_training_language(spark, sf_dir):
+    """The char-bigram LM is trained on lang='en' docs, so English docs must
+    score a lower mean NLL than zh docs (whose normalized text is nearly all
+    '_'-runs the en model rarely saw), and NTILE terciles must be balanced
+    to within one doc."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["lm_perplexity_filter"].fn(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict[str, list[float]] = {}
+    buckets: dict[str, int] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.nll_per_char)
+        buckets[r.ppl_bucket] = buckets.get(r.ppl_bucket, 0) + 1
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    assert mean(by_lang["en"]) < mean(by_lang["zh"])
+    assert set(buckets) == {"head", "middle", "tail"}
+    assert max(buckets.values()) - min(buckets.values()) <= 1
