@@ -711,3 +711,177 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def ivfpq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    codebook: DataFrame,
+    n_probe: int = 3,
+    m_sub: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with residual encoding (the FAISS IndexIVFPQ shape) -- the
+    standard billion-scale ANN index, composing the two stages this module
+    already provides separately: the IVF coarse quantizer restricts each
+    query to n_probe cells, and within a cell vectors are stored only as
+    m_sub one-byte PQ codes of their RESIDUAL (v - centroid), which is what
+    makes PQ accurate at scale (residuals are centered, so the shared
+    subspace codebooks spend their 16 centroids on a much smaller ball).
+
+    Dataflow:
+      1. cell assignment: broadcast codebook, argmax-cosine max(struct)
+         partial agg (map-side combinable; the corpus never sort-windows);
+      2. residuals: one broadcast join with the centroid table -- exact
+         IEEE double subtraction, deterministic across engines;
+      3. PQ training on residuals pooled over cells (the FAISS default):
+         same one-exploded-dataflow k-means as pq_adc_topk, integer-power-
+         sum centroid means;
+      4. per-query, per-PROBED-CELL residual LUT (n_q x n_probe x m_sub x
+         ksub rows -- broadcast material at any scale), entries rounded to
+         1e-9-scale BIGINTs before the per-pair sum (order-independent);
+      5. ADC: codes equi-join LUT on (cell, m, code) -- restricting
+         neighbors to probed cells and scoring in one join; one combinable
+         per-pair sum; rank window over the tiny scored set.
+
+    At 100 TB: storage is m_sub bytes + one cell id per vector; the only
+    corpus-wide exchanges are the assignment agg and the codes groupBy,
+    both map-side combinable; scoring shuffles candidates of probed cells
+    only. Train both codebooks on a hash-sample and persist (the IVF one
+    already ships via load_or_train_ivf_codebook).
+
+    Reference parity: no ANN in the reference; LLM-pipeline extension
+    surface ("similarity search ... IVF or LSH-bucketed variant as the
+    scale path")."""
+    dsub = dims // m_sub
+    cents = codebook  # (cell_id, cv)
+    cos_vc = F.expr(cosine_expr("v", "cv", dims, base=0))
+
+    vecs = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    assign = (
+        vecs.join(F.broadcast(cents))
+        .select("vid", "cell_id", cos_vc.alias("c"))
+        .groupBy("vid")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("cell_id")).alias("negc"))).alias("m"))
+        .select("vid", (-F.col("m.negc")).cast("long").alias("cell_id"))
+    )
+    rv = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(v[{d}] AS DOUBLE) - CAST(cv[{d}] AS DOUBLE)" for d in range(dims)
+        )
+        + ")"
+    )
+    resid = (
+        assign.join(vecs, "vid")
+        .join(F.broadcast(cents), "cell_id")
+        .select("vid", "cell_id", rv.alias("rv"))
+    )
+    # residuals feed PQ training, codes, AND (via assign) candidate gen --
+    # cache so the assignment agg runs once
+    resid = resid.cache()
+
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.expr(f"slice(rv, {m * dsub + 1}, {dsub})").alias("sv"),
+            )
+            for m in range(m_sub)
+        ]
+    )
+    rsv = resid.select("vid", F.explode(sub_structs).alias("x")).select(
+        "vid", F.col("x.m").alias("m"), F.col("x.sv").alias("sv")
+    )
+    l2 = F.expr(l2_chain_expr("sv", "cv", dsub, 0))
+    pqc = rsv.where(F.col("vid") < ksub).select(
+        "m", F.col("vid").cast("long").alias("cell_id"), F.col("sv").alias("cv")
+    )
+    ivq = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(ROUND(CAST(sv[{d}] AS DOUBLE) * 1e6) AS BIGINT)" for d in range(dsub)
+        )
+        + ")"
+    )
+    rsvq = rsv.select("vid", "m", ivq.alias("iv"))
+    sum_aliases = [f"s{d}" for d in range(dsub)]
+    for _ in range(iters):
+        scored = rsv.join(F.broadcast(pqc), "m").select(
+            "vid", "m", "cell_id", l2.alias("d2")
+        )
+        a = (
+            scored.groupBy("vid", "m")
+            .agg(F.min(F.struct(F.col("d2"), F.col("cell_id"))).alias("mn"))
+            .select("vid", "m", F.col("mn.cell_id").alias("cell_id"))
+        )
+        sums = (
+            a.join(rsvq, ["vid", "m"])
+            .groupBy("m", "cell_id")
+            .agg(
+                F.count("*").alias("cnt"),
+                *[F.sum(F.col("iv")[d]).alias(sum_aliases[d]) for d in range(dsub)],
+            )
+        )
+        pqc = sums.select(
+            "m",
+            "cell_id",
+            F.array(*[F.expr(mean_expr(s)) for s in sum_aliases]).alias("cv"),
+        )
+    pqc = pqc.cache()  # trained PQ codebook: reused by codes AND the LUT
+    codes = (
+        rsv.join(F.broadcast(pqc), "m")
+        .select("vid", "m", "cell_id", l2.alias("d2"))
+        .groupBy("vid", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cell_id"))).alias("mn"))
+        .select("vid", "m", F.col("mn.cell_id").alias("code"))
+    )
+
+    # query side: probe the n_probe argmax-cosine cells, residual per cell
+    qvecs = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("v"))
+    w_probe = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cell_id").asc())
+    probes = (
+        qvecs.join(F.broadcast(cents))
+        .select("qid", "cell_id", cos_vc.alias("c"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= n_probe)
+        .select("qid", "cell_id")
+    )
+    qresid = (
+        probes.join(qvecs, "qid")
+        .join(F.broadcast(cents), "cell_id")
+        .select("qid", "cell_id", rv.alias("rv"))
+    )
+    qrsv = qresid.select("qid", "cell_id", F.explode(sub_structs).alias("x")).select(
+        "qid", "cell_id", F.col("x.m").alias("m"), F.col("x.sv").alias("sv")
+    )
+    lut = qrsv.join(F.broadcast(pqc.withColumnRenamed("cell_id", "pq_cell")), "m").select(
+        "qid", "cell_id", "m", "pq_cell", F.round(l2 * 1e9).cast("long").alias("d2i")
+    )
+    # one equi-join scores AND restricts to probed cells
+    coded = codes.join(resid.select("vid", "cell_id"), "vid")
+    pairs = coded.join(
+        F.broadcast(lut),
+        (coded.cell_id == lut.cell_id) & (coded.m == lut.m) & (coded.code == lut.pq_cell),
+    )
+    dist = (
+        pairs.where(F.col("qid") != F.col("vid"))
+        .groupBy(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id"))
+        .agg(F.sum("d2i").alias("di"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("di").asc(), F.col("neighbor_id").asc())
+    return (
+        dist.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("di").cast("double") / 1e9).alias("adc_dist"),
+            "rank",
+        )
+    )

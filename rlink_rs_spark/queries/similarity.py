@@ -503,3 +503,152 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.pq_adc_topk(
         emb, queries, dims=_DIMS, m_sub=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, k=_K
     )
+
+
+# --- IVF-PQ residual index (FAISS IndexIVFPQ shape) ---------------------------
+
+_IVFPQ_PROBE = 3
+
+
+def _ivfpq_oracle() -> str:
+    """Unrolled IVF-PQ mirror: the IVF k-means CTE chain (shared verbatim
+    with the IVF oracle), residuals vs the assigned centroid, the PQ k-means
+    chain over residual subvectors, per-(query, probed-cell) residual LUTs,
+    and the ADC sum -- every reassociative sum over pre-rounded BIGINTs."""
+    dsub = _PQ_DSUB
+    l2 = l2_chain_expr("s.sv", "c.cv", dsub, 1)
+    rv = ", ".join(
+        f"CAST(v.embedding[{d + 1}] AS DOUBLE) - CAST(c.cv[{d + 1}] AS DOUBLE)"
+        for d in range(_DIMS)
+    )
+    qrv = ", ".join(
+        f"CAST(q.embedding[{d + 1}] AS DOUBLE) - CAST(c.cv[{d + 1}] AS DOUBLE)"
+        for d in range(_DIMS)
+    )
+    sub_sel = "\nUNION ALL\n".join(
+        f"SELECT vid, cell_id, {m} AS m, rv[{m * dsub + 1}:{(m + 1) * dsub}] AS sv FROM resid"
+        for m in range(_PQ_M)
+    )
+    qsub_sel = "\nUNION ALL\n".join(
+        f"SELECT qid, cell_id, {m} AS m, rv[{m * dsub + 1}:{(m + 1) * dsub}] AS sv FROM qresid"
+        for m in range(_PQ_M)
+    )
+    sums = ",\n         ".join(
+        f"SUM(CAST(ROUND(CAST(s.sv[{d + 1}] AS DOUBLE) * 1e6) AS BIGINT)) AS s{d}"
+        for d in range(dsub)
+    )
+    means = ", ".join(mean_expr(f"s{d}") for d in range(dsub))
+    parts = [
+        _ivf_kmeans_ctes(_IVF_ITERS),
+        f"assign_scored AS (\n"
+        f"  SELECT v.vec_id AS vid, c.cell_id, {_IVF_ASSIGN_COS} AS cs\n"
+        f"  FROM embeddings v CROSS JOIN cents c\n)",
+        "assign_ranked AS (\n"
+        "  SELECT vid, cell_id,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn\n"
+        "  FROM assign_scored\n)",
+        "assign AS (SELECT vid, cell_id FROM assign_ranked WHERE rn = 1)",
+        f"resid AS (\n"
+        f"  SELECT a.vid, a.cell_id, [{rv}] AS rv\n"
+        f"  FROM assign a JOIN embeddings v ON v.vec_id = a.vid\n"
+        f"  JOIN cents c ON c.cell_id = a.cell_id\n)",
+        f"rsv AS (\n{sub_sel}\n)",
+        f"p0 AS (SELECT m, CAST(vid AS BIGINT) AS cell_id, sv AS cv FROM rsv WHERE vid < {_PQ_KSUB})",
+    ]
+    prev = "p0"
+    for t in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"pa{t}s AS (\n  SELECT s.vid, s.m, c.cell_id, {l2} AS d2\n"
+            f"  FROM rsv s JOIN {prev} c ON c.m = s.m\n)"
+        )
+        parts.append(
+            f"pa{t} AS (\n  SELECT vid, m, cell_id FROM (\n"
+            f"    SELECT vid, m, cell_id, ROW_NUMBER() OVER (PARTITION BY vid, m"
+            f" ORDER BY d2 ASC, cell_id ASC) AS rn FROM pa{t}s\n  ) WHERE rn = 1\n)"
+        )
+        parts.append(
+            f"ps{t} AS (\n  SELECT a.m, a.cell_id, CAST(COUNT(*) AS BIGINT) AS cnt,\n"
+            f"         {sums}\n"
+            f"  FROM pa{t} a JOIN rsv s ON s.vid = a.vid AND s.m = a.m\n"
+            f"  GROUP BY a.m, a.cell_id\n)"
+        )
+        parts.append(f"p{t} AS (SELECT m, cell_id, [{means}] AS cv FROM ps{t})")
+        prev = f"p{t}"
+    parts += [
+        f"cds AS (\n  SELECT s.vid, s.m, c.cell_id, {l2} AS d2\n"
+        f"  FROM rsv s JOIN {prev} c ON c.m = s.m\n)",
+        "codes AS (\n  SELECT vid, m, cell_id AS code FROM (\n"
+        "    SELECT vid, m, cell_id, ROW_NUMBER() OVER (PARTITION BY vid, m"
+        " ORDER BY d2 ASC, cell_id ASC) AS rn FROM cds\n  ) WHERE rn = 1\n)",
+        f"probes AS (SELECT vid AS qid, cell_id FROM assign_ranked\n"
+        f"           WHERE rn <= {_IVFPQ_PROBE} AND vid < {_N_QUERIES})",
+        f"qresid AS (\n  SELECT p.qid, p.cell_id, [{qrv}] AS rv\n"
+        f"  FROM probes p JOIN embeddings q ON q.vec_id = p.qid\n"
+        f"  JOIN cents c ON c.cell_id = p.cell_id\n)",
+        f"qrsv AS (\n{qsub_sel}\n)",
+        f"lut AS (\n  SELECT s.qid, s.cell_id, s.m, c.cell_id AS pq_cell,\n"
+        f"         CAST(ROUND(({l2}) * 1e9) AS BIGINT) AS d2i\n"
+        f"  FROM qrsv s JOIN {prev} c ON c.m = s.m\n)",
+        "dist AS (\n  SELECT l.qid AS query_id, k.vid AS neighbor_id,"
+        " CAST(SUM(l.d2i) AS BIGINT) AS di\n"
+        "  FROM codes k JOIN assign a ON a.vid = k.vid\n"
+        "  JOIN lut l ON l.cell_id = a.cell_id AND l.m = k.m AND l.pq_cell = k.code\n"
+        "  WHERE l.qid <> k.vid\n"
+        "  GROUP BY l.qid, k.vid\n)",
+        "ranked AS (\n  SELECT query_id, neighbor_id, di,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY query_id"
+        " ORDER BY di ASC, neighbor_id ASC) AS rank\n  FROM dist\n)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT query_id, neighbor_id, CAST(di AS DOUBLE) / 1000000000.0 AS adc_dist, rank"
+        f"\nFROM ranked WHERE rank <= {_K}"
+    )
+
+
+@register(
+    "cosine_topk_ivfpq",
+    _ivfpq_oracle(),
+    f"IVF-PQ residual ANN top-{_K} (FAISS IndexIVFPQ shape), the standard "
+    "billion-scale index composing the family's two stages: the trained IVF "
+    "coarse quantizer restricts each query to its 3 nearest cells, and "
+    "in-cell vectors are scored from 4 one-byte PQ codes of their RESIDUAL "
+    "(v - centroid) via per-(query, cell) ADC lookup tables. Residual "
+    "encoding is what keeps PQ accurate at scale: residuals are centered, "
+    "so the shared subspace codebooks cover a far smaller ball. LUT entries "
+    "round to 1e-9-scale BIGINTs pre-sum (order-independent), both k-means "
+    "chains use integer-power-sum means, so the fully unrolled DuckDB "
+    "oracle value-hash matches. 100 TB: m bytes + a cell id per vector; "
+    "corpus-wide exchanges are two combinable aggs; scoring shuffles only "
+    "probed-cell candidates.",
+)
+def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    codebook = sim_ops.load_or_train_ivf_codebook(
+        spark,
+        emb,
+        dims=_DIMS,
+        cache_dir=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "artifacts",
+            "ivf_codebooks",
+        ),
+        fingerprint=_embeddings_fingerprint(sf_dir),
+        n_cells=_IVF_CELLS,
+        iters=_IVF_ITERS,
+    )
+    return sim_ops.ivfpq_adc_topk(
+        emb,
+        queries,
+        dims=_DIMS,
+        codebook=codebook,
+        n_probe=_IVFPQ_PROBE,
+        m_sub=_PQ_M,
+        ksub=_PQ_KSUB,
+        iters=_PQ_ITERS,
+        k=_K,
+    )

