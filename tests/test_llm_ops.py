@@ -43,6 +43,7 @@ ORACLED = [
     "stratified_sample_docs",
     "lm_perplexity_filter",
     "cosine_topk_ivfpq",
+    "incremental_batch_dedup",
 ]
 
 
@@ -920,3 +921,37 @@ def test_ivfpq_structure_and_overlap(spark, sf_dir):
     }
     got = {(r.query_id, r.neighbor_id) for r in out}
     assert len(got & ivf) / len(ivf) >= 0.15
+
+
+def test_incremental_dedup_consistent_with_full_corpus_dedup(spark, sf_dir):
+    """Incremental admit decisions must agree with the batch-agnostic
+    full-corpus view: an ADMITTED batch doc can never be the larger member
+    of a full-corpus verified near-dup pair (its partner would be either
+    history or an earlier batch doc -- both grounds for rejection), and its
+    content hash must be unique among history + earlier batch docs."""
+    from pyspark.sql import functions as F
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.tables import load_table
+
+    out = {r.doc_id: r for r in REGISTRY["incremental_batch_dedup"].fn(spark, sf_dir).collect()}
+    assert out and all(r.doc_id % 4 == 0 for r in out.values())
+    admitted = {d for d, r in out.items() if r.admit}
+    assert admitted, "incremental dedup admitted nothing"
+    pairs = REGISTRY["minhash_lsh_near_dup"].fn(spark, sf_dir).collect()
+    larger = {r.id_b for r in pairs}
+    assert not (admitted & larger)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    ).collect()
+    by_hash: dict[str, list[int]] = {}
+    for r in docs:
+        by_hash.setdefault(r.h, []).append(r.doc_id)
+    for d in admitted:
+        h = next(r.h for r in docs if r.doc_id == d)
+        others = [x for x in by_hash[h] if x != d and (x % 4 != 0 or x < d)]
+        assert not others, f"admitted doc {d} has an exact twin {others}"
+    # rejected-for-near-dup docs point at a real partner
+    for d, r in out.items():
+        if r.near_dup_of is not None:
+            assert r.near_dup_of % 4 != 0 or r.near_dup_of < d
