@@ -648,3 +648,72 @@ def source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_docs").cast("double") / F.col("total_docs")).alias("corpus_share"),
     )
+
+
+# --- text cleaning / normalization -------------------------------------------
+
+# 1:1 char map: curly quotes -> straight, en/em dash -> '-', ellipsis -> '.',
+# NBSP -> space  (applied before control-strip and whitespace-collapse)
+_XLT_FROM = "“”‘’–—… "
+_XLT_TO = "\"\"''--. "
+# control chars EXCLUDING \t\n\r (those are whitespace, collapsed next --
+# stripping them first would glue adjacent words together)
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_WS_CLASS = "[ \t\n\r]+"
+
+
+def _clean_sql(col: str, g: str) -> str:
+    """The DuckDB half of the normalization chain; ``g`` is the
+    global-replace flag DuckDB needs. The Spark half is built with the
+    PySpark function API (_clean_col) because Spark SQL single-quoted
+    literals swallow the backslash of ``\\x``-escapes, silently turning the
+    control-char class into ``[x08...]``."""
+    x = f"translate({col}, '{_XLT_FROM}', '{_XLT_TO}')"
+    x = f"regexp_replace({x}, '{_CTRL_CLASS}', ''{g})"
+    x = f"regexp_replace({x}, '{_WS_CLASS}', ' '{g})"
+    return f"trim({x})"
+
+
+def _clean_col(col: str) -> F.Column:
+    """Spark twin of _clean_sql: patterns go through the Python API, so the
+    Java regex engine receives the \\x escapes intact."""
+    x = F.translate(F.col(col), _XLT_FROM, _XLT_TO)
+    x = F.regexp_replace(x, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    x = F.regexp_replace(x, "[ \\t\\n\\r]+", " ")
+    return F.trim(x)
+
+
+@register(
+    "clean_normalize_docs",
+    f"""
+    WITH cleaned AS (
+      SELECT doc_id, text, {_clean_sql("text", ", 'g'")} AS clean FROM documents
+    )
+    SELECT doc_id,
+           md5(clean) AS clean_hash,
+           length(text) AS n_chars_before,
+           length(clean) AS n_chars_after,
+           (clean <> text) AS changed
+    FROM cleaned
+    """,
+    "Text cleaning/normalization, the first stage of every corpus pipeline: "
+    "unicode punctuation folded to ASCII (curly quotes, dashes, ellipsis, "
+    "NBSP), non-whitespace control chars stripped, whitespace runs collapsed "
+    "to one space, ends trimmed. Pure map-side expression chain (zero "
+    "exchanges, whole-stage codegen); emits the cleaned-content hash + "
+    "before/after stats rather than megabytes of text.",
+)
+def clean_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-before-dedup matters operationally: exact dedup keys on
+    md5(text), so two docs differing only by whitespace or quote style are
+    distinct pre-clean and identical post-clean. At 100 TB this is a pure
+    narrow stage fused into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = _clean_col("text")
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_hash"),
+        F.length("text").alias("n_chars_before"),
+        F.length(clean).alias("n_chars_after"),
+        (clean != F.col("text")).alias("changed"),
+    )

@@ -44,6 +44,7 @@ ORACLED = [
     "lm_perplexity_filter",
     "cosine_topk_ivfpq",
     "incremental_batch_dedup",
+    "clean_normalize_docs",
 ]
 
 
@@ -955,3 +956,28 @@ def test_incremental_dedup_consistent_with_full_corpus_dedup(spark, sf_dir):
     for d, r in out.items():
         if r.near_dup_of is not None:
             assert r.near_dup_of % 4 != 0 or r.near_dup_of < d
+
+
+def test_clean_normalize_behavior_on_planted_dirt(spark):
+    """The normalization chain on engineered dirty strings: control chars
+    stripped, curly quotes/dashes/ellipsis/NBSP folded to ASCII, whitespace
+    runs collapsed, ends trimmed -- and two docs differing only in those
+    artifacts converge to the SAME cleaned form (the dedup motivation)."""
+    from rlink_rs_spark.queries.text import _clean_col
+
+    rows = [
+        (1, "  hello\tworld  "),
+        (2, "hello world"),
+        (3, "\u201cquoted\u201d \u2014 dash\u2026"),
+        (4, '"quoted" - dash.'),
+        (5, "bell\x07 and\x00null"),
+        (6, "bell and" + "null"),  # after ctrl-strip: 'bell andnull'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.clean
+        for r in df.select("doc_id", _clean_col("text").alias("clean")).collect()
+    }
+    assert got[1] == got[2] == "hello world"
+    assert got[3] == got[4] == '"quoted" - dash.'
+    assert got[5] == "bell andnull"
