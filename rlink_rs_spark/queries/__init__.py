@@ -93,12 +93,18 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- changed in r6: needs a fresh driver row
     "approx_distinct_users",
     "embedding_cosine_near_dup",
-    # -- streaming/windowed block (most sensitive to fixture/timestamp drift)
-    "pct_output_decode",
-    "session_window_agg",
+    # -- new in the r6 continuation session, never driver-checked: LM quality
+    #    filter, IVF-PQ residual ANN, incremental dedup, text normalization.
+    #    Displaced (all r5-driver-green on current fixtures, now pytest-
+    #    witnessed): pct_output_decode + session_window_agg (added to the
+    #    WINDOWED parity list), stream_stream_interval_join +
+    #    streaming_three_stream_connect (streaming suite replays them)
+    "lm_perplexity_filter",
+    "cosine_topk_ivfpq",
+    "incremental_batch_dedup",
+    "clean_normalize_docs",
+    # -- streaming sentinel (most sensitive to fixture/timestamp drift)
     "streaming_flagship_agg",
-    "stream_stream_interval_join",
-    "streaming_three_stream_connect",
 ]
 
 

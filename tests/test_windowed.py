@@ -16,6 +16,8 @@ WINDOWED = [
     "range_window_filter",
     "moving_average_7d",
     "dynamic_gap_sessions",
+    "pct_output_decode",
+    "session_window_agg",
 ]
 
 

@@ -39,7 +39,11 @@ STREAMING = {
 #   semantic_dedup         -- 16-row centroid codebook broadcast cross (the
 #                             cosine_topk_ivf assignment shape)
 #   source_mix_report      -- 1-row corpus-total broadcast cross (corpus share)
+#   cosine_topk_ivfpq      -- 16-row IVF codebook broadcast cross (the
+#                             cosine_topk_ivf assignment shape, twice:
+#                             corpus assignment + query probing)
 NLJ_ALLOWED = {
+    "cosine_topk_ivfpq",
     "pagerank_trade_graph",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
