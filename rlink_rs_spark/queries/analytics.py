@@ -1,0 +1,272 @@
+"""Product-analytics queries over `events` -- the workloads the reference's
+streaming-analytics users run downstream of the windowed aggregates: funnel
+conversion, cohort retention, and trailing-window anomaly detection. All
+built-in expressions (no UDFs), exact-integer sums under every ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rlink_rs_spark.queries.base import register
+from rlink_rs_spark.tables import load_table
+
+# --- funnel ------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t0
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+  GROUP BY e.user_id
+),
+stages AS (
+  SELECT 1 AS stage_order, 'view' AS stage, COUNT(*) AS users FROM v
+  UNION ALL
+  SELECT 2, 'click_after_view', COUNT(*) FROM c
+  UNION ALL
+  SELECT 3, 'purchase_after_click', COUNT(*) FROM p
+)
+SELECT stage_order, stage, users,
+       CAST(users AS DOUBLE) /
+       CAST(LAG(users, 1, users) OVER (ORDER BY stage_order) AS DOUBLE)
+         AS conv_from_prev
+FROM stages
+"""
+
+
+@register(
+    "funnel_conversion",
+    _FUNNEL_ORACLE,
+    "Ordered funnel view -> click -> purchase: per user, the first click "
+    "AFTER the first view, then the first purchase AFTER that click "
+    "(strictly ordered, not mere co-occurrence); per-stage user counts and "
+    "step conversion rates.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage is one keyed min-aggregate joined to the previous stage's
+    per-user timestamp -- all joins and aggs on user_id, so at 100 TB they
+    share one hash partitioning (no broadcast needed; the stage tables
+    shrink monotonically). The 3-row stage summary computes conversions
+    with a LAG window over stage_order."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    stages = (
+        v.agg(F.count("*").alias("users")).select(
+            F.lit(1).cast("int").alias("stage_order"), F.lit("view").alias("stage"), "users"
+        )
+        .unionByName(
+            c.agg(F.count("*").alias("users")).select(
+                F.lit(2).cast("int").alias("stage_order"),
+                F.lit("click_after_view").alias("stage"),
+                "users",
+            )
+        )
+        .unionByName(
+            p.agg(F.count("*").alias("users")).select(
+                F.lit(3).cast("int").alias("stage_order"),
+                F.lit("purchase_after_click").alias("stage"),
+                "users",
+            )
+        )
+    )
+    w = Window.orderBy("stage_order")
+    return stages.select(
+        "stage_order",
+        "stage",
+        "users",
+        (
+            F.col("users").cast("double")
+            / F.lag("users", 1, None).over(w).cast("double")
+        ).alias("conv_from_prev"),
+    ).fillna({"conv_from_prev": 1.0})
+
+
+# --- cohort retention --------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_week
+),
+activity AS (
+  SELECT DISTINCT c.cohort_week, e.user_id,
+         CAST((epoch(date_trunc('week', e.ts)) - epoch(c.cohort_week)) // 604800 AS INT)
+           AS week_offset
+  FROM events e JOIN cohorts c ON c.user_id = e.user_id
+  WHERE e.ts >= c.cohort_week
+)
+SELECT a.cohort_week, a.week_offset,
+       COUNT(*) AS active_users, s.cohort_size,
+       CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM activity a JOIN sizes s ON s.cohort_week = a.cohort_week
+GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+"""
+
+
+@register(
+    "cohort_retention",
+    _COHORT_ORACLE,
+    "Weekly cohort retention matrix: users cohorted by signup week; for "
+    "each (cohort, week offset) the distinct active share of the cohort -- "
+    "the classic retention triangle.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two keyed aggregates and one join, all partitioned by user_id then
+    (cohort_week, offset): at 100 TB the events-to-cohort join is the only
+    wide exchange over the fact table (cohort table is per-user, often
+    broadcast-able after aggregation); distinct-activity dedup happens
+    before the count, map-side combinable."""
+    events = load_table(spark, sf_dir, "events")
+    cohorts = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    activity = (
+        events.join(cohorts, "user_id")
+        .where(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            "user_id",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / F.lit(604800)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("active_users"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            (
+                F.col("active_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )
+
+
+# --- trailing-window anomaly detection ---------------------------------------
+
+# exact-integer moments under the z-score: value -> cents BIGINT, then the
+# variance is a fixed expression over (n, s, ss) with one parenthesization,
+# identical text in both engines -> bit-identical doubles
+_VAR_EXPR = (
+    "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / CAST(n AS DOUBLE)"
+)
+_Z_EXPR = (
+    "(CAST(xc AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" / SQRT({_VAR_EXPR})"
+)
+
+_ANOMALY_ORACLE = f"""
+WITH cents AS (
+  SELECT event_id, user_id, ts, epoch(ts) AS tsec,
+         CAST(ROUND(value * 100) AS BIGINT) AS xc
+  FROM events
+),
+framed AS (
+  SELECT event_id, user_id, xc,
+         COUNT(*) OVER w AS n, SUM(xc) OVER w AS s, SUM(xc * xc) OVER w AS ss
+  FROM cents
+  WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN n > 1 AND {_VAR_EXPR} > 0 THEN {_Z_EXPR} END AS zscore,
+       COALESCE(n > 1 AND {_VAR_EXPR} > 0 AND ABS({_Z_EXPR}) > 2.0, FALSE)
+         AS is_anomaly
+FROM framed
+"""
+
+
+@register(
+    "anomaly_zscore_events",
+    _ANOMALY_ORACLE,
+    "Trailing-7-day per-user z-score anomaly flag over event values: "
+    "RANGE-frame running moments (count/sum/sum-of-squares as exact "
+    "BIGINT cents), variance and z from one fixed expression -- "
+    "bit-identical across engines; |z| > 2 flags the anomaly.",
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-adjacent observability face of the RANGE window
+    (SURVEY §2.6): one partitioned sort per user computes all three running
+    moments in a single window frame; no self-join, no UDF. At 100 TB the
+    only exchange is the hash partition by user_id (combinable nowhere --
+    windows need the sort -- but AQE sizes the partitions and skewed users
+    are bounded by their own event counts)."""
+    events = load_table(spark, sf_dir, "events")
+    cents = events.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("tsec"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("xc"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec")
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    framed = cents.select(
+        "event_id",
+        "user_id",
+        "xc",
+        F.count("*").over(w).alias("n"),
+        F.sum("xc").over(w).alias("s"),
+        F.sum(F.col("xc") * F.col("xc")).over(w).alias("ss"),
+    )
+    var_ok = (F.col("n") > 1) & (F.expr(_VAR_EXPR) > 0)
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.when(var_ok, F.expr(_Z_EXPR)).alias("zscore"),
+        F.coalesce(
+            var_ok & (F.abs(F.expr(_Z_EXPR)) > 2.0), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -369,9 +369,12 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_N_HASHES,
         bands=_BANDS,
     )
+    # batch signatures compute ONCE (shingle + md5 over the batch is the
+    # expensive map side) and feed BOTH candidate joins; cache() because the
+    # banded table is consumed by two joins in one action
     batch_banded = band_signatures(
         minhash_signatures(batch_sh, n_hashes=_N_HASHES), n_hashes=_N_HASHES, bands=_BANDS
-    )
+    ).cache()
     bb = batch_banded.select(
         F.col("doc_id").alias("id_a"), F.col("band").alias("band"), F.col("sig").alias("sig")
     )
@@ -379,13 +382,16 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_b"), F.col("band").alias("band"), F.col("sig").alias("sig")
     )
     cands_hist = bb.join(hb, ["band", "sig"]).select("id_a", "id_b").distinct()
+    # within-batch: self-join of the SAME banded table; the LARGER doc is
+    # the one rejected in favor of the earlier arrival
+    bb2 = batch_banded.select(
+        F.col("doc_id").alias("id_b"), F.col("band").alias("band"), F.col("sig").alias("sig")
+    )
     cands_batch = (
-        lsh_candidate_pairs(
-            minhash_signatures(batch_sh, n_hashes=_N_HASHES), n_hashes=_N_HASHES, bands=_BANDS
-        )
-        # within-batch pairs come out (smaller, larger); the LARGER doc is
-        # the one rejected in favor of the earlier arrival
-        .select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        bb.join(bb2, ["band", "sig"])
+        .where(F.col("id_b") < F.col("id_a"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     cands = cands_hist.unionByName(cands_batch).distinct()
     near = (

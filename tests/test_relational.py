@@ -8,6 +8,9 @@ import pytest
 from tests.helpers import run_query_vs_oracle
 
 RELATIONAL = [
+    "funnel_conversion",
+    "cohort_retention",
+    "anomaly_zscore_events",
     "flat_map_filter_transform",
     "union_connect",
     "broadcast_enrichment_join",
@@ -137,3 +140,51 @@ def test_zorder_files_bound_both_dimensions(spark, sf_dir):
         assert 0 <= r.file_id < (1 << _Z_FILES_BITS)
         assert r.max_u - r.min_u < span, r
         assert r.max_t - r.min_t < span, r
+
+
+def test_funnel_stages_monotone_and_ordered(spark, sf_dir):
+    """Funnel invariant: stage user counts are non-increasing (each stage
+    conditions on completing the previous one), and conversions are in
+    (0, 1]."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["funnel_conversion"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.stage_order,
+    )
+    assert [r.stage for r in rows] == ["view", "click_after_view", "purchase_after_click"]
+    users = [r.users for r in rows]
+    assert users == sorted(users, reverse=True)
+    assert all(0 < r.conv_from_prev <= 1 for r in rows)
+
+
+def test_cohort_retention_week_zero_full(spark, sf_dir):
+    """Retention invariants: week 0 of every cohort is 1.0 (the signup
+    itself is activity in the cohort week), retention never exceeds 1,
+    active_users <= cohort_size."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["cohort_retention"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.retention <= 1.0
+        assert r.active_users <= r.cohort_size
+    week0 = [r for r in rows if r.week_offset == 0]
+    assert week0 and all(r.retention == 1.0 for r in week0)
+
+
+def test_anomaly_zscore_rate_and_nulls(spark, sf_dir):
+    """Anomaly invariants: flags only where a z-score exists, |z| > 2 iff
+    flagged, and the flag rate is small (a trailing window on well-behaved
+    synthetic values should flag a few percent, not half the stream)."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["anomaly_zscore_events"].fn(spark, sf_dir).collect()
+    n_anom = 0
+    for r in rows:
+        if r.is_anomaly:
+            n_anom += 1
+            assert r.zscore is not None and abs(r.zscore) > 2.0
+        elif r.zscore is not None:
+            assert abs(r.zscore) <= 2.0
+    assert 0 < n_anom < 0.2 * len(rows)
