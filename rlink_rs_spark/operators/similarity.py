@@ -595,6 +595,80 @@ def l2_chain_expr(a: str, b: str, dims: int, base: int) -> str:
     return _balanced_sum(terms)
 
 
+def train_pq_codebook(
+    sv: DataFrame, dsub: int, ksub: int = 16, iters: int = 1
+) -> DataFrame:
+    """Product-quantization codebook over an exploded (vid, m, sv) subvector
+    frame -- ALL subspaces train in one dataflow per step (one broadcast
+    join + min-struct argmin + integer-power-sum means; bit-identical
+    across engines, same contract as train_ivf_codebook). Init = the
+    subvectors of the first ksub vids. Returns (m, cell_id, cv).
+
+    Shared by pq_adc_topk (subvectors of raw vectors) and ivfpq_adc_topk
+    (subvectors of residuals); deterministic, so persistable via
+    load_or_train_pq_codebook."""
+    l2 = F.expr(l2_chain_expr("sv", "cv", dsub, 0))
+    cents = sv.where(F.col("vid") < ksub).select(
+        "m", F.col("vid").cast("long").alias("cell_id"), F.col("sv").alias("cv")
+    )
+    ivq = F.expr(
+        "array("
+        + ", ".join(
+            f"CAST(ROUND(CAST(sv[{d}] AS DOUBLE) * 1e6) AS BIGINT)" for d in range(dsub)
+        )
+        + ")"
+    )
+    svq = sv.select("vid", "m", ivq.alias("iv"))
+    sum_aliases = [f"s{d}" for d in range(dsub)]
+    for _ in range(iters):
+        scored = sv.join(F.broadcast(cents), "m").select(
+            "vid", "m", "cell_id", l2.alias("d2")
+        )
+        assign = (
+            scored.groupBy("vid", "m")
+            .agg(F.min(F.struct(F.col("d2"), F.col("cell_id"))).alias("mn"))
+            .select("vid", "m", F.col("mn.cell_id").alias("cell_id"))
+        )
+        sums = (
+            assign.join(svq, ["vid", "m"])
+            .groupBy("m", "cell_id")
+            .agg(
+                F.count("*").alias("cnt"),
+                *[F.sum(F.col("iv")[d]).alias(sum_aliases[d]) for d in range(dsub)],
+            )
+        )
+        cents = sums.select(
+            "m",
+            "cell_id",
+            F.array(*[F.expr(mean_expr(a)) for a in sum_aliases]).alias("cv"),
+        )
+    return cents
+
+
+def load_or_train_pq_codebook(
+    sv: DataFrame,
+    dsub: int,
+    cache_dir: str,
+    key: str,
+    ksub: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """Train-once / probe-many for PQ codebooks (same deployment contract
+    as load_or_train_ivf_codebook): the trained (m, cell_id, cv) table is a
+    deterministic function of (data, params), so it persists under a
+    caller-supplied content-fingerprint key and repeat runs skip straight
+    to encoding + ADC. The caller's key must encode every training input
+    (source fingerprint, m/ksub/iters, and -- for residual PQ -- the coarse
+    quantizer's params)."""
+    spark = sv.sparkSession
+    path = os.path.join(cache_dir, key)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):  # committed write only
+        return spark.read.parquet(path)
+    cents = train_pq_codebook(sv, dsub, ksub=ksub, iters=iters)
+    cents.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def pq_adc_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -605,6 +679,7 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_cache: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN (FAISS IndexPQ shape), completing the ANN
     family next to IVF (coarse cells), SQ8 (scalar codes), and GEMM (exact
@@ -648,41 +723,19 @@ def pq_adc_topk(
 
     sv = subvecs(vectors, "vid")
     l2 = F.expr(l2_chain_expr("sv", "cv", dsub, 0))
-    cents = sv.where(F.col("vid") < ksub).select(
-        "m", F.col("vid").cast("long").alias("cell_id"), F.col("sv").alias("cv")
-    )
-    ivq = F.expr(
-        "array("
-        + ", ".join(
-            f"CAST(ROUND(CAST(sv[{d}] AS DOUBLE) * 1e6) AS BIGINT)" for d in range(dsub)
+    if pq_cache is not None:
+        cache_dir, fingerprint = pq_cache
+        cents = load_or_train_pq_codebook(
+            sv,
+            dsub,
+            cache_dir,
+            f"pq_m{m_sub}_k{ksub}_i{iters}_{fingerprint}",
+            ksub=ksub,
+            iters=iters,
         )
-        + ")"
-    )
-    svq = sv.select("vid", "m", ivq.alias("iv"))
-    sum_aliases = [f"s{d}" for d in range(dsub)]
-    for _ in range(iters):
-        scored = sv.join(F.broadcast(cents), "m").select(
-            "vid", "m", "cell_id", l2.alias("d2")
-        )
-        assign = (
-            scored.groupBy("vid", "m")
-            .agg(F.min(F.struct(F.col("d2"), F.col("cell_id"))).alias("mn"))
-            .select("vid", "m", F.col("mn.cell_id").alias("cell_id"))
-        )
-        sums = (
-            assign.join(svq, ["vid", "m"])
-            .groupBy("m", "cell_id")
-            .agg(
-                F.count("*").alias("cnt"),
-                *[F.sum(F.col("iv")[d]).alias(sum_aliases[d]) for d in range(dsub)],
-            )
-        )
-        cents = sums.select(
-            "m",
-            "cell_id",
-            F.array(*[F.expr(mean_expr(a)) for a in sum_aliases]).alias("cv"),
-        )
-    cents = cents.cache()  # trained codebook: reused by codes AND the LUT
+    else:
+        # trained codebook: reused by codes AND the LUT
+        cents = train_pq_codebook(sv, dsub, ksub=ksub, iters=iters).cache()
     coded = sv.join(F.broadcast(cents), "m").select("vid", "m", "cell_id", l2.alias("d2"))
     codes = (
         coded.groupBy("vid", "m")
@@ -725,6 +778,7 @@ def ivfpq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_cache: tuple[str, str] | None = None,
 ) -> DataFrame:
     """IVF-PQ with residual encoding (the FAISS IndexIVFPQ shape) -- the
     standard billion-scale ANN index, composing the two stages this module
@@ -799,41 +853,22 @@ def ivfpq_adc_topk(
         "vid", F.col("x.m").alias("m"), F.col("x.sv").alias("sv")
     )
     l2 = F.expr(l2_chain_expr("sv", "cv", dsub, 0))
-    pqc = rsv.where(F.col("vid") < ksub).select(
-        "m", F.col("vid").cast("long").alias("cell_id"), F.col("sv").alias("cv")
-    )
-    ivq = F.expr(
-        "array("
-        + ", ".join(
-            f"CAST(ROUND(CAST(sv[{d}] AS DOUBLE) * 1e6) AS BIGINT)" for d in range(dsub)
+    if pq_cache is not None:
+        # caller's fingerprint MUST encode the coarse quantizer's config too:
+        # residuals are a function of the IVF codebook, so a different IVF
+        # setup has to miss this cache
+        cache_dir, fingerprint = pq_cache
+        pqc = load_or_train_pq_codebook(
+            rsv,
+            dsub,
+            cache_dir,
+            f"ivfpq_m{m_sub}_k{ksub}_i{iters}_{fingerprint}",
+            ksub=ksub,
+            iters=iters,
         )
-        + ")"
-    )
-    rsvq = rsv.select("vid", "m", ivq.alias("iv"))
-    sum_aliases = [f"s{d}" for d in range(dsub)]
-    for _ in range(iters):
-        scored = rsv.join(F.broadcast(pqc), "m").select(
-            "vid", "m", "cell_id", l2.alias("d2")
-        )
-        a = (
-            scored.groupBy("vid", "m")
-            .agg(F.min(F.struct(F.col("d2"), F.col("cell_id"))).alias("mn"))
-            .select("vid", "m", F.col("mn.cell_id").alias("cell_id"))
-        )
-        sums = (
-            a.join(rsvq, ["vid", "m"])
-            .groupBy("m", "cell_id")
-            .agg(
-                F.count("*").alias("cnt"),
-                *[F.sum(F.col("iv")[d]).alias(sum_aliases[d]) for d in range(dsub)],
-            )
-        )
-        pqc = sums.select(
-            "m",
-            "cell_id",
-            F.array(*[F.expr(mean_expr(s)) for s in sum_aliases]).alias("cv"),
-        )
-    pqc = pqc.cache()  # trained PQ codebook: reused by codes AND the LUT
+    else:
+        # trained PQ codebook: reused by codes AND the LUT
+        pqc = train_pq_codebook(rsv, dsub, ksub=ksub, iters=iters).cache()
     codes = (
         rsv.join(F.broadcast(pqc), "m")
         .select("vid", "m", "cell_id", l2.alias("d2"))

@@ -498,10 +498,30 @@ def _pq_oracle() -> str:
     "broadcasts, the corpus never shuffles.",
 )
 def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
     return sim_ops.pq_adc_topk(
-        emb, queries, dims=_DIMS, m_sub=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, k=_K
+        emb,
+        queries,
+        dims=_DIMS,
+        m_sub=_PQ_M,
+        ksub=_PQ_KSUB,
+        iters=_PQ_ITERS,
+        k=_K,
+        # train-once/probe-many, same artifact contract as the IVF codebook
+        pq_cache=(_pq_cache_dir(), _embeddings_fingerprint(sf_dir)),
+    )
+
+
+def _pq_cache_dir() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "artifacts",
+        "pq_codebooks",
     )
 
 
@@ -651,4 +671,10 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ksub=_PQ_KSUB,
         iters=_PQ_ITERS,
         k=_K,
+        # residual-PQ codebook persists too; the key encodes the IVF config
+        # (residuals are a function of the coarse quantizer)
+        pq_cache=(
+            _pq_cache_dir(),
+            f"c{_IVF_CELLS}i{_IVF_ITERS}_{_embeddings_fingerprint(sf_dir)}",
+        ),
     )
