@@ -103,6 +103,63 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment (vid, cell_id, ccos): broadcast the codebook, score
+    every vector against every centroid, argmax by max(struct(c, -cell))
+    -- map-side-combined, the corpus never sort-windows. The (c DESC,
+    cell_id ASC) tie-break is shared by every consumer (IVF probe, IVF-PQ
+    residuals, SemDeDup priority) and by the oracles' ROW_NUMBER mirror."""
+    cos_vc = F.expr(cosine_expr("v", "cv", dims, base=0))
+    scored = (
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(codebook))
+        .select("vid", "cell_id", cos_vc.alias("c"))
+    )
+    return (
+        scored.groupBy("vid")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("cell_id")).alias("negc"))).alias("m"))
+        .select(
+            "vid",
+            (-F.col("m.negc")).cast("long").alias("cell_id"),
+            F.col("m.c").alias("ccos"),
+        )
+    )
+
+
+def load_or_build_ivf_assignment(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dims: int,
+    cache_dir: str,
+    key: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The INVERTED FILE itself, persisted: (vid, cell_id, ccos) is a
+    deterministic function of (data, codebook), so like the codebook it is
+    an artifact -- build once when the corpus is indexed, then every probe
+    run reads cell membership instead of re-scoring the whole corpus
+    against the centroids. The caller's key must encode the codebook's
+    config (n_cells, iters) plus the data fingerprint.
+
+    At 100 TB this is the difference between an index SCAN per query batch
+    and an index BUILD per query batch; production would additionally
+    partition the parquet by cell_id so probes prune to probed cells."""
+    spark = vectors.sparkSession
+    path = os.path.join(cache_dir, key)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):  # committed write only
+        return spark.read.parquet(path)
+    assign = ivf_assign(vectors, codebook, dims, id_col=id_col, vec_col=vec_col)
+    assign.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def semantic_dedup(
     vectors: DataFrame,
     codebook: DataFrame,
@@ -110,6 +167,7 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding space with a
     trained k-means codebook, then mark semantic duplicates WITHIN each
@@ -127,21 +185,12 @@ def semantic_dedup(
     deployment contract is #clusters grows with the corpus so cluster
     occupancy stays bounded (the paper uses 50k clusters for LAION);
     all-pairs across clusters is never formed."""
-    cos_vc = F.expr(cosine_expr("v", "cv", dims, base=0))
-    scored = (
-        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-        .join(F.broadcast(codebook))
-        .select("vid", "cell_id", cos_vc.alias("c"))
-    )
-    # same argmax-by-max(struct) assignment (and tie-break) as cosine_topk_ivf
+    # same argmax assignment (and tie-break) as cosine_topk_ivf; callers may
+    # pass the persisted inverted file (load_or_build_ivf_assignment)
     assign = (
-        scored.groupBy("vid")
-        .agg(F.max(F.struct(F.col("c"), (-F.col("cell_id")).alias("negc"))).alias("m"))
-        .select(
-            "vid",
-            (-F.col("m.negc")).cast("long").alias("cell_id"),
-            F.col("m.c").alias("ccos"),
-        )
+        assignment
+        if assignment is not None
+        else ivf_assign(vectors, codebook, dims, id_col=id_col, vec_col=vec_col)
     )
     withv = assign.join(
         vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")), "vid"
@@ -356,6 +405,7 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     of n_cells centroids (one broadcast pass -- the inverted file); each
@@ -381,12 +431,15 @@ def cosine_topk_ivf(
     # cell assignment = argmax by (cosine desc, cell_id asc) via max(struct):
     # map-side partial aggregation combines before the shuffle, so the
     # full-vector-set side never pays a per-key sort window. Same tie-break
-    # as ROW_NUMBER over (c DESC, cell_id ASC) = 1.
-    assign = (
-        scored_cells(vectors)
-        .groupBy("vid")
-        .agg(F.max(F.struct(F.col("c"), (-F.col("cell_id")).alias("negc"))).alias("m"))
-        .select(F.col("vid").alias("neighbor_id"), (-F.col("m.negc")).cast("long").alias("cell_id"))
+    # as ROW_NUMBER over (c DESC, cell_id ASC) = 1. Callers may pass the
+    # persisted inverted file (load_or_build_ivf_assignment) instead.
+    base_assign = (
+        assignment
+        if assignment is not None
+        else ivf_assign(vectors, cents, dims, id_col=id_col, vec_col=vec_col)
+    )
+    assign = base_assign.select(
+        F.col("vid").alias("neighbor_id"), "cell_id"
     )
     # probes (queries x n_probe) keep the rank window -- the query set is small
     w_probe = Window.partitionBy("vid").orderBy(F.col("c").desc(), F.col("cell_id").asc())
@@ -779,6 +832,7 @@ def ivfpq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pq_cache: tuple[str, str] | None = None,
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with residual encoding (the FAISS IndexIVFPQ shape) -- the
     standard billion-scale ANN index, composing the two stages this module
@@ -817,13 +871,12 @@ def ivfpq_adc_topk(
     cos_vc = F.expr(cosine_expr("v", "cv", dims, base=0))
 
     vecs = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    # callers may pass the persisted inverted file (load_or_build_ivf_assignment)
     assign = (
-        vecs.join(F.broadcast(cents))
-        .select("vid", "cell_id", cos_vc.alias("c"))
-        .groupBy("vid")
-        .agg(F.max(F.struct(F.col("c"), (-F.col("cell_id")).alias("negc"))).alias("m"))
-        .select("vid", (-F.col("m.negc")).cast("long").alias("cell_id"))
-    )
+        assignment
+        if assignment is not None
+        else ivf_assign(vectors, cents, dims, id_col=id_col, vec_col=vec_col)
+    ).select("vid", "cell_id")
     rv = F.expr(
         "array("
         + ", ".join(

@@ -203,6 +203,42 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
 """
 
 
+def _artifact_dir(name: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "artifacts",
+        name,
+    )
+
+
+def _ivf_artifacts(spark: SparkSession, sf_dir: str):
+    """The two persisted halves of the IVF index every consumer shares:
+    the trained codebook AND the inverted file (corpus cell assignment).
+    Probe-only runs read both; any fixture change rebuilds both (content
+    fingerprint in the key)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = _embeddings_fingerprint(sf_dir)
+    codebook = sim_ops.load_or_train_ivf_codebook(
+        spark,
+        emb,
+        dims=_DIMS,
+        cache_dir=_artifact_dir("ivf_codebooks"),
+        fingerprint=fp,
+        n_cells=_IVF_CELLS,
+        iters=_IVF_ITERS,
+    )
+    assignment = sim_ops.load_or_build_ivf_assignment(
+        emb,
+        codebook,
+        dims=_DIMS,
+        cache_dir=_artifact_dir("ivf_inverted"),
+        key=f"c{_IVF_CELLS}_i{_IVF_ITERS}_{fp}",
+    )
+    return emb, codebook, assignment
+
+
 def _embeddings_fingerprint(sf_dir: str) -> str:
     """Cache key for the trained codebook: md5 of the source parquet bytes.
     Content-based, not mtime-based, so a byte-identical regenerated fixture
@@ -231,28 +267,13 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     "(fingerprint-keyed) and repeat runs only probe, the FAISS recipe.",
 )
 def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    emb = load_table(spark, sf_dir, "embeddings")
+    # committed artifact dirs (not the gitignored warehouse): codebook AND
+    # inverted file ship with the repo, so a fresh checkout probes immediately
+    emb, codebook, assignment = _ivf_artifacts(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
-    codebook = sim_ops.load_or_train_ivf_codebook(
-        spark,
-        emb,
-        dims=_DIMS,
-        # committed artifact dir (not the gitignored warehouse): the trained
-        # codebook ships with the repo, so a fresh checkout probes immediately
-        cache_dir=os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "artifacts",
-            "ivf_codebooks",
-        ),
-        fingerprint=_embeddings_fingerprint(sf_dir),
-        n_cells=_IVF_CELLS,
-        iters=_IVF_ITERS,
-    )
     return sim_ops.cosine_topk_ivf(
         emb, queries, dims=_DIMS, k=_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
-        train_iters=_IVF_ITERS, codebook=codebook,
+        train_iters=_IVF_ITERS, codebook=codebook, assignment=assignment,
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
@@ -302,23 +323,10 @@ FROM assign a LEFT JOIN dropped d ON d.vid = a.vid
     "because #clusters grows with the corpus (50k for LAION in the paper).",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    codebook = sim_ops.load_or_train_ivf_codebook(
-        spark,
-        emb,
-        dims=_DIMS,
-        cache_dir=os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "artifacts",
-            "ivf_codebooks",
-        ),
-        fingerprint=_embeddings_fingerprint(sf_dir),
-        n_cells=_IVF_CELLS,
-        iters=_IVF_ITERS,
+    emb, codebook, assignment = _ivf_artifacts(spark, sf_dir)
+    return sim_ops.semantic_dedup(
+        emb, codebook, dims=_DIMS, threshold=_SEM_THR, assignment=assignment
     )
-    return sim_ops.semantic_dedup(emb, codebook, dims=_DIMS, threshold=_SEM_THR)
 
 
 @register(
@@ -644,23 +652,8 @@ def _ivfpq_oracle() -> str:
     "probed-cell candidates.",
 )
 def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb, codebook, assignment = _ivf_artifacts(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
-    codebook = sim_ops.load_or_train_ivf_codebook(
-        spark,
-        emb,
-        dims=_DIMS,
-        cache_dir=os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-            "artifacts",
-            "ivf_codebooks",
-        ),
-        fingerprint=_embeddings_fingerprint(sf_dir),
-        n_cells=_IVF_CELLS,
-        iters=_IVF_ITERS,
-    )
     return sim_ops.ivfpq_adc_topk(
         emb,
         queries,
@@ -677,4 +670,5 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pq_cache_dir(),
             f"c{_IVF_CELLS}i{_IVF_ITERS}_{_embeddings_fingerprint(sf_dir)}",
         ),
+        assignment=assignment,
     )
