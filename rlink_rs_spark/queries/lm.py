@@ -88,7 +88,10 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Log-probs live as integer micro-nats inside the LUT (rounded before any
     reassociative sum), so the DuckDB oracle value-hash matches exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    bigrams = bigram_rows(docs)
+    # the exploded bigram frame feeds BOTH the training branch (en subset,
+    # materialized first for the broadcast LUT) and the scoring branch --
+    # cache() so the normalize+explode pass over the corpus runs once
+    bigrams = bigram_rows(docs).cache()
     lut, pre_lut = train_bigram_lut(bigrams.where(F.col("lang") == "en"))
     scored = score_documents(bigrams, lut, pre_lut)
     w = Window.orderBy("nll_per_char", "doc_id")
