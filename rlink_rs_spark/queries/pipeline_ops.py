@@ -403,3 +403,119 @@ def temperature_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("docs_per_epoch"),
         )
     )
+
+
+# --- materialized epoch resampling -------------------------------------------
+
+
+@register(
+    "resample_corpus_epoch",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    scaled AS (
+      SELECT lang, n_docs,
+             CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS s
+      FROM counts
+    ),
+    tot AS (SELECT SUM(s) AS tot, SUM(n_docs) AS total_docs FROM scaled),
+    per_doc AS (
+      SELECT d.doc_id, d.lang,
+             s.s * t.total_docs AS a, t.tot * s.n_docs AS b,
+             ('0x' || substr(md5('rs:' || CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT AS u20
+      FROM documents d JOIN scaled s USING (lang) CROSS JOIN tot t
+    ),
+    rep AS (
+      SELECT doc_id, lang,
+             CAST(a // b + CASE WHEN u20 * b < (a % b) * 1048576 THEN 1 ELSE 0 END AS BIGINT) AS n
+      FROM per_doc
+    )
+    SELECT doc_id, lang, CAST(i AS INT) AS copy_idx,
+           ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR) || ':'
+                                || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard
+    FROM (SELECT doc_id, lang, unnest(generate_series(1, n)) AS i FROM rep)
+    """,
+    "Materialized temperature resampling: turns the sqrt-temperature "
+    "language weights into an ACTUAL epoch -- each doc replicated "
+    "floor(e)+Bernoulli(frac(e)) times where e = its language's "
+    "target/actual ratio, with the Bernoulli draw a deterministic 20-bit "
+    "md5 fraction compared IN INTEGER ARITHMETIC (u20*b < rem*2^20; no "
+    "float threshold to drift between engines). Copies land in 8 training "
+    "shards by per-copy hash. Tail languages expand, head languages "
+    "subsample; expected epoch size == corpus size.",
+)
+def resample_corpus_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bridge from mixing WEIGHTS (temperature_resample_weights) to a
+    training EPOCH (training_shuffle_shards' input): one 5-row broadcast of
+    per-language targets, map-side integer replication counts, one explode.
+    No shuffle touches the corpus until the final shard write (which at
+    100 TB is the repartition the trainer needs anyway)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    scaled = counts.select(
+        "lang",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) * 1000000).cast("long").alias("s"),
+    )
+    tot = scaled.agg(F.sum("s").alias("tot"), F.sum("n_docs").alias("total_docs"))
+    per_doc = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(scaled), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("s") * F.col("total_docs")).alias("a"),
+            (F.col("tot") * F.col("n_docs")).alias("b"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("rs:"), F.col("doc_id").cast("string"))), 1, 5
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("u20"),
+        )
+    )
+    rep = per_doc.select(
+        "doc_id",
+        "lang",
+        (
+            F.expr("a DIV b")
+            + F.when(F.col("u20") * F.col("b") < (F.col("a") % F.col("b")) * 1048576, 1)
+            .otherwise(0)
+        ).alias("n"),
+    )
+    exploded = rep.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("CASE WHEN n >= 1 THEN sequence(1L, n) ELSE CAST(array() AS array<bigint>) END")
+        ).alias("i"),
+    )
+    return exploded.select(
+        "doc_id",
+        "lang",
+        F.col("i").cast("int").alias("copy_idx"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("shard:"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 8
+        ).alias("shard"),
+    )

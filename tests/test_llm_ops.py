@@ -45,6 +45,7 @@ ORACLED = [
     "cosine_topk_ivfpq",
     "incremental_batch_dedup",
     "clean_normalize_docs",
+    "resample_corpus_epoch",
 ]
 
 
@@ -981,3 +982,31 @@ def test_clean_normalize_behavior_on_planted_dirt(spark):
     assert got[1] == got[2] == "hello world"
     assert got[3] == got[4] == '"quoted" - dash.'
     assert got[5] == "bell andnull"
+
+
+def test_resample_epoch_rebalances_toward_tail_languages(spark, sf_dir):
+    """Temperature resampling invariants: epoch size within 2% of corpus
+    size (expected-copies == 1 on average), the head language (en) is
+    subsampled (ratio < 1), every tail language is upsampled (ratio > 1),
+    and shards are all populated."""
+    from pyspark.sql import functions as F
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.tables import load_table
+
+    out = REGISTRY["resample_corpus_epoch"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    n_docs = {r.lang: r["count"] for r in docs}
+    total = sum(n_docs.values())
+    assert abs(len(out) - total) <= 0.02 * total
+    per_lang: dict[str, int] = {}
+    shards = set()
+    for r in out:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+        shards.add(r.shard)
+    head = max(n_docs, key=n_docs.get)
+    assert per_lang[head] / n_docs[head] < 1.0
+    for lang, n in n_docs.items():
+        if lang != head and n < 0.5 * n_docs[head]:
+            assert per_lang[lang] / n > 1.0, f"tail lang {lang} not upsampled"
+    assert shards == set(range(8))
