@@ -93,7 +93,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "dedup_keep_list",
     # -- changed in r6: needs a fresh driver row
     "approx_distinct_users",
-    "embedding_cosine_near_dup",
+    # (embedding_cosine_near_dup rotated out: r5-driver-green, unchanged,
+    #  in the ORACLED pytest parity list; slot goes to the float-hash
+    #  showcase below)
+    "anomaly_zscore_events",
     # -- new in the r6 continuation session, never driver-checked: LM quality
     #    filter, IVF-PQ residual ANN, incremental dedup, text normalization.
     #    Displaced (all r5-driver-green on current fixtures, now pytest-
