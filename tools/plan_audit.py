@@ -39,11 +39,14 @@ STREAMING = {
 #   semantic_dedup         -- 16-row centroid codebook broadcast cross (the
 #                             cosine_topk_ivf assignment shape)
 #   source_mix_report      -- 1-row corpus-total broadcast cross (corpus share)
+#   resample_corpus_epoch  -- 1-row (tot, total_docs) normalizer broadcast
+#                             cross, the temperature_resample_weights shape
 #   cosine_topk_ivfpq      -- 16-row IVF codebook broadcast cross (the
 #                             cosine_topk_ivf assignment shape, twice:
 #                             corpus assignment + query probing)
 NLJ_ALLOWED = {
     "cosine_topk_ivfpq",
+    "resample_corpus_epoch",
     "pagerank_trade_graph",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
