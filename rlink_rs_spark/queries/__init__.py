@@ -21,6 +21,7 @@ from rlink_rs_spark.queries import pipeline_ops  # noqa: E402,F401
 from rlink_rs_spark.queries import graph  # noqa: E402,F401
 from rlink_rs_spark.queries import lm  # noqa: E402,F401
 from rlink_rs_spark.queries import analytics  # noqa: E402,F401
+from rlink_rs_spark.queries import search  # noqa: E402,F401
 
 # The driver's correctness gate hashes the FIRST 50 registry entries only
 # (CORRECTNESS_r02..r05 are each exactly 50 rows, in registration order).

@@ -1,0 +1,162 @@
+"""Full-text retrieval queries: BM25 keyword search over `documents`.
+
+The reference's users run keyword relevance ranking downstream of its text
+pipelines (rlink-rs analytics surface); at LLM-corpus scale the same shape
+powers data selection by query relevance. Spark-first design: the corpus is
+tokenized and term-frequency-aggregated with ONE map-side-combinable
+shuffle; the query set, per-term document frequencies, and corpus totals
+are all broadcast, so the corpus never shuffles again after the tf
+aggregate.
+
+Cross-engine exactness: every BM25 term contribution is computed from
+BIGINT inputs (tf, df, dl, n_docs, dl_sum) by ONE expression string shared
+verbatim between Spark and DuckDB, scaled to integer micro-points and
+rounded BEFORE the reassociative per-doc sum (the `lm_perplexity_filter`
+micro-nats pattern), so the float score column value-hash matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rlink_rs_spark.queries.base import register
+from rlink_rs_spark.tables import load_table
+
+# Fixed benchmark query set (vocabulary drawn from the synthetic corpus).
+BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q_window", ["window", "filter", "agg"]),
+    ("q_stream", ["stream", "join", "merge"]),
+    ("q_vector", ["vector", "query", "scan"]),
+]
+BM25_TOP_K = 10
+
+# BM25 (Robertson/Sparck Jones, k1=1.2, b=0.75): one shared expression
+# string -- identical parse, identical IEEE evaluation order in both
+# engines; rounded to integer micro-points per (query, term, doc) row.
+_BM25_CONTRIB = (
+    "CAST(ROUND(1000000.0 * LN(1.0 + "
+    "(CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"
+    ") * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * "
+    "(0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(dl_sum AS DOUBLE))"
+    "))) AS BIGINT)"
+)
+
+_QUERY_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+_BM25_ORACLE = f"""
+WITH tokens AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents)
+  WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokens GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS dl_sum
+  FROM dl
+),
+qterms AS (
+  SELECT * FROM (VALUES {_QUERY_VALUES}) AS q(query_id, term)
+),
+dfc AS (
+  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf t
+  WHERE t.term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY t.term
+),
+contrib AS (
+  SELECT q.query_id, t.doc_id, {_BM25_CONTRIB} AS c
+  FROM tf t
+  JOIN qterms q ON q.term = t.term
+  JOIN dfc ON dfc.term = t.term
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN totals
+),
+scored AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, score_micro / 1000000.0 AS score
+FROM (SELECT query_id, doc_id, score_micro,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+      FROM scored)
+WHERE rank <= {BM25_TOP_K}
+"""
+
+
+@register(
+    "bm25_keyword_search",
+    _BM25_ORACLE,
+    "BM25 (k1=1.2, b=0.75) top-10 document retrieval for a fixed 3-query "
+    "benchmark set: one corpus tf shuffle, broadcast query terms / df / "
+    "corpus totals, integer micro-point term contributions.",
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: the corpus shuffles ONCE (the (doc, term) tf
+    aggregate, map-side combined); `dl` re-aggregates that output by
+    doc_id. Everything query-side (query terms, per-term df restricted to
+    query terms, the 1-row corpus totals) is broadcast, so candidate
+    scoring is a map-side pass over the tf rows that match a query term.
+    The totals cross join is a 1-row broadcast (by-design NLJ, the
+    `source_mix_report` shape). Final top-k is a per-query rank window
+    over the scored candidates only -- never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    totals = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("dl_sum"),
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id string, term string",
+    )
+    dfc = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("c", F.expr(_BM25_CONTRIB))
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("score_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
+        )
+    )

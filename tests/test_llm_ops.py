@@ -46,6 +46,7 @@ ORACLED = [
     "incremental_batch_dedup",
     "clean_normalize_docs",
     "resample_corpus_epoch",
+    "bm25_keyword_search",
 ]
 
 
@@ -1010,3 +1011,33 @@ def test_resample_epoch_rebalances_toward_tail_languages(spark, sf_dir):
         if lang != head and n < 0.5 * n_docs[head]:
             assert per_lang[lang] / n > 1.0, f"tail lang {lang} not upsampled"
     assert shards == set(range(8))
+
+
+def test_bm25_ranking_invariants(spark, sf_dir):
+    """BM25 structural invariants on the fixture corpus: per query, ranks
+    are contiguous from 1, scores are non-increasing in rank (doc_id
+    tiebreak), at most K results, and every returned doc actually contains
+    at least one query term."""
+    from collections import defaultdict
+
+    from rlink_rs_spark.queries.search import BM25_QUERIES, BM25_TOP_K
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["bm25_keyword_search"].fn(spark, sf_dir).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    assert set(by_q) == {qid for qid, _ in BM25_QUERIES}
+    docs = {
+        r.doc_id: r.text.lower()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    terms = {qid: ts for qid, ts in BM25_QUERIES}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= BM25_TOP_K
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert any(t in docs[r.doc_id] for t in terms[qid])
