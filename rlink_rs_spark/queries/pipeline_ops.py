@@ -519,3 +519,129 @@ def resample_corpus_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 8
         ).alias("shard"),
     )
+
+
+# --- DSIR importance weights -------------------------------------------------
+
+_DSIR_BUCKETS = 128
+_DSIR_SCALE = 1_000_000
+
+# Hashed-feature bucket for one normalized character bigram (the repo's
+# engine-neutral md5 hash32 idiom).
+_DSIR_BUCKET_SPARK = "CAST(conv(substring(md5(bg), 9, 8), 16, 10) AS BIGINT) % {b}"
+_DSIR_BUCKET_DUCK = "('0x' || substr(md5(bg), 9, 8))::BIGINT % {b}"
+
+# Smoothed per-bucket log importance ratio ln(p_target/p_raw), one shared
+# expression over BIGINT inputs, rounded to integer micro-nats inside the
+# <=128-row LUT before any reassociative sum (the lm_perplexity_filter
+# pattern).
+_DSIR_LR = (
+    f"CAST(ROUND({_DSIR_SCALE}.0 * ("
+    f"LN((CAST(ct AS DOUBLE) + 1.0) / (CAST(tot_t AS DOUBLE) + {_DSIR_BUCKETS}.0))"
+    f" - LN((CAST(cr AS DOUBLE) + 1.0) / (CAST(tot_r AS DOUBLE) + {_DSIR_BUCKETS}.0))"
+    f")) AS BIGINT)"
+)
+
+_DSIR_NORM_DUCK = "regexp_replace(lower(text), '[^a-z ]', '_', 'g')"
+
+_DSIR_ORACLE = f"""
+WITH big AS (
+  SELECT doc_id, lang,
+         {_DSIR_BUCKET_DUCK.format(b=_DSIR_BUCKETS)} AS bucket
+  FROM (SELECT doc_id, lang,
+               substr(norm, CAST(i AS INT), 2) AS bg
+        FROM (SELECT doc_id, lang, {_DSIR_NORM_DUCK} AS norm FROM documents),
+             unnest(generate_series(1, length(norm) - 1)) AS t(i))
+),
+raw_cnt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM big GROUP BY bucket
+),
+tgt_cnt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM big WHERE lang = 'en' GROUP BY bucket
+),
+totals AS (
+  SELECT (SELECT SUM(cr) FROM raw_cnt) AS tot_r,
+         (SELECT COALESCE(SUM(ct), 0) FROM tgt_cnt) AS tot_t
+),
+lut AS (
+  SELECT r.bucket, {_DSIR_LR} AS lr
+  FROM (SELECT bucket, cr, COALESCE(ct, 0) AS ct
+        FROM raw_cnt LEFT JOIN tgt_cnt USING (bucket)) r
+  CROSS JOIN totals
+),
+scored AS (
+  SELECT b.doc_id, b.lang, CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(SUM(l.lr) AS BIGINT) AS sum_lr
+  FROM big b JOIN lut l ON b.bucket = l.bucket
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_features,
+       sum_lr / {_DSIR_SCALE}.0 AS log_weight,
+       CASE WHEN NTILE(4) OVER (ORDER BY sum_lr DESC, doc_id) = 1
+            THEN TRUE ELSE FALSE END AS selected
+FROM scored
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    _DSIR_ORACLE,
+    "DSIR (Xie et al. 2023) data selection: hashed char-bigram bag-of-words "
+    "models for target (lang='en') vs raw corpus; per-doc log importance "
+    "weight sum ln(p_target/p_raw) over 128 hashed feature buckets; top "
+    "quartile flagged selected.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, the hashed-ngram variant
+    (public DSIR paper). 100 TB shape mirrors `lm_perplexity_filter`:
+
+      * both bucket-count tables aggregate the exploded corpus with ONE
+        map-side-combinable exchange each over <=128 keys;
+      * the importance-ratio LUT is <=128 rows -- broadcast; the corpus
+        never shuffles for the lookup, only for the per-doc combinable sum;
+      * the totals cross join touches the tiny LUT, not the corpus (the
+        `source_mix_report` 1-row broadcast shape);
+      * NTILE(4) sorts DOC SCORES only; at 100 TB replace with a sampled
+        quantile threshold + map-side CASE (same note as the LM filter).
+
+    Integer micro-nat log-ratios inside the LUT make the float log_weight
+    column bit-identical across engines."""
+    from rlink_rs_spark.operators.lm import bigram_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    big = bigram_rows(docs).select(
+        "doc_id",
+        "lang",
+        F.expr(_DSIR_BUCKET_SPARK.format(b=_DSIR_BUCKETS)).alias("bucket"),
+    )
+    raw_cnt = big.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_cnt = (
+        big.where(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    counts = raw_cnt.join(tgt_cnt, "bucket", "left").select(
+        "bucket", "cr", F.coalesce("ct", F.lit(0)).cast("bigint").alias("ct")
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("tot_r"), F.sum("ct").alias("tot_t")
+    )
+    lut = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket", F.expr(_DSIR_LR).alias("lr")
+    )
+    scored = (
+        big.join(F.broadcast(lut), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("lr").cast("bigint").alias("sum_lr"),
+        )
+    )
+    w = Window.orderBy(F.col("sum_lr").desc(), F.col("doc_id"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_features",
+        (F.col("sum_lr") / float(_DSIR_SCALE)).alias("log_weight"),
+        (F.ntile(4).over(w) == 1).alias("selected"),
+    )

@@ -47,6 +47,7 @@ ORACLED = [
     "clean_normalize_docs",
     "resample_corpus_epoch",
     "bm25_keyword_search",
+    "dsir_importance_weights",
 ]
 
 
@@ -1041,3 +1042,22 @@ def test_bm25_ranking_invariants(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         for r in rs:
             assert any(t in docs[r.doc_id] for t in terms[qid])
+
+
+def test_dsir_upweights_target_language(spark, sf_dir):
+    """DSIR with target = lang='en' must assign higher mean log importance
+    weight to en docs than to zh docs (disjoint alphabets after
+    normalization), and the selected flag must mark exactly the top
+    quartile."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["dsir_importance_weights"].fn(spark, sf_dir).collect()
+    en = [r.log_weight for r in rows if r.lang == "en"]
+    zh = [r.log_weight for r in rows if r.lang == "zh"]
+    assert en and zh
+    assert sum(en) / len(en) > sum(zh) / len(zh)
+    n_sel = sum(1 for r in rows if r.selected)
+    assert abs(n_sel - len(rows) / 4) <= 1
+    cutoff = min(r.log_weight for r in rows if r.selected)
+    above = [r for r in rows if r.log_weight > cutoff]
+    assert all(r.selected for r in above)
