@@ -270,3 +270,62 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             var_ok & (F.abs(F.expr(_Z_EXPR)) > 2.0), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+# --- time-series gap fill ----------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH obs AS (
+  SELECT user_id, epoch_ms(ts) // 3600000 AS hour_idx,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS observed_cents
+  FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(hour_idx) AS mn, MAX(hour_idx) AS mx FROM obs GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hour_idx FROM span)
+SELECT s.user_id, s.hour_idx,
+       LAST_VALUE(o.observed_cents IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.hour_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_cents,
+       o.observed_cents IS NULL AS is_gap
+FROM spine s LEFT JOIN obs o USING (user_id, hour_idx)
+"""
+
+
+@register(
+    "timeseries_gap_fill",
+    _GAPFILL_ORACLE,
+    "Hourly resample with last-observation-carried-forward fill: per-user "
+    "dense hour spine between first and last event, observed hourly sums "
+    "as exact cents, gaps forward-filled (time_bucket_gapfill/LOCF shape).",
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-resample + LOCF, the hypertable-rollup/gap-fill operator the
+    reference's streaming-analytics users run on event series. Every stage
+    is keyed on user_id (the hourly agg on (user_id, hour)), so at 100 TB
+    one hash partitioning by user carries the agg, the spine join, and the
+    fill window; the spine explode is map-side from the 1-row-per-user
+    span table. The user_id % 5 filter is a deterministic workload subset
+    (pushed to the scan), not a semantic restriction."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 5 == 0)
+    hour = F.expr("unix_millis(ts) div 3600000")
+    obs = ev.groupBy("user_id", hour.alias("hour_idx")).agg(
+        F.sum(F.expr("CAST(ROUND(value*100) AS BIGINT)")).alias("observed_cents")
+    )
+    span = obs.groupBy("user_id").agg(
+        F.min("hour_idx").alias("mn"), F.max("hour_idx").alias("mx")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("hour_idx")
+    )
+    joined = spine.join(obs, ["user_id", "hour_idx"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_idx",
+        F.last("observed_cents", ignorenulls=True).over(w).alias("value_cents"),
+        F.col("observed_cents").isNull().alias("is_gap"),
+    )

@@ -32,6 +32,7 @@ RELATIONAL = [
     "exact_median",
     "value_histogram",
     "zorder_layout_stats",
+    "timeseries_gap_fill",
 ]
 
 
@@ -188,3 +189,29 @@ def test_anomaly_zscore_rate_and_nulls(spark, sf_dir):
         elif r.zscore is not None:
             assert abs(r.zscore) <= 2.0
     assert 0 < n_anom < 0.2 * len(rows)
+
+
+def test_gap_fill_spine_dense_and_locf(spark, sf_dir):
+    """Gap-fill invariants: per user the hour spine is dense (contiguous
+    hour indexes, no holes), first row is an observation (never a gap),
+    and every gap row carries exactly the previous non-gap value."""
+    from collections import defaultdict
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["timeseries_gap_fill"].fn(spark, sf_dir).collect()
+    by_u = defaultdict(list)
+    for r in rows:
+        by_u[r.user_id].append(r)
+    assert by_u
+    for u, rs in by_u.items():
+        rs.sort(key=lambda r: r.hour_idx)
+        idxs = [r.hour_idx for r in rs]
+        assert idxs == list(range(idxs[0], idxs[-1] + 1)), f"holes in spine for user {u}"
+        assert not rs[0].is_gap
+        last_obs = None
+        for r in rs:
+            if r.is_gap:
+                assert r.value_cents == last_obs
+            else:
+                last_obs = r.value_cents
