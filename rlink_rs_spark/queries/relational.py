@@ -1094,3 +1094,97 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("t_bucket").alias("max_t"),
         )
     )
+
+
+# --- SCD2 versioned dimension build -----------------------------------------
+
+# Standard SCD2 "high date" sentinel for the open-ended current version
+# (9999-01-01 in epoch millis) -- keeps valid_to_ms non-null so both
+# engines emit exact BIGINTs.
+_SCD2_HIGH_MS = 253402214400000
+
+_SCD2_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority AS priority,
+         epoch_ms(o_orderdate) AS d
+  FROM orders
+),
+flagged AS (
+  SELECT *, CASE WHEN priority IS DISTINCT FROM
+                      LAG(priority) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+                 THEN 1 ELSE 0 END AS chg
+  FROM o
+),
+versioned AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS version
+  FROM flagged
+),
+runs AS (
+  SELECT o_custkey, version, MIN(priority) AS priority,
+         MIN(d) AS valid_from_ms, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM versioned GROUP BY 1, 2
+)
+SELECT o_custkey, version, priority, valid_from_ms,
+       COALESCE(LEAD(valid_from_ms) OVER (PARTITION BY o_custkey ORDER BY version),
+                {_SCD2_HIGH_MS}) AS valid_to_ms,
+       LEAD(valid_from_ms) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL
+         AS is_current,
+       n_orders
+FROM runs
+"""
+
+
+@register(
+    "scd2_priority_dimension",
+    _SCD2_ORACLE,
+    "Slowly-changing-dimension type-2 build: per-customer order-priority "
+    "change stream collapsed into versioned validity intervals "
+    "[valid_from, valid_to) with an is_current flag (gaps-and-islands).",
+)
+def scd2_priority_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC-to-dimension materialization every warehouse runs: detect
+    change points with LAG, number runs with a running SUM of change flags
+    (gaps-and-islands), collapse each run to one version row, close each
+    interval with the next version's start (LEAD; the SCD2 high-date
+    sentinel keeps the current row's valid_to exact-typed).
+
+    100 TB shape: every window and the run aggregate partition by
+    o_custkey, so one hash partitioning carries all three stages -- Spark
+    plans a single exchange."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("unix_millis(o_orderdate)").alias("d"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    flagged = o.withColumn(
+        "chg",
+        F.when(
+            ~F.col("priority").eqNullSafe(F.lag("priority").over(w)), 1
+        ).otherwise(0),
+    )
+    versioned = flagged.withColumn(
+        "version",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    runs = versioned.groupBy("o_custkey", "version").agg(
+        F.min("priority").alias("priority"),
+        F.min("d").alias("valid_from_ms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    nxt = F.lead("valid_from_ms").over(wv)
+    return runs.select(
+        "o_custkey",
+        "version",
+        "priority",
+        "valid_from_ms",
+        F.coalesce(nxt, F.lit(_SCD2_HIGH_MS)).alias("valid_to_ms"),
+        nxt.isNull().alias("is_current"),
+        "n_orders",
+    )

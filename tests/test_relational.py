@@ -33,6 +33,7 @@ RELATIONAL = [
     "value_histogram",
     "zorder_layout_stats",
     "timeseries_gap_fill",
+    "scd2_priority_dimension",
 ]
 
 
@@ -215,3 +216,28 @@ def test_gap_fill_spine_dense_and_locf(spark, sf_dir):
                 assert r.value_cents == last_obs
             else:
                 last_obs = r.value_cents
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    """SCD2 invariants: per customer, versions are contiguous from 1,
+    intervals are non-overlapping and adjacent (each valid_to equals the
+    next valid_from), exactly one current row closed by the high-date
+    sentinel, and consecutive versions always change priority."""
+    from collections import defaultdict
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.relational import _SCD2_HIGH_MS
+
+    rows = REGISTRY["scd2_priority_dimension"].fn(spark, sf_dir).collect()
+    by_c = defaultdict(list)
+    for r in rows:
+        by_c[r.o_custkey].append(r)
+    assert by_c
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current and rs[-1].valid_to_ms == _SCD2_HIGH_MS
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_ms == b.valid_from_ms
+            assert a.priority != b.priority
