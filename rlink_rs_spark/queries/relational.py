@@ -1188,3 +1188,61 @@ def scd2_priority_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_orders",
     )
+
+
+# --- GROUPING SETS -----------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(CAST(CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS BIGINT) AS VARCHAR),
+                '(all)') AS weekday,
+       CAST(GROUPING(event_type) * 2 +
+            GROUPING(CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS BIGINT)) AS BIGINT)
+         AS gid,
+       {SUM_EXACT_SQL.format(col='value')} AS sum_value, COUNT(*) AS cnt
+FROM events
+GROUP BY GROUPING SETS (
+  (event_type, CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS BIGINT)),
+  (event_type),
+  (CAST((epoch_ms(ts) // 86400000 + 4) % 7 AS BIGINT)),
+  ()
+)
+"""
+
+
+@register(
+    "grouping_sets_agg",
+    _GSETS_ORACLE,
+    "Explicit GROUPING SETS (the general form under cube/rollup): "
+    "(type, weekday), (type), (weekday), grand total in ONE pass, with a "
+    "GROUPING()-derived gid distinguishing real NULL dims from rollups.",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 DataFrame groupingSets: all four aggregation granularities
+    in one shuffle (partial aggregation replicates each row once per
+    grouping set map-side, then a single exchange). The gid column is the
+    portable GROUPING() encoding -- at 100 TB this replaces four separate
+    scans/aggregations of the fact table with one."""
+    events = load_table(spark, sf_dir, "events")
+    weekday = (
+        ((F.unix_millis("ts") / F.lit(86400000)).cast("long") + 4) % 7
+    ).cast("long")
+    dims = events.select("event_type", weekday.alias("weekday"), "value")
+    gs = dims.groupingSets(
+        [["event_type", "weekday"], ["event_type"], ["weekday"], []],
+        "event_type",
+        "weekday",
+    ).agg(
+        (F.grouping("event_type") * 2 + F.grouping("weekday"))
+        .cast("bigint")
+        .alias("gid"),
+        sum_exact("value", "sum_value"),
+        F.count("*").alias("cnt"),
+    )
+    return gs.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        F.coalesce(F.col("weekday").cast("string"), F.lit("(all)")).alias("weekday"),
+        "gid",
+        "sum_value",
+        "cnt",
+    )

@@ -34,6 +34,7 @@ RELATIONAL = [
     "zorder_layout_stats",
     "timeseries_gap_fill",
     "scd2_priority_dimension",
+    "grouping_sets_agg",
 ]
 
 
@@ -241,3 +242,21 @@ def test_scd2_intervals_partition_history(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to_ms == b.valid_from_ms
             assert a.priority != b.priority
+
+
+def test_grouping_sets_consistency(spark, sf_dir):
+    """The four granularities must agree: per-type totals equal the sum of
+    that type's (type, weekday) cells, and the grand total equals the sum
+    of per-type rows (count and exact-cents sum alike)."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["grouping_sets_agg"].fn(spark, sf_dir).collect()
+    cells = {(r.event_type, r.weekday): r for r in rows if r.gid == 0}
+    by_type = {r.event_type: r for r in rows if r.gid == 1}
+    grand = [r for r in rows if r.gid == 3]
+    assert len(grand) == 1
+    for t, tr in by_type.items():
+        sub = [c for (ct, _), c in cells.items() if ct == t]
+        assert sum(c.cnt for c in sub) == tr.cnt
+        assert abs(sum(c.sum_value for c in sub) - tr.sum_value) < 1e-6
+    assert sum(r.cnt for r in by_type.values()) == grand[0].cnt
