@@ -68,9 +68,7 @@ def _pagerank_oracle(iters: int) -> str:
     )
 
 
-@register(
-    "pagerank_trade_graph",
-    _pagerank_oracle(_PR_ITERS),
+_PR_DESC = (
     f"PageRank ({_PR_ITERS} iterations, damping {_PR_DAMP}) over the "
     "customer->supplier nation trade graph (distinct edges from the "
     "orders/lineitem star join). The fixed iteration count UNROLLS into "
@@ -82,15 +80,20 @@ def _pagerank_oracle(iters: int) -> str:
     "the edge list against the rank table plus a map-side-combined sum on "
     "dst -- the textbook distributed PageRank dataflow; the 25-node "
     "fixture graph stands in for a billions-edge link graph whose edge "
-    "table simply partitions.",
+    "table simply partitions."
 )
-def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer-nation -> supplier-nation edges from the
+    orders/lineitem star join, materialized once (see the checkpoint note
+    inline). Shared by pagerank_trade_graph and trade_graph_triangles."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    edges = (
+    return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -111,6 +114,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # on a cluster use reliable checkpoint() instead.
         .localCheckpoint(eager=True)
     )
+
+
+@register("pagerank_trade_graph", _pagerank_oracle(_PR_ITERS), _PR_DESC)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()
@@ -148,3 +156,96 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select("node", (F.col("rank_s") / float(_PR_SCALE)).alias("rank"))
+
+
+# --- triangle counting -------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH dedges AS (
+  SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM dedges WHERE src <> dst
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node
+)
+SELECT d.node, d.degree, COALESCE(p.triangles, 0) AS triangles
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+"""
+
+
+@register(
+    "trade_graph_triangles",
+    _TRI_ORACLE,
+    "Per-node triangle counting + degrees on the undirected nation trade "
+    "graph: the ordered-wedge two-join enumeration (a<b<c), each triangle "
+    "counted exactly once.",
+)
+def trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered triangle enumeration (Suri & Vassilvitskii's MR algorithm
+    shape): orient every undirected edge low->high, join wedges a-b-c
+    (a<b<c) against the edge set to close them -- each triangle counted
+    once, no candidate explosion from high-degree nodes being enumerated
+    three ways. At 100 TB, orient edges from the lower-DEGREE endpoint
+    instead of the lower id (degree ordering bounds wedge counts by
+    arboricity, the standard skew guard); id ordering keeps the fixture
+    oracle simple. All joins are equi-joins on node names -- the edge
+    table partitions and the wedge join is the only wide exchange."""
+    edges = _trade_edges(spark, sf_dir)
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+        )
+    )
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+    )

@@ -29,9 +29,39 @@ TPCH = [
     "avg_agg",
     "value_band_join",
     "pagerank_trade_graph",
+    "trade_graph_triangles",
 ]
 
 
 @pytest.mark.parametrize("name", TPCH)
 def test_tpch_matches_oracle(spark, duck, sf_dir, name):
     run_query_vs_oracle(spark, duck, sf_dir, name)
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_dir):
+    """Per-node triangle counts must equal a driver-side brute-force count
+    over the same undirected edge set, and each node's triangles are
+    bounded by its wedge count C(degree, 2)."""
+    from itertools import combinations
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["trade_graph_triangles"].fn(spark, sf_dir).collect()
+    from rlink_rs_spark.queries.graph import _trade_edges
+
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in _trade_edges(spark, sf_dir).collect()
+        if r.src != r.dst
+    }
+    nodes = {n for e in edges for n in e}
+    brute = {n: 0 for n in nodes}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            for n in (a, b, c):
+                brute[n] += 1
+    got = {r.node: r.triangles for r in rows}
+    assert got == brute
+    deg = {r.node: r.degree for r in rows}
+    for n, t in got.items():
+        assert t <= deg[n] * (deg[n] - 1) // 2
