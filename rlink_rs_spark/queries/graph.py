@@ -213,12 +213,16 @@ def trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle simple. All joins are equi-joins on node names -- the edge
     table partitions and the wedge join is the only wide exchange."""
     edges = _trade_edges(spark, sf_dir)
+    # the oriented edge set is referenced four times (three wedge-join
+    # sides + degrees); checkpoint it like _trade_edges so the distinct
+    # shuffle runs once
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (

@@ -609,11 +609,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.operators.lm import bigram_rows
 
     docs = load_table(spark, sf_dir, "documents")
+    # the exploded feature frame feeds raw counts, target counts, AND the
+    # scoring join -- cache so the normalize+explode pass runs once
     big = bigram_rows(docs).select(
         "doc_id",
         "lang",
         F.expr(_DSIR_BUCKET_SPARK.format(b=_DSIR_BUCKETS)).alias("bucket"),
-    )
+    ).cache()
     raw_cnt = big.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt_cnt = (
         big.where(F.col("lang") == "en")

@@ -120,9 +120,12 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("term") != "")
     )
+    # tf feeds FOUR consumers (dl, totals-via-dl, df, scoring); Spark does
+    # not reuse the subplan across them, so cache the one corpus shuffle
+    # (the lm_perplexity_filter bigram-cache pattern).
     tf = tokens.groupBy("doc_id", "term").agg(
         F.count("*").cast("bigint").alias("tf")
-    )
+    ).cache()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     totals = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),

@@ -44,9 +44,15 @@ STREAMING = {
 #   cosine_topk_ivfpq      -- 16-row IVF codebook broadcast cross (the
 #                             cosine_topk_ivf assignment shape, twice:
 #                             corpus assignment + query probing)
+#   bm25_keyword_search    -- 1-row corpus-totals broadcast cross onto the
+#                             (small) matched-candidate side
+#   dsir_importance_weights -- 1-row totals broadcast cross onto the
+#                             <=128-row feature LUT, never the corpus
 NLJ_ALLOWED = {
     "cosine_topk_ivfpq",
     "resample_corpus_epoch",
+    "bm25_keyword_search",
+    "dsir_importance_weights",
     "pagerank_trade_graph",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
