@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rlink_rs_spark.operators.text import (
     LANG_MARKERS,
@@ -716,4 +717,72 @@ def clean_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_before"),
         F.length(clean).alias("n_chars_after"),
         (clean != F.col("text")).alias("changed"),
+    )
+
+
+# --- weighted reservoir sample ----------------------------------------------
+
+_WS_TOP_K = 20
+
+# Efraimidis–Spirakis A-ES key pow(u, 1/w): u derived from the salted md5
+# hash32 of the doc id (deterministic across runs/engines/partitionings,
+# like the other sampling primitives), w = n_chars. Rounded to integer
+# nano-units before ranking so cross-engine POW ulp drift cannot reorder.
+_WS_KEY = (
+    "CAST(ROUND(1000000000.0 * POW((CAST({h} AS DOUBLE) + 1.0) / 4294967296.0, "
+    "1.0 / CAST(n_chars AS DOUBLE))) AS BIGINT)"
+)
+_WS_H_SPARK = "CAST(conv(substring(md5(concat('wsample:', CAST(doc_id AS STRING))), 9, 8), 16, 10) AS BIGINT)"
+_WS_H_DUCK = "('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT"
+
+_WS_ORACLE = f"""
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars, {_WS_KEY.format(h=_WS_H_DUCK)} AS key_n
+  FROM documents
+)
+SELECT lang, rank, doc_id, n_chars, key_n / 1000000000.0 AS key
+FROM (SELECT lang, doc_id, n_chars, key_n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY key_n DESC, doc_id) AS INT) AS rank
+      FROM keyed)
+WHERE rank <= {_WS_TOP_K}
+"""
+
+
+@register(
+    "weighted_sample_docs",
+    _WS_ORACLE,
+    "Weighted sampling without replacement (Efraimidis–Spirakis A-ES): "
+    "per-language top-20 docs by pow(u, 1/n_chars) with u from a salted "
+    "deterministic hash -- longer docs proportionally likelier, fully "
+    "reproducible.",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed weighted-reservoir shape: the A-ES key makes
+    'sample k docs with probability proportional to weight' a plain top-k
+    by key, which distributes as map-side key computation + a per-group
+    rank. Spark >=3.5 rewrites the rank filter into WindowGroupLimit
+    (per-partition top-k before the exchange), so the shuffle carries at
+    most K rows per group per task -- the same property the reference's
+    TakeOrdered-based top-k relies on. Deterministic u (salted md5 of the
+    id) keeps the draw identical across engines, runs, and cluster
+    layouts, unlike seeded rand()."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.expr(_WS_KEY.format(h=_WS_H_SPARK)).alias("key_n"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("key_n").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _WS_TOP_K)
+        .select(
+            "lang",
+            "rank",
+            "doc_id",
+            "n_chars",
+            (F.col("key_n") / F.lit(1000000000.0)).alias("key"),
+        )
     )

@@ -48,6 +48,7 @@ ORACLED = [
     "resample_corpus_epoch",
     "bm25_keyword_search",
     "dsir_importance_weights",
+    "weighted_sample_docs",
 ]
 
 
@@ -1061,3 +1062,32 @@ def test_dsir_upweights_target_language(spark, sf_dir):
     cutoff = min(r.log_weight for r in rows if r.selected)
     above = [r for r in rows if r.log_weight > cutoff]
     assert all(r.selected for r in above)
+
+
+def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
+    """A-ES weighted sample invariants: keys lie in (0, 1], ranks are
+    contiguous per language, a re-run returns the identical selection
+    (hash-u determinism), and the length-weighted draw does not
+    under-select long docs (sampled mean n_chars is at least ~corpus
+    mean)."""
+    from collections import defaultdict
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    fn = REGISTRY["weighted_sample_docs"].fn
+    rows = fn(spark, sf_dir).collect()
+    again = fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert 0.0 < r.key <= 1.0
+        by_lang[r.lang].append(r)
+    corpus = load_table(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.avg("n_chars").alias("mean_chars")
+    ).collect()
+    corpus_mean = {r.lang: r.mean_chars for r in corpus}
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sampled_mean = sum(r.n_chars for r in rs) / len(rs)
+        assert sampled_mean >= 0.9 * corpus_mean[lang]
