@@ -329,3 +329,58 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("observed_cents", ignorenulls=True).over(w).alias("value_cents"),
         F.col("observed_cents").isNull().alias("is_gap"),
     )
+
+
+# --- marketing attribution ---------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH touched AS (
+  SELECT event_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)/100.0 AS revenue
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register(
+    "attribution_last_touch",
+    _ATTR_ORACLE,
+    "Last-touch marketing attribution: each purchase credits the user's "
+    "most recent preceding non-purchase event type ('direct' when none); "
+    "purchases and exact-cent revenue per channel.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last non-purchase touch via one LAST_VALUE(ignore nulls) window
+    ending 1 PRECEDING -- the per-user event-sequence shape again: a
+    single hash partitioning by user_id carries the window, and the final
+    channel rollup is a tiny combinable aggregate. No joins, no
+    self-join-per-purchase (the naive formulation), no driver loops."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", touch)
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum(F.expr("CAST(ROUND(value*100) AS BIGINT)")) / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )

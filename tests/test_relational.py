@@ -4,6 +4,9 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
+
+from rlink_rs_spark.tables import load_table
 
 from tests.helpers import run_query_vs_oracle
 
@@ -35,6 +38,7 @@ RELATIONAL = [
     "timeseries_gap_fill",
     "scd2_priority_dimension",
     "grouping_sets_agg",
+    "attribution_last_touch",
 ]
 
 
@@ -260,3 +264,24 @@ def test_grouping_sets_consistency(spark, sf_dir):
         assert sum(c.cnt for c in sub) == tr.cnt
         assert abs(sum(c.sum_value for c in sub) - tr.sum_value) < 1e-6
     assert sum(r.cnt for r in by_type.values()) == grand[0].cnt
+
+
+def test_attribution_conserves_purchases(spark, sf_dir):
+    """Attribution must conserve mass: channel purchase counts and revenue
+    sum exactly to the corpus-wide purchase totals, and channels are only
+    non-purchase event types plus 'direct'."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["attribution_last_touch"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.expr("CAST(ROUND(value*100) AS BIGINT)")) / 100.0).alias("rev"),
+    ).collect()[0]
+    assert sum(r.n_purchases for r in rows) == tot.n
+    assert abs(sum(r.revenue for r in rows) - tot.rev) < 1e-6
+    types = {
+        r.event_type
+        for r in load_table(spark, sf_dir, "events").select("event_type").distinct().collect()
+    }
+    assert {r.channel for r in rows} <= (types - {"purchase"}) | {"direct"}
