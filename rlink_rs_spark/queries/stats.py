@@ -197,3 +197,61 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count("*").alias("cnt")
     )
+
+
+# --- equi-depth histogram ----------------------------------------------------
+
+_EDH_BUCKETS = 10
+
+_EDH_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS xc, l_orderkey, l_linenumber
+  FROM lineitem
+),
+assigned AS (
+  SELECT xc, NTILE({_EDH_BUCKETS}) OVER (ORDER BY xc, l_orderkey, l_linenumber) AS bucket
+  FROM cents
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       MIN(xc)/100.0 AS lo, MAX(xc)/100.0 AS hi,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(DISTINCT xc) AS BIGINT) AS ndv
+FROM assigned GROUP BY bucket
+"""
+
+
+@register(
+    "equi_depth_histogram",
+    _EDH_ORACLE,
+    "Equi-depth (equi-height) histogram of l_extendedprice in 10 buckets: "
+    "per-bucket bounds, row count, and distinct-value count -- the "
+    "optimizer statistics ANALYZE collects for selectivity estimation.",
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram construction, the column-statistics operator
+    behind cost-based selectivity estimation (and the bucket planner for
+    range-partitioned writes). NTILE over exact cents keeps bucket
+    assignment identical across engines (total order fixed by the
+    (value, orderkey, linenumber) tie-break). The NTILE is a global sort
+    of the COLUMN -- at 100 TB swap it for approx-quantile cut points
+    from a sampled scalar agg and a map-side bucket CASE (the same note
+    as the LM/DSIR tercile splits); the per-bucket rollup is combinable
+    either way."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("xc"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.orderBy("xc", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("bucket", F.ntile(_EDH_BUCKETS).over(w).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            (F.min("xc") / 100.0).alias("lo"),
+            (F.max("xc") / 100.0).alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("xc").alias("ndv"),
+        )
+    )

@@ -39,6 +39,7 @@ RELATIONAL = [
     "scd2_priority_dimension",
     "grouping_sets_agg",
     "attribution_last_touch",
+    "equi_depth_histogram",
 ]
 
 
@@ -285,3 +286,21 @@ def test_attribution_conserves_purchases(spark, sf_dir):
         for r in load_table(spark, sf_dir, "events").select("event_type").distinct().collect()
     }
     assert {r.channel for r in rows} <= (types - {"purchase"}) | {"direct"}
+
+
+def test_equi_depth_buckets_balanced_and_ordered(spark, sf_dir):
+    """Equi-depth invariants: bucket counts differ by at most 1, bounds
+    are non-overlapping and ordered, and counts sum to the table size."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["equi_depth_histogram"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    counts = [r.cnt for r in rows]
+    assert max(counts) - min(counts) <= 1
+    n = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(counts) == n
+    for a, b in zip(rows, rows[1:]):
+        assert a.lo <= a.hi <= b.lo <= b.hi
