@@ -1246,3 +1246,81 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         "cnt",
     )
+
+
+# --- CDC merge / upsert ------------------------------------------------------
+
+# Deterministic change batch derived from the snapshot itself: deletes take
+# precedence over updates when a key matches both rules; inserts use a
+# disjoint key range.
+_MERGE_ORACLE = """
+WITH changes AS (
+  SELECT doc_id, 'D' AS op, NULL AS text, NULL AS lang, NULL AS source,
+         CAST(NULL AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, 'U', 'v2:' || text, lang, source, n_chars + 3
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'I', 'new:' || text, lang, 'backfill', n_chars + 4
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT b.doc_id, md5(b.text) AS content_md5, b.lang, b.source, b.n_chars,
+       0 AS version
+FROM documents b LEFT JOIN changes c ON c.doc_id = b.doc_id
+WHERE c.doc_id IS NULL
+UNION ALL
+SELECT doc_id, md5(text), lang, source, n_chars, 1
+FROM changes WHERE op <> 'D'
+"""
+
+
+@register(
+    "merge_upsert_snapshot",
+    _MERGE_ORACLE,
+    "MERGE INTO semantics as a dataflow: a CDC batch (inserts, updates, "
+    "deletes; delete wins on rule overlap) applied to the documents "
+    "snapshot -- anti-join survivors plus upserted rows, with a version "
+    "column marking changed rows.",
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch shape under Delta/Iceberg MERGE INTO: one equi-join of
+    the snapshot against the change batch's keys (LEFT ANTI keeps
+    untouched rows where they are -- the snapshot never rewrites rows the
+    batch doesn't touch) plus a union of the upserts. At 100 TB both
+    sides partition by the merge key; a small change batch broadcasts, so
+    the snapshot never shuffles -- the property real MERGE relies on
+    (file-level pruning replaces the anti-join's row-level work).
+    Emits md5(text) rather than text to keep the result compact."""
+    base = load_table(spark, sf_dir, "documents")
+    deletes = base.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+    )
+    updates = base.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0)).select(
+        "doc_id", F.lit("U").alias("op"),
+        F.concat(F.lit("v2:"), F.col("text")).alias("text"),
+        "lang", "source",
+        (F.col("n_chars") + 3).alias("n_chars"),
+    )
+    inserts = base.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), F.lit("I").alias("op"),
+        F.concat(F.lit("new:"), F.col("text")).alias("text"),
+        "lang", F.lit("backfill").alias("source"),
+        (F.col("n_chars") + 4).alias("n_chars"),
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    untouched = base.join(
+        F.broadcast(changes.select("doc_id")), "doc_id", "left_anti"
+    ).select(
+        "doc_id", F.md5("text").alias("content_md5"), "lang", "source",
+        "n_chars", F.lit(0).cast("int").alias("version"),
+    )
+    upserted = changes.where(F.col("op") != "D").select(
+        "doc_id", F.md5("text").alias("content_md5"), "lang", "source",
+        "n_chars", F.lit(1).cast("int").alias("version"),
+    )
+    return untouched.unionByName(upserted)

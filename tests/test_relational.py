@@ -40,6 +40,7 @@ RELATIONAL = [
     "grouping_sets_agg",
     "attribution_last_touch",
     "equi_depth_histogram",
+    "merge_upsert_snapshot",
 ]
 
 
@@ -304,3 +305,30 @@ def test_equi_depth_buckets_balanced_and_ordered(spark, sf_dir):
     assert sum(counts) == n
     for a, b in zip(rows, rows[1:]):
         assert a.lo <= a.hi <= b.lo <= b.hi
+
+
+def test_merge_upsert_semantics(spark, sf_dir):
+    """MERGE invariants: deleted keys vanish, updated keys appear exactly
+    once at version 1, untouched keys keep version 0, inserts land in the
+    disjoint key range, and no key is duplicated."""
+    from collections import Counter
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["merge_upsert_snapshot"].fn(spark, sf_dir).collect()
+    keys = Counter(r.doc_id for r in rows)
+    assert max(keys.values()) == 1
+    base_ids = {
+        r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    by_id = {r.doc_id: r for r in rows}
+    for d in base_ids:
+        if d % 13 == 0:
+            assert d not in by_id
+        elif d % 7 == 0:
+            assert by_id[d].version == 1
+        else:
+            assert by_id[d].version == 0
+        if d % 50 == 0:
+            ins = by_id[d + 10000000]
+            assert ins.version == 1 and ins.source == "backfill"
