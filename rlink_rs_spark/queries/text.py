@@ -786,3 +786,106 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("key_n") / F.lit(1000000000.0)).alias("key"),
         )
     )
+
+
+# --- PMI collocations --------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 30
+_PMI_SCALE = 1_000_000
+
+# PMI over BIGINT counts (pair count nab, unigram counts na/nb, totals
+# B = bigrams, T = tokens): one shared expression, integer micro-nats.
+_PMI_EXPR = (
+    f"CAST(ROUND({_PMI_SCALE}.0 * LN("
+    "(CAST(nab AS DOUBLE) / CAST(bt AS DOUBLE)) / "
+    "((CAST(na AS DOUBLE) / CAST(tt AS DOUBLE)) * (CAST(nb AS DOUBLE) / CAST(tt AS DOUBLE)))"
+    ")) AS BIGINT)"
+)
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS l
+  FROM documents
+),
+pairs AS (
+  SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM toks
+),
+bi AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(COUNT(*) AS BIGINT) AS nab
+  FROM pairs GROUP BY 1, 2
+),
+uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(l) AS term FROM toks) GROUP BY term
+),
+tot AS (
+  SELECT CAST((SELECT SUM(n) FROM uni) AS BIGINT) AS tt,
+         CAST((SELECT SUM(nab) FROM bi) AS BIGINT) AS bt
+),
+scored AS (
+  SELECT bi.a, bi.b, bi.nab, {_PMI_EXPR} AS pmi_n
+  FROM bi
+  JOIN uni ua ON ua.term = bi.a
+  JOIN uni ub ON ub.term = bi.b
+  CROSS JOIN tot,
+  LATERAL (SELECT ua.n AS na, ub.n AS nb) _
+  WHERE bi.nab >= {_PMI_MIN_COUNT}
+)
+SELECT a, b, nab, pmi_n / {_PMI_SCALE}.0 AS pmi, rank
+FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pmi_n DESC, a, b) AS INT) AS rank
+      FROM scored)
+WHERE rank <= {_PMI_TOP_K}
+"""
+
+
+@register(
+    "pmi_collocations",
+    _PMI_ORACLE,
+    "Collocation mining: top-30 adjacent word pairs by pointwise mutual "
+    "information (min pair count 5) -- the word2phrase-style phrase "
+    "detector, with integer micro-nat PMI.",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining by PMI, the standard first pass for multi-word token
+    vocabularies. One corpus pass builds BOTH count tables (the token
+    array is computed once per doc, pairs via a zip of two slices --
+    map-side only); bigram and unigram aggregates are each one
+    map-side-combinable exchange; unigram counts and the 1-row totals
+    broadcast onto the bigram table (the corpus-side table never
+    re-shuffles). Rank window runs over the filtered bigram table only.
+    At 100 TB the nab >= {min_count} filter happens before the joins,
+    shrinking the scored table by orders of magnitude."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").alias("l")
+    ).cache()
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(l, 1, size(l) - 1)"), F.expr("slice(l, 2, size(l) - 1)")
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    bi = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("nab"))
+    uni = (
+        toks.select(F.explode("l").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").cast("bigint").alias("tt")).crossJoin(
+        bi.agg(F.sum("nab").cast("bigint").alias("bt"))
+    )
+    scored = (
+        bi.where(F.col("nab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.select(F.col("term").alias("a"), F.col("n").alias("na"))), "a")
+        .join(F.broadcast(uni.select(F.col("term").alias("b"), F.col("n").alias("nb"))), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("pmi_n", F.expr(_PMI_EXPR))
+    )
+    w = Window.orderBy(F.col("pmi_n").desc(), F.col("a"), F.col("b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _PMI_TOP_K)
+        .select("a", "b", "nab", (F.col("pmi_n") / float(_PMI_SCALE)).alias("pmi"), "rank")
+    )

@@ -49,6 +49,7 @@ ORACLED = [
     "bm25_keyword_search",
     "dsir_importance_weights",
     "weighted_sample_docs",
+    "pmi_collocations",
 ]
 
 
@@ -1091,3 +1092,33 @@ def test_weighted_sample_deterministic_and_biased(spark, sf_dir):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         sampled_mean = sum(r.n_chars for r in rs) / len(rs)
         assert sampled_mean >= 0.9 * corpus_mean[lang]
+
+
+def test_pmi_matches_bruteforce_counts(spark, sf_dir):
+    """PMI invariants: every returned pair meets the min count, PMI values
+    agree with a driver-side recount of adjacent pairs, and ranking is
+    monotone in PMI."""
+    import math
+    import re
+    from collections import Counter
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.text import _PMI_MIN_COUNT
+
+    rows = sorted(
+        REGISTRY["pmi_collocations"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        toks = [t for t in re.split("[^a-z]+", d.text.lower()) if t]
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    tt, bt = sum(uni.values()), sum(bi.values())
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.nab == bi[(r.a, r.b)] >= _PMI_MIN_COUNT
+        want = math.log((r.nab / bt) / ((uni[r.a] / tt) * (uni[r.b] / tt)))
+        assert abs(r.pmi - want) < 1e-5
