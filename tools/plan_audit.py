@@ -48,11 +48,14 @@ STREAMING = {
 #                             (small) matched-candidate side
 #   dsir_importance_weights -- 1-row totals broadcast cross onto the
 #                             <=128-row feature LUT, never the corpus
+#   pmi_collocations       -- 1-row (tt, bt) totals broadcast cross onto
+#                             the count-filtered bigram table
 NLJ_ALLOWED = {
     "cosine_topk_ivfpq",
     "resample_corpus_epoch",
     "bm25_keyword_search",
     "dsir_importance_weights",
+    "pmi_collocations",
     "pagerank_trade_graph",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
