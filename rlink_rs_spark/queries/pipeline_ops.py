@@ -420,16 +420,17 @@ def temperature_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts
     ),
     tot AS (SELECT SUM(s) AS tot, SUM(n_docs) AS total_docs FROM scaled),
-    per_doc AS (
-      SELECT d.doc_id, d.lang,
-             s.s * t.total_docs AS a, t.tot * s.n_docs AS b,
-             ('0x' || substr(md5('rs:' || CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT AS u20
-      FROM documents d JOIN scaled s USING (lang) CROSS JOIN tot t
+    lang_rep AS (
+      SELECT lang, a // b AS e_int,
+             CAST(FLOOR((CAST(a % b AS DOUBLE) / CAST(b AS DOUBLE)) * 1048576) AS BIGINT) AS frac20
+      FROM (SELECT s.lang, s.s * t.total_docs AS a, t.tot * s.n_docs AS b
+            FROM scaled s CROSS JOIN tot t)
     ),
     rep AS (
-      SELECT doc_id, lang,
-             CAST(a // b + CASE WHEN u20 * b < (a % b) * 1048576 THEN 1 ELSE 0 END AS BIGINT) AS n
-      FROM per_doc
+      SELECT d.doc_id, d.lang,
+             CAST(r.e_int + CASE WHEN ('0x' || substr(md5('rs:' || CAST(d.doc_id AS VARCHAR)), 1, 5))::BIGINT < r.frac20
+                                 THEN 1 ELSE 0 END AS BIGINT) AS n
+      FROM documents d JOIN lang_rep r USING (lang)
     )
     SELECT doc_id, lang, CAST(i AS INT) AS copy_idx,
            ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR) || ':'
@@ -439,11 +440,12 @@ def temperature_resample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Materialized temperature resampling: turns the sqrt-temperature "
     "language weights into an ACTUAL epoch -- each doc replicated "
     "floor(e)+Bernoulli(frac(e)) times where e = its language's "
-    "target/actual ratio, with the Bernoulli draw a deterministic 20-bit "
-    "md5 fraction compared IN INTEGER ARITHMETIC (u20*b < rem*2^20; no "
-    "float threshold to drift between engines). Copies land in 8 training "
-    "shards by per-copy hash. Tail languages expand, head languages "
-    "subsample; expected epoch size == corpus size.",
+    "target/actual ratio, reduced ONCE per language to an integer part + "
+    "20-bit fraction (one correctly-rounded IEEE divide + exact power-of-2 "
+    "scaling -- bit-identical across engines, no per-doc product to "
+    "overflow); the Bernoulli draw compares a 20-bit md5 fraction against "
+    "it. Copies land in 8 training shards by per-copy hash. Tail languages "
+    "expand, head languages subsample; expected epoch size == corpus size.",
 )
 def resample_corpus_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bridge from mixing WEIGHTS (temperature_resample_weights) to a
@@ -459,34 +461,50 @@ def resample_corpus_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.col("n_docs").cast("double")) * 1000000).cast("long").alias("s"),
     )
     tot = scaled.agg(F.sum("s").alias("tot"), F.sum("n_docs").alias("total_docs"))
-    per_doc = (
-        docs.select("doc_id", "lang")
-        .join(F.broadcast(scaled), "lang")
-        .crossJoin(F.broadcast(tot))
+    # Per-LANG replication rational e = (s*total_docs)/(tot*n_docs), reduced
+    # once in the 5-row table to an integer part + 20-bit fraction. The
+    # fraction goes through ONE correctly-rounded IEEE divide and an exact
+    # power-of-two scaling (both bit-identical across engines), so no
+    # per-doc product can overflow -- the original per-doc u20*b compare
+    # overflowed BIGINT at the sf1 scale witness (b ~ 1e13).
+    lang_rep = (
+        scaled.crossJoin(F.broadcast(tot))
         .select(
-            "doc_id",
             "lang",
             (F.col("s") * F.col("total_docs")).alias("a"),
             (F.col("tot") * F.col("n_docs")).alias("b"),
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("rs:"), F.col("doc_id").cast("string"))), 1, 5
-                ),
-                16,
-                10,
-            )
-            .cast("long")
-            .alias("u20"),
+        )
+        .select(
+            "lang",
+            F.expr("a DIV b").alias("e_int"),
+            F.expr(
+                "CAST(FLOOR((CAST(a % b AS DOUBLE) / CAST(b AS DOUBLE)) * 1048576) AS BIGINT)"
+            ).alias("frac20"),
         )
     )
-    rep = per_doc.select(
-        "doc_id",
-        "lang",
-        (
-            F.expr("a DIV b")
-            + F.when(F.col("u20") * F.col("b") < (F.col("a") % F.col("b")) * 1048576, 1)
-            .otherwise(0)
-        ).alias("n"),
+    rep = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(lang_rep), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("e_int")
+                + F.when(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit("rs:"), F.col("doc_id").cast("string"))),
+                            1,
+                            5,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    < F.col("frac20"),
+                    1,
+                ).otherwise(0)
+            ).alias("n"),
+        )
     )
     exploded = rep.select(
         "doc_id",
