@@ -323,7 +323,39 @@ FROM assign a LEFT JOIN dropped d ON d.vid = a.vid
     "because #clusters grows with the corpus (50k for LAION in the paper).",
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb, codebook, assignment = _ivf_artifacts(spark, sf_dir)
+    """Cell count scales with the corpus (target occupancy ~125
+    vectors/cell, the paper's deployment contract) -- with a FIXED
+    codebook the within-cell pair join grows quadratically; the sf1 scale
+    witness measured exactly that (603 s at 10x data, 7.3x linear) before
+    this guard. At the oracle-gate scales (<=2000 vectors) the count
+    stays at the shared 16-cell codebook, so the static unrolled-k-means
+    oracle remains exact; larger corpora train/persist their own codebook
+    + inverted file under the same fingerprint scheme."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    cells = max(_IVF_CELLS, math.ceil(n_vec / 125))
+    if cells == _IVF_CELLS:
+        emb, codebook, assignment = _ivf_artifacts(spark, sf_dir)
+    else:
+        fp = _embeddings_fingerprint(sf_dir)
+        codebook = sim_ops.load_or_train_ivf_codebook(
+            spark,
+            emb,
+            dims=_DIMS,
+            cache_dir=_artifact_dir("ivf_codebooks"),
+            fingerprint=fp,
+            n_cells=cells,
+            iters=_IVF_ITERS,
+        )
+        assignment = sim_ops.load_or_build_ivf_assignment(
+            emb,
+            codebook,
+            dims=_DIMS,
+            cache_dir=_artifact_dir("ivf_inverted"),
+            key=f"c{cells}_i{_IVF_ITERS}_{fp}",
+        )
     return sim_ops.semantic_dedup(
         emb, codebook, dims=_DIMS, threshold=_SEM_THR, assignment=assignment
     )
