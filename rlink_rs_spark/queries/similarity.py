@@ -704,3 +704,48 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         assignment=assignment,
     )
+
+
+# --- per-label embedding centroids -------------------------------------------
+
+_CENT_ORACLE = """
+SELECT label, CAST(i AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_scaled,
+       CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+         / (CAST(COUNT(*) AS BIGINT) * 1000000.0) AS mean
+FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY label, i
+"""
+
+
+@register(
+    "label_embedding_centroids",
+    _CENT_ORACLE,
+    "Per-label embedding centroids, dimension-parallel: explode vectors to "
+    "(label, dim, component) rows, one combinable aggregate per (label, "
+    "dim) over integer micro-scaled components -- the class-prototype / "
+    "nearest-centroid-classifier build step.",
+)
+def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation the way it scales: instead of collecting arrays
+    per group (unbounded struct state), the vector dimension is exploded
+    into the key, making the centroid ONE map-side-combinable sum over
+    (label, dim) -- 64 x #labels cells regardless of corpus size, and the
+    same shape the IVF k-means trainer uses for its centroid updates.
+    Components are rounded to integer micro-units pre-sum (float32 ->
+    double widening is exact in both engines), so the float mean column
+    is a division of identical integers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("sv"),
+    )
+    return comp.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sv").cast("bigint").alias("sum_scaled"),
+        (F.sum("sv").cast("bigint") / (F.count(F.lit(1)).cast("bigint") * F.lit(1000000.0))).alias("mean"),
+    )

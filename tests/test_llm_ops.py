@@ -50,6 +50,7 @@ ORACLED = [
     "dsir_importance_weights",
     "weighted_sample_docs",
     "pmi_collocations",
+    "label_embedding_centroids",
 ]
 
 
@@ -1122,3 +1123,24 @@ def test_pmi_matches_bruteforce_counts(spark, sf_dir):
         assert r.nab == bi[(r.a, r.b)] >= _PMI_MIN_COUNT
         want = math.log((r.nab / bt) / ((uni[r.a] / tt) * (uni[r.b] / tt)))
         assert abs(r.pmi - want) < 1e-5
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    """Centroids must equal a numpy mean over the same micro-scaled
+    integer components, for every (label, dim) cell."""
+    import numpy as np
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["label_embedding_centroids"].fn(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            np.round(np.array(r.embedding, dtype=np.float64) * 1e6).astype(np.int64)
+        )
+    for r in rows:
+        mat = np.stack(by_label[r.label])
+        assert r.n == mat.shape[0]
+        assert r.sum_scaled == int(mat[:, r.dim - 1].sum())
+        assert abs(r.mean - r.sum_scaled / (r.n * 1e6)) < 1e-12
