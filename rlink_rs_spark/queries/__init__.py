@@ -74,24 +74,27 @@ _DRIVER_WINDOW_PRIORITY = [
     "zorder_layout_stats",
     "source_mix_report",
     "leakage_free_split",
-    # -- last driver row r3; rotated back in to re-prove on current fixtures
-    # (q1/q3/q5/salted_hot_key_agg/profile_columns/sessionization/
-    #  pct_window_agg and the dedup/ANN baselines rotated out this round to
-    #  make room for the 12 never-checked queries above -- each of those is
-    #  r3-driver-green AND sits in a pytest oracle-parity list, so the
-    #  meta-coverage guard keeps an active local witness on all of them)
-    "q10_returned_items",
-    "q14_promo_share",
-    "event_transition_matrix",
-    "q6_forecast_revenue",
-    "streaming_enrichment_join",
-    "semi_anti_join_cohorts",
-    "pipeline_enriched_agg",
-    "kafka_envelope_roundtrip",
-    "kafka_loopback_seek",
-    "rollup_agg",
-    "near_dup_clusters",
-    "dedup_keep_list",
+    # -- wave-3 additions (this session), never driver-checked; they take
+    # the slots the r3-era re-proves held (q10/q14/q6/event_transition/
+    # semi_anti/pipeline_enriched/kafka x2/rollup/near_dup_clusters/
+    # dedup_keep_list/streaming_enrichment_join -- each r3-driver-green,
+    # now added to a pytest oracle-parity list so the meta-coverage guard
+    # keeps an active local witness; the whole registry also passed the
+    # sf0.01 gate-replica sweep this session). resample_corpus_epoch takes
+    # the 12th slot: its Bernoulli arithmetic changed this round (overflow
+    # fix), so a fresh driver row re-proves the new formula.
+    "bm25_keyword_search",
+    "dsir_importance_weights",
+    "timeseries_gap_fill",
+    "scd2_priority_dimension",
+    "grouping_sets_agg",
+    "trade_graph_triangles",
+    "weighted_sample_docs",
+    "attribution_last_touch",
+    "equi_depth_histogram",
+    "merge_upsert_snapshot",
+    "pmi_collocations",
+    "resample_corpus_epoch",
     # -- changed in r6: needs a fresh driver row
     "approx_distinct_users",
     # (embedding_cosine_near_dup rotated out: r5-driver-green, unchanged,

@@ -51,6 +51,9 @@ ORACLED = [
     "weighted_sample_docs",
     "pmi_collocations",
     "label_embedding_centroids",
+    # displaced from the driver window by the wave-3 rotation (r3-driver-green)
+    "near_dup_clusters",
+    "dedup_keep_list",
 ]
 
 

@@ -41,6 +41,13 @@ RELATIONAL = [
     "attribution_last_touch",
     "equi_depth_histogram",
     "merge_upsert_snapshot",
+    # displaced from the driver window by the wave-3 rotation (r3-driver-green)
+    "event_transition_matrix",
+    "semi_anti_join_cohorts",
+    "pipeline_enriched_agg",
+    "kafka_envelope_roundtrip",
+    "kafka_loopback_seek",
+    "rollup_agg",
 ]
 
 

@@ -30,6 +30,10 @@ TPCH = [
     "value_band_join",
     "pagerank_trade_graph",
     "trade_graph_triangles",
+    # displaced from the driver window by the wave-3 rotation (r3-driver-green)
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_share",
 ]
 
 
