@@ -384,3 +384,78 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- lag-1 autocorrelation ---------------------------------------------------
+
+# Pearson r between consecutive-hour totals from exact BIGINT moments
+# (n, sum x, sum y, sum xy, sum x^2, sum y^2): ONE expression string over
+# identical integers -> bit-identical doubles.
+_AC_R_EXPR = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+
+_AC_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS h,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS xc
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, xc AS y,
+         LAG(xc) OVER (PARTITION BY event_type ORDER BY h) AS x,
+         h - LAG(h) OVER (PARTITION BY event_type ORDER BY h) AS gap
+  FROM hourly
+),
+pairs AS (SELECT event_type, x, y FROM lagged WHERE x IS NOT NULL AND gap = 1),
+moments AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n, {_AC_R_EXPR} AS autocorr_lag1
+FROM moments
+"""
+
+
+@register(
+    "hourly_autocorr_lag1",
+    _AC_ORACLE,
+    "Lag-1 autocorrelation of hourly value totals per event type "
+    "(adjacent hours only; series gaps excluded): Pearson r from exact "
+    "BIGINT moments -- the seasonality/persistence screen for event "
+    "series.",
+)
+def hourly_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series diagnostics at warehouse scale: the hourly rollup is
+    one combinable exchange on (type, hour); the LAG pairing and the
+    moment sums share the event_type partitioning; the Pearson formula
+    runs on a #types-row table. Products stay within BIGINT headroom
+    (hourly cents ~1e7 -> squares ~1e14, summed over ~720 hours) -- the
+    SCALING.md integer-headroom rule, applied: big products only in the
+    per-(type,hour) table, never per event row."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 3600000").alias("h")
+    ).agg(F.sum(F.expr("CAST(ROUND(value*100) AS BIGINT)")).cast("bigint").alias("xc"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        F.col("xc").alias("y"),
+        F.lag("xc").over(w).alias("x"),
+        (F.col("h") - F.lag("h").over(w)).alias("gap"),
+    )
+    pairs = lagged.where(F.col("x").isNotNull() & (F.col("gap") == 1))
+    moments = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return moments.select("event_type", "n", F.expr(_AC_R_EXPR).alias("autocorr_lag1"))

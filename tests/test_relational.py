@@ -48,6 +48,7 @@ RELATIONAL = [
     "kafka_envelope_roundtrip",
     "kafka_loopback_seek",
     "rollup_agg",
+    "hourly_autocorr_lag1",
 ]
 
 
@@ -339,3 +340,30 @@ def test_merge_upsert_semantics(spark, sf_dir):
         if d % 50 == 0:
             ins = by_id[d + 10000000]
             assert ins.version == 1 and ins.source == "backfill"
+
+
+def test_autocorr_matches_numpy(spark, sf_dir):
+    """Pearson lag-1 autocorrelation must equal numpy's corrcoef over the
+    identical adjacent-hour pairs, and lie in [-1, 1]."""
+    import numpy as np
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["hourly_autocorr_lag1"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_millis(ts) div 3600000").alias("h"),
+        F.expr("CAST(ROUND(value*100) AS BIGINT)").alias("xc"),
+    ).groupBy("event_type", "h").agg(F.sum("xc").alias("xc")).collect()
+    series = {}
+    for r in ev:
+        series.setdefault(r.event_type, {})[r.h] = r.xc
+    for r in rows:
+        hs = sorted(series[r.event_type])
+        xy = [(series[r.event_type][a], series[r.event_type][b])
+              for a, b in zip(hs, hs[1:]) if b == a + 1]
+        assert r.n == len(xy)
+        x, y = np.array([p[0] for p in xy], float), np.array([p[1] for p in xy], float)
+        want = float(np.corrcoef(x, y)[0, 1])
+        assert -1.0 <= r.autocorr_lag1 <= 1.0
+        assert abs(r.autocorr_lag1 - want) < 1e-9
