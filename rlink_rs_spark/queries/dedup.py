@@ -5,6 +5,7 @@ oracle (all hashing is md5-based and engine-neutral -- see operators/dedup).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rlink_rs_spark.operators.dedup import (
     connected_components,
@@ -408,3 +409,69 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~F.col("exact_dup") & F.col("near_dup_of").isNull()).alias("admit"),
         )
     )
+
+
+# --- n-gram containment ------------------------------------------------------
+
+_CONT_K = 3
+_CONT_THR = 0.5
+
+_CONTAINMENT_ORACLE = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql(_CONT_K)}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common, sa.n_sh AS n_a,
+       CAST(common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= {_CONT_THR}
+"""
+
+
+@register(
+    "ngram_containment_pairs",
+    _CONTAINMENT_ORACLE,
+    "Asymmetric containment detection: |shingles(A) n shingles(B)| / "
+    "|shingles(A)| >= 0.5 -- finds docs LARGELY CONTAINED in another "
+    "(quotes, partial copies) that symmetric Jaccard misses when sizes "
+    "differ.",
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment is the dedup family's asymmetric member (Broder's
+    original resemblance/containment pair): a short doc quoted inside a
+    long one scores low Jaccard (union is dominated by the long doc) but
+    high containment. Same postings-join candidate generation as
+    ngram_jaccard_dedup -- the inverted index bounds pair work by shared
+    shingles, never all-pairs -- with the divisor being only the LEFT
+    side's shingle count. Directed output: (a contained-in b) and (b
+    contained-in a) are independent rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, k=_CONT_K).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    cont = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"), "n_sh"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.col("n_sh").alias("n_a"),
+            (F.col("common").cast("double") / F.col("n_sh").cast("double")).alias(
+                "containment"
+            ),
+        )
+    )
+    return cont.where(F.col("containment") >= _CONT_THR)

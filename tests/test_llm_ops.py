@@ -54,6 +54,7 @@ ORACLED = [
     # displaced from the driver window by the wave-3 rotation (r3-driver-green)
     "near_dup_clusters",
     "dedup_keep_list",
+    "ngram_containment_pairs",
 ]
 
 
@@ -1147,3 +1148,25 @@ def test_label_centroids_match_numpy(spark, sf_dir):
         assert r.n == mat.shape[0]
         assert r.sum_scaled == int(mat[:, r.dim - 1].sum())
         assert abs(r.mean - r.sum_scaled / (r.n * 1e6)) < 1e-12
+
+
+def test_containment_asymmetric_and_consistent_with_jaccard(spark, sf_dir):
+    """Containment invariants: values lie in (0, 1]; for any pair also in
+    the Jaccard baseline, containment >= Jaccard (containment divides by
+    the smaller-or-equal denominator |A| <= |A u B|)."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    cont = REGISTRY["ngram_containment_pairs"].fn(spark, sf_dir).collect()
+    assert cont
+    for r in cont:
+        assert 0.0 < r.containment <= 1.0
+        assert r.common <= r.n_a
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in REGISTRY["ngram_jaccard_dedup"].fn(spark, sf_dir).collect()
+    }
+    cmap = {(r.id_a, r.id_b): r.containment for r in cont}
+    for (a, b), j in jac.items():
+        for pair in [(a, b), (b, a)]:
+            if pair in cmap:
+                assert cmap[pair] >= j - 1e-12
