@@ -889,3 +889,78 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _PMI_TOP_K)
         .select("a", "b", "nab", (F.col("pmi_n") / float(_PMI_SCALE)).alias("pmi"), "rank")
     )
+
+
+# --- TF-IDF characteristic terms ---------------------------------------------
+
+_TI_TOP_K = 10
+_TI_SCALE = 1_000_000
+
+# Classic per-document idf ln(N_docs / df_docs), rounded to integer
+# micro-nats inside the per-term table; per-lang score = tf * that integer
+# (products only in the (lang, term) vocab table -- SCALING.md rule).
+_TI_SCORE = "CAST(tf AS BIGINT) * CAST(ROUND({s}.0 * LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))) AS BIGINT)".format(s=_TI_SCALE)
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, term
+  FROM (SELECT doc_id, lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents)
+  WHERE term <> ''
+),
+tf AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY term),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.lang, tf.term, tf.tf, {_TI_SCORE} AS score_n
+  FROM tf JOIN dfc USING (term) CROSS JOIN nd
+)
+SELECT lang, rank, term, tf, score_n / {_TI_SCALE}.0 AS tfidf
+FROM (SELECT lang, term, tf, score_n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY score_n DESC, term) AS INT) AS rank
+      FROM scored)
+WHERE rank <= {_TI_TOP_K}
+"""
+
+
+@register(
+    "tfidf_lang_terms",
+    _TFIDF_ORACLE,
+    "Corpus summarization: top-10 characteristic terms per language by "
+    "TF-IDF (classic per-document idf = ln(N_docs/df), integer "
+    "micro-nats) -- high language-local frequency weighted against "
+    "corpus-wide commonness.",
+)
+def tfidf_lang_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The what-distinguishes-this-slice report (language here; source or
+    domain in production). One corpus tokenize feeds BOTH the (lang, term)
+    tf aggregate and the per-term document frequency (cached, the BM25
+    pattern); df and the 1-row doc count broadcast back onto the vocab
+    table -- the corpus never re-shuffles. The rank window runs over the
+    vocab table per lang, where Spark's WindowGroupLimit caps the shuffle
+    at K rows per group per task."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).where(F.col("term") != "").cache()
+    tf = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfc = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score_n", F.expr(_TI_SCORE))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score_n").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _TI_TOP_K)
+        .select("lang", "rank", "term", "tf", (F.col("score_n") / float(_TI_SCALE)).alias("tfidf"))
+    )

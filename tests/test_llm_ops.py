@@ -55,6 +55,7 @@ ORACLED = [
     "near_dup_clusters",
     "dedup_keep_list",
     "ngram_containment_pairs",
+    "tfidf_lang_terms",
 ]
 
 
@@ -1170,3 +1171,37 @@ def test_containment_asymmetric_and_consistent_with_jaccard(spark, sf_dir):
         for pair in [(a, b), (b, a)]:
             if pair in cmap:
                 assert cmap[pair] >= j - 1e-12
+
+
+def test_tfidf_matches_bruteforce(spark, sf_dir):
+    """TF-IDF scores must equal a driver-side recount (tf per lang, df per
+    term, integer micro-nat idf), ranks contiguous, scores non-increasing,
+    and no selected term has zero idf (df == N)."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.text import _TI_SCALE
+
+    rows = REGISTRY["tfidf_lang_terms"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    tf, df = Counter(), Counter()
+    for d in docs:
+        toks = [t for t in re.split("[^a-z]+", d.text.lower()) if t]
+        tf.update((d.lang, t) for t in toks)
+        df.update(set(toks))
+    n_docs = len(docs)
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.tfidf for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert df[r.term] < n_docs, f"zero-idf term {r.term} selected"
+            idf_n = round(math.log(n_docs / df[r.term]) * _TI_SCALE)
+            assert r.tf == tf[(lang, r.term)]
+            assert abs(r.tfidf - r.tf * idf_n / _TI_SCALE) < 1e-9
