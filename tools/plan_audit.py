@@ -50,12 +50,15 @@ STREAMING = {
 #                             <=128-row feature LUT, never the corpus
 #   pmi_collocations       -- 1-row (tt, bt) totals broadcast cross onto
 #                             the count-filtered bigram table
+#   tfidf_lang_terms       -- 1-row doc-count broadcast cross onto the
+#                             (lang, term) vocab table
 NLJ_ALLOWED = {
     "cosine_topk_ivfpq",
     "resample_corpus_epoch",
     "bm25_keyword_search",
     "dsir_importance_weights",
     "pmi_collocations",
+    "tfidf_lang_terms",
     "pagerank_trade_graph",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
