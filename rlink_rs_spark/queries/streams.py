@@ -737,3 +737,64 @@ def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.withColumn("rnk", F.row_number().over(w).cast("long")).where(
         F.col("rnk") <= _TOPK_K
     )
+
+
+_CUSUM_MU_C, _CUSUM_H_C = 6000, 50000
+
+_CUSUM_ORACLE = f"""
+WITH d AS (
+  SELECT user_id, ts, event_id, CAST(ROUND(value*100) AS BIGINT) - {_CUSUM_MU_C} AS d
+  FROM events
+),
+c AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+  FROM d
+),
+s AS (
+  SELECT user_id, ts, event_id, c,
+         CAST(MIN(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS minc,
+         CAST(MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS maxc
+  FROM c
+)
+SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+       (c - LEAST(0, minc)) / 100.0 AS cusum_up,
+       (GREATEST(0, maxc) - c) / 100.0 AS cusum_down,
+       CASE WHEN c - LEAST(0, minc) > {_CUSUM_H_C}
+             AND GREATEST(0, maxc) - c > {_CUSUM_H_C} THEN 'both'
+            WHEN c - LEAST(0, minc) > {_CUSUM_H_C} THEN 'up'
+            ELSE 'down' END AS direction
+FROM s
+WHERE c - LEAST(0, minc) > {_CUSUM_H_C} OR GREATEST(0, maxc) - c > {_CUSUM_H_C}
+"""
+
+
+@register(
+    "streaming_cusum_drift",
+    _CUSUM_ORACLE,
+    "Streaming CUSUM change-point detection (Page 1954) as a custom "
+    "stateful operator: per-user one-sided drift sums over (value - 60.00) "
+    "emit a row when either side exceeds 500.00. Keyed state is THREE "
+    "integers via the closed form S+ = C - min(0, running_min C); the "
+    "exact-SQL oracle uses the same closed form as stacked windows.",
+)
+def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's user-defined stateful CoProcess surface
+    (core/function.rs:256-272) exercised with REAL sequential semantics:
+    unlike the windowed aggregates, CUSUM's recursion max(0, S + d) is
+    order-dependent -- the closed form over the deviation cumsum makes
+    the keyed state bounded (3 BIGINTs) and the cross-batch fold exact.
+    Replayed in 4 ts-ordered chunks so state genuinely carries across
+    micro-batches; availableNow drains to completion."""
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+    from rlink_rs_spark.streaming.stateful import cusum_drift
+
+    src = file_stream(
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts"
+    )
+    out = cusum_drift(src, mu0=_CUSUM_MU_C / 100.0, h=_CUSUM_H_C / 100.0)
+    return run_to_memory(out, shuffle_partitions=8, output_mode="append")

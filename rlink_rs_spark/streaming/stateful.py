@@ -189,3 +189,126 @@ def threshold_alerts_batch_oracle(events: DataFrame, threshold: float = 1000.0) 
         "running_total",
         F.unix_millis("ts").alias("ts_ms"),
     )
+
+
+# --- CUSUM drift detection ---------------------------------------------------
+
+CUSUM_SCHEMA = (
+    "user_id bigint, event_id bigint, ts_ms bigint, "
+    "cusum_up double, cusum_down double, direction string"
+)
+CUSUM_STATE_SCHEMA = "c bigint, minc bigint, maxc bigint"
+
+
+def cusum_drift(
+    events: DataFrame, mu0: float = 60.0, h: float = 500.0
+) -> DataFrame:
+    """Per-key CUSUM change-point detection (Page 1954): one-sided upper
+    and lower cumulative sums of (value - mu0), emitting a drift row
+    whenever either side exceeds h. Uses the closed form
+    ``S+ = C - min(0, running_min(C))`` / ``S- = max(0, running_max(C)) - C``
+    over the deviation cumsum C, so the keyed state is THREE integers
+    (c, min c, max c in cents) -- bounded state per key regardless of
+    stream length, and the fold composes exactly across micro-batches
+    (running min/max of a prefix is associative with the carried
+    extremes). All arithmetic is integer cents; no float drift between
+    the streaming fold and the SQL oracle."""
+    import numpy as np
+
+    mu_c = int(round(mu0 * 100))
+    h_c = int(round(h * 100))
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        c, minc, maxc = state.get if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            state.update((c, minc, maxc))
+            return
+        sort_cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        d = np.rint(pdf["value"].to_numpy(dtype="float64") * 100).astype("int64") - mu_c
+        cum = c + np.cumsum(d)
+        runmin = np.minimum(np.minimum.accumulate(cum), minc)
+        runmax = np.maximum(np.maximum.accumulate(cum), maxc)
+        s_up = cum - np.minimum(0, runmin)
+        s_dn = np.maximum(0, runmax) - cum
+        fire = (s_up > h_c) | (s_dn > h_c)
+        state.update((int(cum[-1]), int(runmin[-1]), int(runmax[-1])))
+        if fire.any():
+            ts_ms = pdf["ts"].astype("int64").to_numpy() // 1_000_000
+            ev = pdf["event_id"].to_numpy() if "event_id" in pdf.columns else np.zeros(len(pdf), dtype="int64")
+            idx = np.nonzero(fire)[0]
+            rows = []
+            for i in idx:
+                up, dn = s_up[i] > h_c, s_dn[i] > h_c
+                direction = "both" if (up and dn) else ("up" if up else "down")
+                rows.append(
+                    (int(ev[i]), int(user_id), int(ts_ms[i]),
+                     s_up[i] / 100.0, s_dn[i] / 100.0, direction)
+                )
+            yield pd.DataFrame(
+                rows, columns=["event_id", "user_id", "ts_ms", "cusum_up", "cusum_down", "direction"]
+            )[["user_id", "event_id", "ts_ms", "cusum_up", "cusum_down", "direction"]]
+
+    cols = ["user_id", "ts", "value"] + (
+        ["event_id"] if "event_id" in events.columns else []
+    )
+    return (
+        events.select(*cols)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, CUSUM_SCHEMA, CUSUM_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def cusum_drift_batch_oracle(
+    events: DataFrame, mu0: float = 60.0, h: float = 500.0
+) -> DataFrame:
+    """Batch twin of cusum_drift via the same closed form as three stacked
+    windows (deviation cumsum, then running min/max of it) -- the parity
+    pin for the streaming fold."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    mu_c = int(round(mu0 * 100))
+    h_c = int(round(h * 100))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.expr("CAST(ROUND(value*100) AS BIGINT)") - F.lit(mu_c)).alias("d"),
+    )
+    c = d.withColumn("c", F.sum("d").over(w).cast("bigint"))
+    s = c.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "c",
+        F.min("c").over(w).cast("bigint").alias("minc"),
+        F.max("c").over(w).cast("bigint").alias("maxc"),
+    )
+    up = F.col("c") - F.least(F.lit(0).cast("bigint"), F.col("minc"))
+    dn = F.greatest(F.lit(0).cast("bigint"), F.col("maxc")) - F.col("c")
+    return (
+        s.withColumn("s_up", up)
+        .withColumn("s_dn", dn)
+        .where((F.col("s_up") > h_c) | (F.col("s_dn") > h_c))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            (F.col("s_up") / 100.0).alias("cusum_up"),
+            (F.col("s_dn") / 100.0).alias("cusum_down"),
+            F.when((F.col("s_up") > h_c) & (F.col("s_dn") > h_c), "both")
+            .when(F.col("s_up") > h_c, "up")
+            .otherwise("down")
+            .alias("direction"),
+        )
+    )

@@ -484,3 +484,25 @@ def test_kafka_offset_option_modes():
     assert '"0": 100' in o3["startingOffsets"].replace("'", '"')
     o4 = kafka_source_options("t", "b:9092", starting_timestamp_ms=123456)
     assert o4["startingTimestamp"] == "123456"
+
+
+def test_cusum_drift_matches_batch(spark, sf_dir):
+    """The streaming CUSUM fold (3-integer keyed state, closed form) must
+    emit exactly the batch twin's drift rows, including the cusum values
+    and directions."""
+    from rlink_rs_spark.streaming.sources import file_stream
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.stateful import cusum_drift, cusum_drift_batch_oracle
+
+    events = load_table(spark, sf_dir, "events")
+    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    streamed = run_to_memory(cusum_drift(src), output_mode="append")
+    got = {
+        (r.user_id, r.event_id, r.ts_ms, r.cusum_up, r.cusum_down, r.direction)
+        for r in streamed.collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.ts_ms, r.cusum_up, r.cusum_down, r.direction)
+        for r in cusum_drift_batch_oracle(events).collect()
+    }
+    assert got == want and got
