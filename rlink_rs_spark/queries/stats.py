@@ -255,3 +255,64 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("xc").alias("ndv"),
         )
     )
+
+
+# --- exact percentile bands --------------------------------------------------
+
+# PERCENTILE_DISC semantics by explicit rank selection (the exact_median
+# shape generalized): value at rank ceil(p * n), (value, event_id) total
+# order so both engines pick the identical row.
+_PB_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN value END) AS p95,
+       MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN value END) AS p99,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM ranked
+GROUP BY event_type
+"""
+
+
+@register(
+    "percentile_bands",
+    _PB_ORACLE,
+    "Exact p50/p95/p99 value bands per event type (PERCENTILE_DISC at "
+    "rank ceil(p*n), deterministic tie-break) -- the latency-band / SLO "
+    "report shape, one pass.",
+)
+def percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three percentiles from ONE rank window and one pivot-style
+    aggregate (no per-percentile passes). The window partitions by
+    event_type, so at 100 TB this is a single keyed sort per group --
+    and for groups too large to sort, the documented swap-in is the KMV
+    sketch / sampled-quantile threshold (queries/stats.py siblings);
+    exact ranks keep the oracle bit-for-bit here."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    def at(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        )
+    return ranked.groupBy("event_type").agg(
+        at(0.50).alias("p50"),
+        at(0.95).alias("p95"),
+        at(0.99).alias("p99"),
+        F.max("n").cast("bigint").alias("n"),
+    )

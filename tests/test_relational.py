@@ -49,6 +49,7 @@ RELATIONAL = [
     "kafka_loopback_seek",
     "rollup_agg",
     "hourly_autocorr_lag1",
+    "percentile_bands",
 ]
 
 
@@ -367,3 +368,24 @@ def test_autocorr_matches_numpy(spark, sf_dir):
         want = float(np.corrcoef(x, y)[0, 1])
         assert -1.0 <= r.autocorr_lag1 <= 1.0
         assert abs(r.autocorr_lag1 - want) < 1e-9
+
+
+def test_percentile_bands_match_sorted_selection(spark, sf_dir):
+    """Bands must equal direct selection from the sorted values at rank
+    ceil(p*n), and be monotone p50 <= p95 <= p99."""
+    import math
+    from collections import defaultdict
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = REGISTRY["percentile_bands"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id").collect()
+    by_t = defaultdict(list)
+    for r in ev:
+        by_t[r.event_type].append((r.value, r.event_id))
+    for r in rows:
+        vals = [v for v, _ in sorted(by_t[r.event_type])]
+        assert r.n == len(vals)
+        for p, got in [(0.50, r.p50), (0.95, r.p95), (0.99, r.p99)]:
+            assert got == vals[math.ceil(p * len(vals)) - 1]
+        assert r.p50 <= r.p95 <= r.p99
