@@ -1324,3 +1324,71 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars", F.lit(1).cast("int").alias("version"),
     )
     return untouched.unionByName(upserted)
+
+
+# --- key-skew diagnostics ----------------------------------------------------
+
+_SKEW_TOP_K = 10
+
+_SKEW_ORACLE = f"""
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM per_key
+)
+SELECT rank, user_id, cnt,
+       CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS x_mean,
+       n_keys, total
+FROM (SELECT user_id, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank
+      FROM per_key) CROSS JOIN tot
+WHERE rank <= {_SKEW_TOP_K}
+"""
+
+
+@register(
+    "key_skew_report",
+    _SKEW_ORACLE,
+    "Partitioning-skew diagnostics: top-10 heaviest user_id keys with "
+    "table share and times-mean factor -- the measurement that decides "
+    "when the salting / AQE-skew guards are worth their overhead.",
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic behind every skew decision in this repo (the LSH
+    auto-salt guard, salted_hot_key_agg, AQE skew joins): one per-key
+    count (map-side combined), a 1-row totals broadcast, and a top-k rank
+    over the KEY TABLE (not the fact table). x_mean > ~5 on a key is the
+    usual threshold where a straight hash partition develops stragglers
+    and salting pays. At 100 TB the per-key count table is the only
+    shuffle and is itself the salting decision input -- you run this
+    once per ingest, not per query."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = per_key.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id"))
+    return (
+        per_key.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _SKEW_TOP_K)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "user_id",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("share"),
+            (
+                F.col("cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total").cast("double")
+            ).alias("x_mean"),
+            "n_keys",
+            "total",
+        )
+    )

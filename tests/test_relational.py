@@ -50,6 +50,7 @@ RELATIONAL = [
     "rollup_agg",
     "hourly_autocorr_lag1",
     "percentile_bands",
+    "key_skew_report",
 ]
 
 
@@ -389,3 +390,23 @@ def test_percentile_bands_match_sorted_selection(spark, sf_dir):
         for p, got in [(0.50, r.p50), (0.95, r.p95), (0.99, r.p99)]:
             assert got == vals[math.ceil(p * len(vals)) - 1]
         assert r.p50 <= r.p95 <= r.p99
+
+
+def test_key_skew_report_consistent(spark, sf_dir):
+    """Skew report invariants: ranks contiguous, counts non-increasing,
+    shares and x_mean consistent with the totals, totals match the table."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = sorted(
+        REGISTRY["key_skew_report"].fn(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    n_keys = ev.select("user_id").distinct().count()
+    for r in rows:
+        assert r.total == total and r.n_keys == n_keys
+        assert abs(r.share - r.cnt / total) < 1e-12
+        assert abs(r.x_mean - r.cnt * n_keys / total) < 1e-9
