@@ -52,6 +52,8 @@ STREAMING = {
 #                             the count-filtered bigram table
 #   tfidf_lang_terms       -- 1-row doc-count broadcast cross onto the
 #                             (lang, term) vocab table
+#   key_skew_report        -- 1-row totals broadcast cross onto the top-k
+#                             key rows
 NLJ_ALLOWED = {
     "cosine_topk_ivfpq",
     "resample_corpus_epoch",
@@ -59,6 +61,7 @@ NLJ_ALLOWED = {
     "dsir_importance_weights",
     "pmi_collocations",
     "tfidf_lang_terms",
+    "key_skew_report",
     "pagerank_trade_graph",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
