@@ -383,7 +383,14 @@ def load_or_train_ivf_codebook(
 
     At 100 TB the `vectors` argument would be a hash-sample
     (``F.crc32(...) % rate == 0``) of the corpus; training cost is then
-    bounded by the sample while probing scans the inverted file."""
+    bounded by the sample while probing scans the inverted file.
+
+    Cache-probe caveat (ADVICE r6): the ``_SUCCESS`` check below (and in the
+    other ``load_or_*`` helpers) uses driver-local ``os.path``, which only
+    sees local-filesystem cache_dirs. On HDFS/S3 the probe would always miss
+    and rewrite; a cluster deployment should route it through the Hadoop
+    FileSystem API (``jvm.org.apache.hadoop.fs.FileSystem``) so the check
+    matches the write path's filesystem. Local FS is the contract here."""
     path = os.path.join(cache_dir, f"ivf_codebook_c{n_cells}_i{iters}_{fingerprint}")
     if os.path.exists(os.path.join(path, "_SUCCESS")):  # committed write only
         return spark.read.parquet(path)

@@ -39,9 +39,10 @@ stages AS (
   SELECT 3, 'purchase_after_click', COUNT(*) FROM p
 )
 SELECT stage_order, stage, users,
-       CAST(users AS DOUBLE) /
-       CAST(LAG(users, 1, users) OVER (ORDER BY stage_order) AS DOUBLE)
-         AS conv_from_prev
+       CASE WHEN stage_order = 1 THEN 1.0
+            ELSE CAST(users AS DOUBLE) /
+                 NULLIF(CAST(LAG(users, 1) OVER (ORDER BY stage_order) AS DOUBLE), 0.0)
+       END AS conv_from_prev
 FROM stages
 """
 
@@ -99,16 +100,21 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # conv_from_prev defaults to 1.0 for the FIRST stage only (ADVICE r6:
+    # a blanket fillna also turned a later empty stage's 0/0 into 1.0);
+    # a zero-user previous stage yields NULL in both engines via NULLIF.
     w = Window.orderBy("stage_order")
+    prev = F.lag("users", 1).over(w).cast("double")
     return stages.select(
         "stage_order",
         "stage",
         "users",
-        (
-            F.col("users").cast("double")
-            / F.lag("users", 1, None).over(w).cast("double")
-        ).alias("conv_from_prev"),
-    ).fillna({"conv_from_prev": 1.0})
+        F.when(F.col("stage_order") == 1, F.lit(1.0))
+        .otherwise(
+            F.col("users").cast("double") / F.nullif(prev, F.lit(0.0))
+        )
+        .alias("conv_from_prev"),
+    )
 
 
 # --- cohort retention --------------------------------------------------------

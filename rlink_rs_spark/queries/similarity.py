@@ -332,10 +332,27 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle remains exact; larger corpora train/persist their own codebook
     + inverted file under the same fingerprint scheme."""
     import math
+    import os
+    import warnings
+
+    import pyarrow.parquet as pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_vec = emb.count()
+    # Row count from parquet footer metadata (driver-local, no eager Spark
+    # job at plan-construction time -- ADVICE r6).
+    n_vec = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
     cells = max(_IVF_CELLS, math.ceil(n_vec / 125))
+    if cells != _IVF_CELLS:
+        # The registered DuckDB oracle unrolls the shared 16-cell k-means; a
+        # bigger corpus intentionally diverges from it (occupancy-scaled
+        # cells). Surface that loudly instead of letting the gate fail as if
+        # it were a correctness bug (ADVICE r6).
+        warnings.warn(
+            f"semantic_dedup: {n_vec} vectors -> {cells} cells; the registered "
+            f"oracle SQL assumes the {_IVF_CELLS}-cell codebook and is NOT "
+            "exact at this scale (scale-safe path, pytest-witnessed).",
+            stacklevel=2,
+        )
     if cells == _IVF_CELLS:
         emb, codebook, assignment = _ivf_artifacts(spark, sf_dir)
     else:

@@ -860,7 +860,11 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").alias("l")
     ).cache()
-    pairs = toks.select(
+    # size(l) >= 2 guard (ADVICE r6): a doc with no [a-z] tokens makes
+    # slice(l, 1, size(l) - 1) a negative-length slice, a runtime error in
+    # Spark (DuckDB returns []). Such docs contribute no bigrams either way,
+    # so the filter is semantics-preserving and keeps `uni` over all docs.
+    pairs = toks.where(F.size("l") >= 2).select(
         F.explode(
             F.arrays_zip(
                 F.expr("slice(l, 1, size(l) - 1)"), F.expr("slice(l, 2, size(l) - 1)")

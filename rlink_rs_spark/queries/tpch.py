@@ -5,7 +5,7 @@ commit/receipt dates, no phone/container columns), so each query here keeps
 the *shape* of its TPC-H namesake — the join topology, subquery pattern, and
 aggregation structure that stress the same engine paths the reference's
 relational pipelines exercise (dataflow composition per
-/root/reference/rlink/src/stream/mod.rs) — with predicates adapted to the
+/root/reference/rlink/src/core/data_stream.rs) — with predicates adapted to the
 fixture columns. All money aggregates use the engine-neutral integer-cents
 pattern (SUM_EXACT_SQL) so Spark and the DuckDB oracle are bit-identical.
 

@@ -3,7 +3,7 @@
 The reference defines sources as InputFormat implementations the runtime
 splits and schedules: create_input_splits(min_splits) partitions the
 work, then each task drives open(split) / reached_end() / read_record()
-(rlink/src/core/io.rs InputFormat + InputSplit; vec_source and
+(rlink/src/core/function.rs InputFormat + InputSplit (lines 56-155); vec_source and
 RandInputFormat are the bundled examples). Spark 4's Python DataSource
 extension point is the same contract natively: DataSourceReader.
 partitions() -> the splits, read(partition) -> the per-task record

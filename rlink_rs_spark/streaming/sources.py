@@ -43,7 +43,14 @@ def stage_stream_dir(
     if order_col:
         import pyarrow.compute as pc
 
-        table = table.take(pc.sort_indices(table, sort_keys=[(order_col, "ascending")]))
+        # Tie-break on event_id (ADVICE r6): stateful folds (cusum_drift) and
+        # their batch oracles order by (ts, event_id); sorting the staged
+        # chunks by ts alone could split equal-ts rows of one key across a
+        # chunk boundary in a different relative order than the oracle sees.
+        sort_keys = [(order_col, "ascending")]
+        if "event_id" in table.column_names and order_col != "event_id":
+            sort_keys.append(("event_id", "ascending"))
+        table = table.take(pc.sort_indices(table, sort_keys=sort_keys))
     n = table.num_rows
     per = (n + chunks - 1) // chunks
     now = time.time()

@@ -56,6 +56,9 @@ ORACLED = [
     "dedup_keep_list",
     "ngram_containment_pairs",
     "tfidf_lang_terms",
+    # displaced from the driver window by the r7 rotation (r6-driver-green)
+    "cosine_topk_sq",
+    "corpus_prep_pipeline",
 ]
 
 
