@@ -1,0 +1,106 @@
+"""Distributed exact global ranking / NTILE -- no single-partition sort.
+
+`NTILE(k) OVER (ORDER BY ...)` (and any global-rank derivative: top-quartile
+selection, equi-depth bucketing, tercile splits) is the one window shape
+Spark executes on a SINGLE partition ("WindowExec: No Partition Defined"),
+which is a non-starter at 100 TB. But when the ORDER BY is a total order
+(every query here tie-breaks on a unique id), the exact global rank is
+computable with fully parallel operators:
+
+  1. `repartitionByRange(P, keys)` -- a parallel range exchange; partition i
+     holds keys strictly below partition i+1 (RangePartitioner boundaries);
+  2. `sortWithinPartitions(keys)` -- parallel per-partition sort; because the
+     key is a total order, row order inside each partition is deterministic;
+  3. `monotonically_increasing_id()` -- encodes (partition_id << 33 | local
+     row index) with zero coordination;
+  4. partition sizes (a <=P-row aggregate) -> exclusive prefix sums = rank
+     offsets; the only remaining unpartitioned window runs over this
+     <=P-row table -- O(spark.sql.shuffle.partitions), INDEPENDENT of the
+     corpus size (the BY-DESIGN tiny-input case in tools/plan_audit.py);
+  5. global rank = offset[pid] + local_index + 1, broadcast-joined back;
+     NTILE follows in closed form (`ntile_expr`).
+
+So the corpus pays ONE parallel range shuffle -- the same data movement a
+distributed sort needs anyway -- instead of collapsing onto one task. The
+result is EXACT (bit-identical to NTILE over the same total order), so the
+DuckDB oracles keep hash-matching at every scale; there is no approximate
+"scale path" to diverge.
+
+The ranked frame is persisted (MEMORY_AND_DISK) so the size-count branch and
+the output branch provably read one materialization: without the pin, two
+plan instantiations of the range exchange could sample different partition
+boundaries and disagree on offsets. Eviction-recompute is safe -- the
+RangePartitioner's boundaries live in the plan, and the within-partition sort
+makes row order deterministic. A multi-tenant 100 TB deployment would swap
+the persist for a checkpoint to cheap storage; same plan shape.
+
+Reference parity: the reference's percentile/bucketing operators
+(rlink/src/functions/percentile/mod.rs) aggregate scale-bucketed histograms
+and never globally sort either; this module is the Spark-side equivalent
+discipline for rank-defined buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_PID_SHIFT = 33  # monotonically_increasing_id: partition id << 33 | row idx
+_LOCAL_MASK = (1 << _PID_SHIFT) - 1
+
+
+def with_global_rank(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "_grank",
+    total_col: str = "_gtotal",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the exact 1-based global rank under `order` (which MUST be a
+    total order -- include a unique tie-break column) plus the total row
+    count, without a single-partition WindowExec. See module docstring for
+    the plan shape and determinism argument."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranked = (
+        df.repartitionByRange(p, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    part = ranked.withColumn("_pid", F.shiftright("_mid", _PID_SHIFT))
+    sizes = part.groupBy("_pid").agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    # exclusive prefix sum over the <=P-row size table (tiny by construction)
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "_pid", F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("bigint").alias("_off")
+    )
+    tot = sizes.agg(F.sum("_c").cast("bigint").alias(total_col))
+    local_idx = F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK))
+    return (
+        part.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(rank_col, (F.col("_off") + local_idx + 1).cast("bigint"))
+        .drop("_mid", "_pid", "_off")
+    )
+
+
+def ntile_expr(rank_col: str, total_col: str, k: int) -> str:
+    """SQL expression computing `NTILE(k)` from an exact 1-based global rank
+    and total count, in pure BIGINT arithmetic (no float rounding at any n).
+
+    NTILE semantics: with n rows, the first n % k tiles hold n div k + 1
+    rows, the rest n div k. Rank r therefore maps to
+      r <= rem*(q+1)  ->  ceil(r / (q+1))
+      otherwise       ->  rem + ceil((r - rem*(q+1)) / q)
+    with q = n div k, rem = n % k, and ceil(a/b) = (a + b - 1) div b.
+    When n < k, q = 0: every rank lands in the first branch (tile = r)."""
+    q = f"({total_col} div {k})"
+    rem = f"({total_col} % {k})"
+    big = f"({rem} * ({q} + 1))"
+    return (
+        f"CAST(CASE WHEN {rank_col} <= {big} "
+        f"THEN ({rank_col} + {q}) div ({q} + 1) "
+        f"ELSE {rem} + (({rank_col} - {big} + {q} - 1) div {q}) END AS BIGINT)"
+    )

@@ -6,8 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from rlink_rs_spark.operators.ranking import ntile_expr, with_global_rank
 from rlink_rs_spark.operators.lm import (
     LM_ALPHABET_SIZE,
     LM_SCALE,
@@ -81,9 +81,11 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
       2. broadcast-join scoring of the full corpus (corpus never shuffles
          for the lookup),
       3. one combinable per-doc aggregate,
-      4. NTILE(3) tercile bucketing (global sort of DOC SCORES, not the
-         corpus; at 100 TB replace with sampled-quantile thresholds + a
-         map-side CASE -- see operators/lm.py module docstring).
+      4. tercile bucketing via the distributed exact NTILE
+         (operators/ranking.py): a PARALLEL range exchange of the doc
+         scores + closed-form tile from the exact global rank -- bit-equal
+         to the oracle's NTILE(3) at every scale, with no single-partition
+         WindowExec (the r6 VERDICT's global-sort finding).
 
     Log-probs live as integer micro-nats inside the LUT (rounded before any
     reassociative sum), so the DuckDB oracle value-hash matches exactly."""
@@ -94,14 +96,15 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams = bigram_rows(docs).cache()
     lut, pre_lut = train_bigram_lut(bigrams.where(F.col("lang") == "en"))
     scored = score_documents(bigrams, lut, pre_lut)
-    w = Window.orderBy("nll_per_char", "doc_id")
-    return scored.select(
+    ranked = with_global_rank(scored, [F.col("nll_per_char"), F.col("doc_id")])
+    tile = F.expr(ntile_expr("_grank", "_gtotal", 3))
+    return ranked.select(
         "doc_id",
         "lang",
         "n_bigrams",
         "nll_per_char",
-        F.when(F.ntile(3).over(w) == 1, "head")
-        .when(F.ntile(3).over(w) == 2, "middle")
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
         .otherwise("tail")
         .alias("ppl_bucket"),
     )

@@ -619,8 +619,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         never shuffles for the lookup, only for the per-doc combinable sum;
       * the totals cross join touches the tiny LUT, not the corpus (the
         `source_mix_report` 1-row broadcast shape);
-      * NTILE(4) sorts DOC SCORES only; at 100 TB replace with a sampled
-        quantile threshold + map-side CASE (same note as the LM filter).
+      * top-quartile selection via the distributed exact NTILE
+        (operators/ranking.py): parallel range exchange of the doc scores,
+        closed-form tile from the exact global rank -- bit-equal to the
+        oracle's NTILE(4) with no single-partition WindowExec.
 
     Integer micro-nat log-ratios inside the LUT make the float log_weight
     column bit-identical across engines."""
@@ -657,11 +659,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lr").cast("bigint").alias("sum_lr"),
         )
     )
-    w = Window.orderBy(F.col("sum_lr").desc(), F.col("doc_id"))
-    return scored.select(
+    from rlink_rs_spark.operators.ranking import ntile_expr, with_global_rank
+
+    ranked = with_global_rank(
+        scored, [F.col("sum_lr").desc(), F.col("doc_id").asc()]
+    )
+    return ranked.select(
         "doc_id",
         "lang",
         "n_features",
         (F.col("sum_lr") / float(_DSIR_SCALE)).alias("log_weight"),
-        (F.ntile(4).over(w) == 1).alias("selected"),
+        (F.expr(ntile_expr("_grank", "_gtotal", 4)) == 1).alias("selected"),
     )

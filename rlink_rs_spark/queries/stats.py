@@ -230,23 +230,25 @@ FROM assigned GROUP BY bucket
 def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram construction, the column-statistics operator
     behind cost-based selectivity estimation (and the bucket planner for
-    range-partitioned writes). NTILE over exact cents keeps bucket
-    assignment identical across engines (total order fixed by the
-    (value, orderkey, linenumber) tie-break). The NTILE is a global sort
-    of the COLUMN -- at 100 TB swap it for approx-quantile cut points
-    from a sampled scalar agg and a map-side bucket CASE (the same note
-    as the LM/DSIR tercile splits); the per-bucket rollup is combinable
-    either way."""
-    from pyspark.sql.window import Window
+    range-partitioned writes). Bucket assignment comes from the distributed
+    exact NTILE (operators/ranking.py): a parallel range exchange of the
+    fact table -- the largest of the three r6 global-sort findings, now
+    with no single-partition WindowExec -- with the total order fixed by
+    the (value, orderkey, linenumber) tie-break, so the assignment stays
+    bit-identical to the oracle's NTILE at every scale; the per-bucket
+    rollup is combinable either way."""
+    from rlink_rs_spark.operators.ranking import ntile_expr, with_global_rank
 
     li = load_table(spark, sf_dir, "lineitem").select(
         F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("xc"),
         "l_orderkey",
         "l_linenumber",
     )
-    w = Window.orderBy("xc", "l_orderkey", "l_linenumber")
+    ranked = with_global_rank(
+        li, [F.col("xc"), F.col("l_orderkey"), F.col("l_linenumber")]
+    )
     return (
-        li.withColumn("bucket", F.ntile(_EDH_BUCKETS).over(w).cast("bigint"))
+        ranked.withColumn("bucket", F.expr(ntile_expr("_grank", "_gtotal", _EDH_BUCKETS)))
         .groupBy("bucket")
         .agg(
             (F.min("xc") / 100.0).alias("lo"),

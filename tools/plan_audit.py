@@ -54,7 +54,13 @@ STREAMING = {
 #                             (lang, term) vocab table
 #   key_skew_report        -- 1-row totals broadcast cross onto the top-k
 #                             key rows
+#   lm_perplexity_filter   -- 1-row total-count broadcast cross from the
+#   equi_depth_histogram      distributed exact NTILE (operators/ranking.py);
+#                             dsir_importance_weights shares it and was
+#                             already listed for its totals LUT cross
 NLJ_ALLOWED = {
+    "lm_perplexity_filter",
+    "equi_depth_histogram",
     "cosine_topk_ivfpq",
     "resample_corpus_epoch",
     "bm25_keyword_search",
@@ -75,6 +81,54 @@ NLJ_ALLOWED = {
 
 JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)")
 
+# By-design UNPARTITIONED windows (single-partition WindowExec) -- allowed
+# only when the window's input is provably tiny (bounded by a constant or by
+# config, never by corpus size). The ranking-module size table (ordered by
+# `_pid`, <= spark.sql.shuffle.partitions rows) is auto-exempted by pattern.
+#   funnel_conversion      -- LAG over the 3-row stage summary
+#   pmi_collocations       -- top-30 rank over the count-filtered bigram
+#                             vocab table (nab >= 5 filter bounds it)
+#   tfidf_lang_terms       -- per-lang top-k rank over the (lang, term)
+#                             vocab table (bounded by vocab, not corpus)
+#   bpe_train_merges       -- rank over the <=784-entry candidate-pair table
+#   bm25_keyword_search    -- top-k rank over the matched-candidate set
+#   key_skew_report        -- top-k rank over per-key counts (keys << rows)
+#   source_mix_report      -- rank over the per-(source,lang) share table
+#   percentile_bands       -- [if flagged] rank partitioned by event_type;
+#                             only here defensively
+GLOBAL_SORT_ALLOWED = {
+    "funnel_conversion",
+    "pmi_collocations",
+    "tfidf_lang_terms",
+    "bpe_train_merges",
+    "bm25_keyword_search",
+    "key_skew_report",
+    "source_mix_report",
+}
+
+_WINDOW_LINE = re.compile(r"\bWindow(Group)?(Limit)?\b.*\[")
+
+
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes fed by an Exchange SinglePartition (the physical
+    signature of 'No Partition Defined'), excluding the ranking module's
+    <=P-row partition-size cumsum (ordered by `_pid`)."""
+    lines = plan.splitlines()
+    hits = 0
+    for i, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        if "_pid#" in line:  # operators/ranking.py size-table cumsum
+            continue
+        # walk down the subtree to the first Exchange feeding this window
+        for nxt in lines[i + 1 : i + 6]:
+            if "Exchange SinglePartition" in nxt:
+                hits += 1
+                break
+            if "Exchange " in nxt or "Scan" in nxt:
+                break
+    return hits
+
 
 def audit(sf_dir: str) -> tuple[list[dict], list[str]]:
     spark = get_spark("plan_audit")
@@ -91,9 +145,12 @@ def audit(sf_dir: str) -> tuple[list[dict], list[str]]:
             "pushed": "yes" if "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan) else "-",
             "cartesian": "CartesianProduct" in plan,
             "nlj": "BroadcastNestedLoopJoin" in plan,
+            "global_sort": unpartitioned_windows(plan),
         }
         if (info["cartesian"] or info["nlj"]) and name not in NLJ_ALLOWED:
             violations.append(name)
+        if info["global_sort"] and name not in GLOBAL_SORT_ALLOWED:
+            violations.append(f"{name}:global-sort")
         rows.append(info)
     return rows, violations
 
@@ -107,16 +164,23 @@ def main() -> None:
         f"Audited at `{sf_dir}`. Exchanges = shuffle/broadcast exchange count;",
         "NLJ/cartesian allowed only for the documented by-design baselines "
         f"({', '.join(sorted(NLJ_ALLOWED))}).",
+        "Global-sort = unpartitioned WindowExec count (single-partition sort),",
+        "excluding the ranking module's <=P-row size-table cumsum; allowed "
+        f"only for provably tiny inputs ({', '.join(sorted(GLOBAL_SORT_ALLOWED))}).",
         "",
-        "| query | exchanges | joins | pushdown | NLJ/cartesian |",
-        "|---|---|---|---|---|",
+        "| query | exchanges | joins | pushdown | NLJ/cartesian | global-sort |",
+        "|---|---|---|---|---|---|",
     ]
     for r in rows:
         flag = "BY-DESIGN" if (r["cartesian"] or r["nlj"]) and r["name"] in NLJ_ALLOWED else (
             "VIOLATION" if (r["cartesian"] or r["nlj"]) else "-"
         )
+        gflag = (
+            "-" if not r["global_sort"]
+            else ("BY-DESIGN" if r["name"] in GLOBAL_SORT_ALLOWED else "VIOLATION")
+        )
         lines.append(
-            f"| {r['name']} | {r['exchanges']} | {r['joins']} | {r['pushed']} | {flag} |"
+            f"| {r['name']} | {r['exchanges']} | {r['joins']} | {r['pushed']} | {flag} | {gflag} |"
         )
     lines.append("")
     lines.append(f"Violations: {violations or 'none'}")
