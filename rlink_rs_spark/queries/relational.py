@@ -982,43 +982,34 @@ _BAND_EPS = 5.0
     GROUP BY a.event_id
     """,
     "Band join (|value_a - value_b| <= eps among a user's events of one "
-    "type) expressed as a bucket-expansion EQUI-join: each probe row "
-    "replicates into its bucket floor(v/eps) and both neighbors, the join "
-    "key is (type, user, bucket), and the exact band predicate filters "
-    "after the hash join -- every qualifying pair matches in exactly one "
-    "bucket (the build row's own), so no dedup is needed. The oracle "
-    "states the same join as the naive theta join. Scale: the non-equi "
-    "predicate never becomes a nested-loop plan (3x probe replication "
-    "buys a hash join), and scoping the band inside the (type, user) key "
-    "keeps per-group density CONSTANT as the corpus grows -- a global "
-    "band join's candidate volume is quadratic in data density by "
-    "definition; key it or cap it. Hot keys compose with the LSH salting "
-    "pattern.",
+    "type) computed WITHOUT materializing candidate pairs: a RANGE-frame "
+    "window partitioned by (type, user) and value-ordered counts the rows "
+    "inside [v - eps, v + eps] in one linear pass per key. The oracle "
+    "states the same count as the naive theta self-join. Scale: the "
+    "earlier bucket-expansion equi-join (replicate each probe row into "
+    "floor(v/eps) +- 1 buckets, hash-join on (type, user, bucket), exact "
+    "filter after) already avoided a nested-loop plan, but its candidate "
+    "volume is QUADRATIC in per-key density -- the sf1 witness measured "
+    "2.3x-linear when the fixture replicator doubled per-(type,user) "
+    "density (VERDICT r6). The sliding RANGE frame does the same exact "
+    "count in O(n log n) per key (sort + linear frame advance), so a "
+    "skewed real key degrades gracefully instead of quadratically; the "
+    "bucket equi-join remains the right pattern only for MULTI-column "
+    "bands, where no single ordering exists.",
 )
 def value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id", "value"
     )
-    bkt = F.floor(F.col("value") / _BAND_EPS)
-    build = ev.select(
-        F.col("event_id").alias("id_b"),
-        F.col("event_type").alias("t"),
-        F.col("user_id").alias("u"),
-        F.col("value").alias("vb"),
-        bkt.alias("bucket"),
-    )
-    probe = ev.select(
-        F.col("event_id").alias("id_a"),
-        F.col("event_type").alias("t"),
-        F.col("user_id").alias("u"),
-        F.col("value").alias("va"),
-        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bucket"),
+    # COUNT(*) over the value band includes the row itself -> subtract 1;
+    # SQL-expr window because rangeBetween() takes only integer bounds.
+    band_cnt = F.expr(
+        "COUNT(*) OVER (PARTITION BY event_type, user_id ORDER BY value "
+        f"RANGE BETWEEN {_BAND_EPS} PRECEDING AND {_BAND_EPS} FOLLOWING)"
     )
     return (
-        probe.join(build, ["t", "u", "bucket"])
-        .where((F.col("id_a") != F.col("id_b")) & (F.abs(F.col("va") - F.col("vb")) <= _BAND_EPS))
-        .groupBy(F.col("id_a").alias("event_id"))
-        .agg(F.count("*").alias("near_peers"))
+        ev.select("event_id", (band_cnt - 1).cast("bigint").alias("near_peers"))
+        .where(F.col("near_peers") > 0)
     )
 
 
