@@ -51,9 +51,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "funnel_conversion",
     "cohort_retention",
     "hourly_autocorr_lag1",
+    # -- new in r7, never driver-checked: streaming intake dedup against the
+    #    persisted LSH band index (takes q20's slot; q20 is r6-driver-green
+    #    and in the TPCH parity list)
+    "streaming_incremental_dedup",
     # -- r6-green, retained for continuity of the streaming/windowed block
     "bpe_train_merges",
-    "q20_promo_suppliers",
     "q21_waiting_suppliers",
     "benchmark_decontamination",
     "repetition_quality_signals",

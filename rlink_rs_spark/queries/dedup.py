@@ -411,6 +411,87 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming incremental dedup ---------------------------------------------
+
+_INCR_ORACLE_SQL: str | None = None  # set below, shared with the batch twin
+
+
+@register(
+    "streaming_incremental_dedup",
+    None,  # replaced right after definition with incremental_batch_dedup's oracle
+    "STREAMING twin of incremental_batch_dedup: the incoming docs arrive as "
+    "a doc_id-ordered chunked file stream; each micro-batch is admitted "
+    "against the persisted history LSH band index plus the accumulated "
+    "stream state (hashes + band signatures of earlier micro-batches) via "
+    "foreachBatch with per-epoch idempotent commits (exactly-once). The "
+    "drained verdicts are row-identical to the batch twin, so it shares "
+    "that oracle.",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference is a streaming engine (core/data_stream.rs:102-247);
+    its LLM-pipeline extras should stream too. The intake pipeline from
+    streaming/dedup.py: history is an on-disk artifact (never re-shingled),
+    per-epoch state makes earlier stream docs visible to later ones, and a
+    crash between epochs resumes exactly-once (tests/test_streaming.py
+    kill/resume witness). Replayed in 4 doc_id-ordered chunks so state
+    genuinely carries across micro-batches."""
+    import os
+    import tempfile
+
+    from rlink_rs_spark.operators.dedup import load_or_build_band_index
+    from rlink_rs_spark.streaming.dedup import (
+        read_verdicts,
+        streaming_incremental_dedup_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 4 != 0)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    hist_banded = load_or_build_band_index(
+        spark,
+        with_shingles(history),
+        cache_dir=os.path.join(repo_root, "artifacts", "lsh_band_index"),
+        fingerprint=_documents_fingerprint(sf_dir),
+        n_hashes=_N_HASHES,
+        bands=_BANDS,
+    )
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4, order_col="doc_id"
+    ).where(F.col("doc_id") % 4 == 0)
+    work_dir = tempfile.mkdtemp(prefix="rlink_sdedup_")
+    q = streaming_incremental_dedup_sink(
+        src,
+        history,
+        hist_banded,
+        with_shingles(docs),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_sdedup_ck_"),
+        threshold=_INCR_THR,
+        n_hashes=_N_HASHES,
+        bands=_BANDS,
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_incremental_dedup did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_verdicts(spark, work_dir)
+
+
+# share the batch twin's oracle verbatim: the drained stream result is
+# row-identical by construction (doc_id-ordered chunks make "previously
+# processed" == "smaller doc_id")
+import dataclasses as _dc  # noqa: E402
+
+from rlink_rs_spark.queries.base import REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_incremental_dedup"] = _dc.replace(
+    _REG["streaming_incremental_dedup"], oracle=_REG["incremental_batch_dedup"].oracle
+)
+
+
 # --- n-gram containment ------------------------------------------------------
 
 _CONT_K = 3

@@ -1,19 +1,66 @@
-"""Streaming deduplication -- the streaming face of exact dedup
-(operators/dedup.exact_dedup_groups) for at-least-once ingest.
+"""Streaming deduplication, two faces:
 
-The reference offers only at-least-once delivery (SURVEY §2.8: its
-checkpoint scheme acks "completed checkpoint id" and replays from there,
-rlink/src/runtime/worker/checkpoint.rs), so any consumer downstream of a
-restart sees duplicates. Spark's keyed dedup state makes the stream
-exactly-once-per-key: `dropDuplicatesWithinWatermark` keeps one state row
-per key for at least the watermark delay, then evicts -- bounded state at
-100 TB, versus `dropDuplicates` whose state grows forever.
+1. `dedup_stream` -- exact row dedup for at-least-once ingest. The
+   reference offers only at-least-once delivery (SURVEY §2.8: its
+   checkpoint scheme acks "completed checkpoint id" and replays from
+   there, rlink/src/runtime/worker/checkpoint.rs), so any consumer
+   downstream of a restart sees duplicates. Spark's keyed dedup state
+   makes the stream exactly-once-per-key: `dropDuplicatesWithinWatermark`
+   keeps one state row per key for at least the watermark delay, then
+   evicts -- bounded state at 100 TB, versus `dropDuplicates` whose state
+   grows forever.
+
+2. `streaming_incremental_dedup_sink` -- admit a STREAM of documents
+   against a persisted corpus LSH band index.
+
+The reference is a streaming engine (rlink/src/core/data_stream.rs:102-247),
+so its LLM-pipeline extras should stream too: this is the production intake
+shape where new crawl batches arrive continuously and each must be admitted
+or rejected against everything already accepted -- without ever re-scanning
+the standing corpus.
+
+Per micro-batch (foreachBatch, availableNow):
+
+  1. EXACT stage -- md5(text) left-joined against the static history hash
+     set UNION the hashes of all previously processed stream docs (epoch
+     state), plus a first-in-micro-batch window for in-batch ties.
+  2. NEAR stage -- MinHash band signatures of the micro-batch equi-joined
+     against (a) the persisted history band index (the
+     `load_or_build_band_index` artifact -- history is never re-shingled),
+     (b) the band signatures of all previously processed stream docs
+     (epoch state), and (c) itself (id_b < id_a). Candidates verify at
+     exact Jaccard >= threshold against the static shingle postings.
+  3. Verdicts land in `out_dir/batch_id=N`, and the batch's hashes + band
+     signatures land in the state dirs under `batch_id=N` -- OVERWRITE per
+     epoch, so a replayed micro-batch after a crash rewrites byte-identical
+     output instead of duplicating state: exactly-once, the same epoch-
+     idempotence contract as sources/sinks.py's bulk sinks.
+
+Because the stream replays chunks in doc_id order, "previously processed"
+equals "smaller doc_id", and the drained result is row-identical to the
+batch twin `incremental_batch_dedup` -- which is exactly what lets the
+registry entry share its DuckDB oracle.
+
+At 100 TB: state dirs become the metastore-tracked signature/hash tables of
+admitted batches (bounded by corpus size / 4 bands, not by stream length);
+the static corpus contributes only band-index reads and shingle lookups for
+verified candidates.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rlink_rs_spark.operators.dedup import (
+    band_signatures,
+    minhash_signatures,
+    verify_jaccard,
+    with_shingles,
+)
 
 def dedup_stream(
     df: DataFrame,
@@ -30,3 +77,141 @@ def dedup_stream(
     if ts_col is None:
         return df.dropDuplicates(keys)
     return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+_HASH_SCHEMA = "doc_id bigint, h string"
+_BAND_SCHEMA = "doc_id bigint, band int, sig string"
+_OUT_SCHEMA = "doc_id bigint, exact_dup boolean, near_dup_of bigint, admit boolean"
+
+
+def _epoch_dirs(root: str, before_epoch: int) -> list[str]:
+    """Committed state dirs for epochs strictly before `before_epoch` (a
+    retried epoch must not see its own partial writes)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in sorted(os.listdir(root)):
+        if not d.startswith("batch_id="):
+            continue
+        if int(d.split("=", 1)[1]) < before_epoch:
+            out.append(os.path.join(root, d))
+    return out
+
+
+def _read_state(spark: SparkSession, root: str, schema: str, before_epoch: int) -> DataFrame:
+    dirs = _epoch_dirs(root, before_epoch)
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
+
+
+def streaming_incremental_dedup_sink(
+    doc_stream: DataFrame,
+    history: DataFrame,
+    hist_banded: DataFrame,
+    shingled_all: DataFrame,
+    work_dir: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    bands: int = 4,
+    crash_at_epoch: int | None = None,
+):
+    """Wire the admit pipeline as a foreachBatch sink over `doc_stream`
+    (columns doc_id, text, ...). Returns the started StreamingQuery;
+    verdicts accumulate under `<work_dir>/out`. `crash_at_epoch` raises
+    mid-epoch BEFORE any state commit on the FIRST attempt only -- the
+    kill/resume test hook (a marker file records the crash so the resumed
+    run proceeds)."""
+    spark = doc_stream.sparkSession
+    out_dir = os.path.join(work_dir, "out")
+    hash_dir = os.path.join(work_dir, "state_hashes")
+    band_dir = os.path.join(work_dir, "state_bands")
+    crash_marker = os.path.join(work_dir, "crashed_once")
+
+    hist_hashes = history.select(F.md5("text").alias("h")).distinct()
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if crash_at_epoch is not None and epoch_id == crash_at_epoch and not os.path.exists(crash_marker):
+            with open(crash_marker, "w") as f:
+                f.write(str(epoch_id))
+            raise RuntimeError(f"injected crash at epoch {epoch_id}")
+
+        batch = batch_df.select("doc_id", "text").cache()
+
+        # --- exact stage
+        prior_hashes = _read_state(spark, hash_dir, _HASH_SCHEMA, epoch_id).select("h").distinct()
+        known = hist_hashes.unionByName(prior_hashes).distinct()
+        w = Window.partitionBy("h")
+        bh = batch.select("doc_id", F.md5("text").alias("h")).withColumn(
+            "min_id", F.min("doc_id").over(w)
+        )
+        ex = bh.join(known.withColumn("in_known", F.lit(True)), "h", "left").select(
+            "doc_id",
+            "h",
+            (
+                F.coalesce("in_known", F.lit(False)) | (F.col("min_id") < F.col("doc_id"))
+            ).alias("exact_dup"),
+        )
+
+        # --- near stage
+        batch_banded = band_signatures(
+            minhash_signatures(with_shingles(batch), n_hashes=n_hashes),
+            n_hashes=n_hashes,
+            bands=bands,
+        ).cache()
+        prior_bands = _read_state(spark, band_dir, _BAND_SCHEMA, epoch_id)
+        bb = batch_banded.select(F.col("doc_id").alias("id_a"), "band", "sig")
+        earlier = hist_banded.unionByName(prior_bands).select(
+            F.col("doc_id").alias("id_b"), "band", "sig"
+        )
+        cands_prior = bb.join(earlier, ["band", "sig"]).select("id_a", "id_b")
+        cands_self = (
+            bb.join(
+                batch_banded.select(F.col("doc_id").alias("id_b"), "band", "sig"),
+                ["band", "sig"],
+            )
+            .where(F.col("id_b") < F.col("id_a"))
+            .select("id_a", "id_b")
+        )
+        cands = cands_prior.unionByName(cands_self).distinct()
+        near = (
+            verify_jaccard(cands, shingled_all, threshold=threshold)
+            .groupBy(F.col("id_a").alias("doc_id"))
+            .agg(F.min("id_b").alias("near_dup_of"))
+        )
+
+        verdict = ex.join(near, "doc_id", "left").select(
+            "doc_id",
+            "exact_dup",
+            "near_dup_of",
+            (~F.col("exact_dup") & F.col("near_dup_of").isNull()).alias("admit"),
+        )
+
+        # --- epoch-idempotent commits (overwrite THIS epoch's dirs only)
+        verdict.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={epoch_id}"))
+        ex.select("doc_id", "h").write.mode("overwrite").parquet(
+            os.path.join(hash_dir, f"batch_id={epoch_id}")
+        )
+        batch_banded.write.mode("overwrite").parquet(
+            os.path.join(band_dir, f"batch_id={epoch_id}")
+        )
+        batch.unpersist()
+        batch_banded.unpersist()
+
+    return (
+        doc_stream.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_verdicts(spark: SparkSession, work_dir: str) -> DataFrame:
+    """All committed verdict rows (one per streamed doc)."""
+    out_dir = os.path.join(work_dir, "out")
+    dirs = _epoch_dirs(out_dir, 1 << 62)
+    if not dirs:
+        return spark.createDataFrame([], _OUT_SCHEMA)
+    return spark.read.schema(_OUT_SCHEMA).parquet(*dirs)

@@ -506,3 +506,76 @@ def test_cusum_drift_matches_batch(spark, sf_dir):
         for r in cusum_drift_batch_oracle(events).collect()
     }
     assert got == want and got
+
+
+def test_streaming_incremental_dedup_crash_resume_matches_batch_twin(spark, sf_dir):
+    """Inject a crash at epoch 2 of the incremental-dedup intake stream,
+    resume from the checkpoint (same work_dir + staged source), and require
+    the drained verdicts to be row-identical to incremental_batch_dedup --
+    proving the per-epoch idempotent state/output commits are exactly-once
+    across a restart."""
+    import os
+
+    from rlink_rs_spark.operators.dedup import load_or_build_band_index, with_shingles
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.dedup import (
+        _BANDS,
+        _INCR_THR,
+        _N_HASHES,
+        _documents_fingerprint,
+    )
+    from rlink_rs_spark.streaming.dedup import (
+        read_verdicts,
+        streaming_incremental_dedup_sink,
+    )
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 4 != 0)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist_banded = load_or_build_band_index(
+        spark,
+        with_shingles(history),
+        cache_dir=os.path.join(repo_root, "artifacts", "lsh_band_index"),
+        fingerprint=_documents_fingerprint(sf_dir),
+        n_hashes=_N_HASHES,
+        bands=_BANDS,
+    )
+    staged = stage_stream_dir(sf_dir, "documents", chunks=4, order_col="doc_id")
+    work_dir = tempfile.mkdtemp(prefix="rlink_sdedup_test_")
+    ck = tempfile.mkdtemp(prefix="rlink_sdedup_test_ck_")
+
+    def start(crash_at):
+        src = stream_from_staged(
+            spark, staged, sf_dir, "documents", max_files_per_trigger=1
+        ).where(F.col("doc_id") % 4 == 0)
+        return streaming_incremental_dedup_sink(
+            src,
+            history,
+            hist_banded,
+            with_shingles(docs),
+            work_dir=work_dir,
+            checkpoint=ck,
+            threshold=_INCR_THR,
+            n_hashes=_N_HASHES,
+            bands=_BANDS,
+            crash_at_epoch=crash_at,
+        )
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = start(crash_at=2)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(300)
+    assert os.path.exists(os.path.join(work_dir, "crashed_once"))
+
+    q2 = start(crash_at=2)  # marker file makes the retry proceed
+    assert q2.awaitTermination(300), "resumed intake stream timed out"
+    assert q2.exception() is None
+
+    got = {tuple(r) for r in read_verdicts(spark, work_dir).collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["incremental_batch_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
