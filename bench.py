@@ -29,6 +29,13 @@ NOT_BENCHED = {
 }
 
 
+def query_family(name: str) -> str:
+    """Family = the registry module that defines the query (tpch, dedup,
+    similarity, streams, ...), independent of naming conventions; the
+    pytest key-pin in tests/test_coverage_gaps.py keeps this stable."""
+    return REGISTRY[name].fn.__module__.rsplit(".", 1)[-1]
+
+
 def fixture_fingerprint(sf_dir: str) -> str:
     """md5 over the CONTENT of every parquet in sf_dir (sorted by name).
     The driver regenerates /root/testdata between rounds with identical
@@ -88,11 +95,18 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    families: dict[str, float] = {}
+    for name in timings:
+        fam = query_family(name)
+        families[fam] = round(families.get(fam, 0.0) + timings[name], 3)
     result = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-family subtotals (registry module = family) so a regression
+        # hunt reads one dict instead of joining 130+ per-query rows
+        "families": families,
         "sf": sf,
         # environment fingerprint: r3->r5 showed a 1.59x median drift from
         # ambient load + regenerated fixtures; these fields let any two

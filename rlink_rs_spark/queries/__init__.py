@@ -55,10 +55,14 @@ _DRIVER_WINDOW_PRIORITY = [
     #    persisted LSH band index (takes q20's slot; q20 is r6-driver-green
     #    and in the TPCH parity list)
     "streaming_incremental_dedup",
+    # -- new in r7: curriculum staging over the distributed exact NTILE
+    #    (takes q21's slot; q21 is r6-driver-green and TPCH-parity-listed)
+    "curriculum_stages",
+    # -- new in r7: RAG/context-window chunking (takes decontamination's
+    #    slot; that query is r6-driver-green and in the ORACLED parity list)
+    "chunk_documents",
     # -- r6-green, retained for continuity of the streaming/windowed block
     "bpe_train_merges",
-    "q21_waiting_suppliers",
-    "benchmark_decontamination",
     "repetition_quality_signals",
     "pack_sequences",
     "temperature_resample_weights",

@@ -671,3 +671,136 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sum_lr") / float(_DSIR_SCALE)).alias("log_weight"),
         (F.expr(ntile_expr("_grank", "_gtotal", 4)) == 1).alias("selected"),
     )
+
+
+# --- curriculum staging ------------------------------------------------------
+
+_CURR_STAGES = 4
+
+from rlink_rs_spark.operators.text import (  # noqa: E402
+    STOPWORDS as _CURR_STOP,
+    _in_list_sql as _curr_in_list,
+    quality_score_sql as _curr_qsql,
+)
+
+_CURR_ORACLE = f"""
+WITH counted AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS nt, length(text) AS nc,
+         len(list_filter(string_split(text, ' '), t -> t IN ({_curr_in_list(_CURR_STOP)}))) AS sc
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         {_curr_qsql('nt', 'nc', 'sc')} AS quality
+  FROM counted
+),
+staged AS (
+  SELECT doc_id, n_tokens, quality,
+         NTILE({_CURR_STAGES}) OVER (ORDER BY quality DESC, doc_id) AS stage
+  FROM scored
+)
+SELECT CAST(stage AS BIGINT) AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(quality) AS min_q, MAX(quality) AS max_q,
+       CAST(SUM(CAST(ROUND(quality * 1000000) AS BIGINT)) AS BIGINT) AS sum_q_micro,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM staged GROUP BY stage
+"""
+
+
+@register(
+    "curriculum_stages",
+    _CURR_ORACLE,
+    "Curriculum staging: the whole corpus ordered by the quality heuristic "
+    f"(best first) and cut into {_CURR_STAGES} exact equal-depth stages -- "
+    "the data-ordering step of curriculum learning and the stage manifest "
+    "(doc counts, quality bounds, token budget) a trainer consumes.",
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global curriculum: unlike per-language packing (pack_sequences) or
+    random shards (training_shuffle_shards), the cut is a TOTAL order over
+    the corpus, which is exactly the shape the distributed exact NTILE
+    (operators/ranking.py) exists for -- a parallel range exchange instead
+    of a single-partition sort, bit-identical to the oracle's NTILE at any
+    scale. Quality scores ride as micro-unit BIGINTs under every sum."""
+    from rlink_rs_spark.operators.ranking import ntile_expr, with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_in = _curr_in_list(_CURR_STOP)
+    counted = docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").alias("nt"),
+        F.length("text").alias("nc"),
+        F.expr(f"size(filter(split(text, ' '), t -> t IN ({stop_in})))").alias("sc"),
+    )
+    scored = counted.select(
+        "doc_id",
+        F.col("nt").cast("bigint").alias("n_tokens"),
+        F.expr(_curr_qsql("nt", "nc", "sc")).alias("quality"),
+    )
+    ranked = with_global_rank(scored, [F.col("quality").desc(), F.col("doc_id").asc()])
+    return (
+        ranked.withColumn("stage", F.expr(ntile_expr("_grank", "_gtotal", _CURR_STAGES)))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+            F.sum(F.expr("CAST(ROUND(quality * 1000000) AS BIGINT)")).cast("bigint").alias("sum_q_micro"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
+# --- document chunking (RAG / context-window prep) ---------------------------
+
+_CHUNK_W = 64  # tokens per chunk
+_CHUNK_S = 48  # stride (16-token overlap)
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+starts AS (
+  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, {_CHUNK_S})) AS start_tok
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start_tok // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(len(list_slice(w, start_tok + 1, start_tok + {_CHUNK_W})) AS BIGINT) AS chunk_len,
+       md5(array_to_string(list_slice(w, start_tok + 1, start_tok + {_CHUNK_W}), ' ')) AS chunk_hash
+FROM starts
+"""
+
+
+@register(
+    "chunk_documents",
+    _CHUNK_ORACLE,
+    f"Document chunking for RAG / context-window prep: {_CHUNK_W}-token "
+    f"windows at stride {_CHUNK_S} ({_CHUNK_W - _CHUNK_S}-token overlap), "
+    "emitting per-chunk offsets, lengths, and a content hash (the chunk-id "
+    "an embedding/index stage keys on).",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure map-side generate-and-explode: no shuffle at any scale -- each
+    document expands into ceil(n_tokens / stride) chunk rows in place, so
+    the operator parallelizes with the scan and the downstream embed stage
+    consumes (doc_id, chunk_idx) directly. The md5 chunk hash doubles as
+    the exact-dedup key for chunk-level dedup (the operators/dedup family
+    composes on it unchanged)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr("split(text, ' ')").alias("w"))
+    starts = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.expr(f"sequence(0, size(w) - 1, {_CHUNK_S})")).alias("start_tok"),
+    )
+    chunk = F.expr(f"slice(w, start_tok + 1, {_CHUNK_W})")
+    return starts.select(
+        "doc_id",
+        (F.col("start_tok") / _CHUNK_S).cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("bigint").alias("chunk_len"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )

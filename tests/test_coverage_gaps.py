@@ -486,3 +486,29 @@ def test_every_oracled_query_has_a_local_witness():
         if q.oracle is not None and n not in covered and n not in streaming
     ]
     assert not missing, f"oracled queries with no active witness: {missing}"
+
+
+def test_bench_family_keys_are_pinned():
+    """bench.py's per-family subtotals must partition the benched registry
+    into exactly the known query modules -- a new module must be added here
+    consciously so family-level bench history stays comparable."""
+    import bench
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    fams = {bench.query_family(n) for n, q in REGISTRY.items() if q.bench}
+    assert fams == {
+        "windowed",
+        "relational",
+        "streams",
+        "dedup",
+        "similarity",
+        "text",
+        "stats",
+        "tpch",
+        "pipeline_ops",
+        "graph",
+        "lm",
+        "analytics",
+        "search",
+    }

@@ -59,6 +59,9 @@ ORACLED = [
     # displaced from the driver window by the r7 rotation (r6-driver-green)
     "cosine_topk_sq",
     "corpus_prep_pipeline",
+    # new in r7 (also in the driver window)
+    "curriculum_stages",
+    "chunk_documents",
 ]
 
 

@@ -61,6 +61,7 @@ STREAMING = {
 NLJ_ALLOWED = {
     "lm_perplexity_filter",
     "equi_depth_histogram",
+    "curriculum_stages",  # same 1-row ranking-total broadcast cross
     "cosine_topk_ivfpq",
     "resample_corpus_epoch",
     "bm25_keyword_search",
