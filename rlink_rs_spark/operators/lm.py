@@ -17,11 +17,10 @@ smallest model that exercises the full distributed shape of the real thing
 * **Scoring** joins the exploded corpus bigrams against the broadcast LUT —
   the corpus itself never shuffles for the lookup; the only wide exchange
   is the per-doc partial aggregate (sum/count, combinable).
-* **Bucketing** uses NTILE(3) over the doc scores, which is a global sort —
-  fine at test scale, but at 100 TB you would compute the two tercile
-  thresholds from a sampled exact quantile (a scalar agg) and bucket with a
-  map-side CASE instead. The docstring carries the note; the NTILE keeps
-  the oracle comparison exact.
+* **Bucketing** uses the distributed exact NTILE (operators/ranking.py,
+  round 7): a parallel range exchange of the doc scores plus a closed-form
+  tile from the exact global rank — bit-identical to NTILE(3) over the same
+  total order at every scale, with no single-partition WindowExec.
 
 Determinism contract (the oracle hash-matches): every per-bigram log-prob
 is rounded to integer micro-nats *inside the tiny LUT* before any join or
@@ -148,3 +147,62 @@ def score_documents(
             "nll_per_char"
         ),
     )
+
+
+def load_or_train_lm_lut(
+    spark,
+    train_bigrams: DataFrame,
+    cache_dir: str,
+    fingerprint: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Train-once / score-many for the bigram LM: persist (lut, pre_lut)
+    as parquet artifacts keyed by a content fingerprint of the training
+    corpus -- the same contract as the IVF codebook and LSH band index
+    (operators/similarity.load_or_train_ivf_codebook; local-FS probe, see
+    that docstring's cache-probe caveat). The LUT is a pure function of the
+    training content (integer micro-nat rounding, no RNG), so reload is
+    bit-safe."""
+    import os
+
+    lut_path = os.path.join(cache_dir, f"lm_lut_{fingerprint}")
+    pre_path = os.path.join(cache_dir, f"lm_prelut_{fingerprint}")
+    if os.path.exists(os.path.join(lut_path, "_SUCCESS")) and os.path.exists(
+        os.path.join(pre_path, "_SUCCESS")
+    ):
+        return spark.read.parquet(lut_path), spark.read.parquet(pre_path)
+    lut, pre_lut = train_bigram_lut(train_bigrams)
+    lut.write.mode("overwrite").parquet(lut_path)
+    pre_lut.write.mode("overwrite").parquet(pre_path)
+    return spark.read.parquet(lut_path), spark.read.parquet(pre_path)
+
+
+def score_stream_columns(
+    lut_pairs: list[tuple[str, int]],
+    pre_pairs: list[tuple[str, int]],
+    norm_col: str = "norm",
+) -> tuple[Column, Column]:
+    """(n_bigrams, sum_lp) columns that score a document in ONE map-side
+    expression -- no explode, no join, no shuffle: the <=V^2-row LUT rides
+    into the plan as a map literal and each position folds through
+    F.aggregate. This is the STREAM-scoring shape: a stateless projection
+    that any micro-batch (or plain select) applies with zero state, while
+    integer micro-nat addition keeps the fold bit-identical to the batch
+    twin's explode+join+SUM (BIGINT addition is exactly associative).
+
+    Requires length(norm_col) >= 2 (filter first, matching bigram_rows'
+    drop semantics for shorter docs)."""
+    m_bg = F.create_map(*[F.lit(x) for kv in lut_pairs for x in kv])
+    m_pre = F.create_map(*[F.lit(x) for kv in pre_pairs for x in kv])
+    norm = F.col(norm_col)
+    n_bigrams = (F.length(norm) - 1).cast("bigint")
+    sum_lp = F.aggregate(
+        F.sequence(F.lit(1), F.length(norm) - 1),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.coalesce(
+            F.element_at(m_bg, norm.substr(i, F.lit(2))),
+            F.element_at(m_pre, norm.substr(i, F.lit(1))),
+            F.lit(LM_UNK_LP).cast("bigint"),
+        ),
+    )
+    return n_bigrams, sum_lp

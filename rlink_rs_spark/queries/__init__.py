@@ -63,7 +63,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "chunk_documents",
     # -- r6-green, retained for continuity of the streaming/windowed block
     "bpe_train_merges",
-    "repetition_quality_signals",
+    # -- new in r7: streaming CCNet gate (takes repetition_quality_signals'
+    #    slot; that query is r6-driver-green and in the ORACLED parity list)
+    "streaming_quality_gate",
     "pack_sequences",
     "temperature_resample_weights",
     "value_band_join",

@@ -1211,3 +1211,42 @@ def test_tfidf_matches_bruteforce(spark, sf_dir):
             idf_n = round(math.log(n_docs / df[r.term]) * _TI_SCALE)
             assert r.tf == tf[(lang, r.term)]
             assert abs(r.tfidf - r.tf * idf_n / _TI_SCALE) < 1e-9
+
+
+def test_stream_score_fold_matches_batch_scorer(spark, sf_dir):
+    """The streaming quality gate's map-literal fold (no explode, no join)
+    must produce bit-identical (n_bigrams, sum_lp-derived nll) to the batch
+    explode+join+SUM scorer over the same LUT -- BIGINT addition is exactly
+    associative, so the two plans are interchangeable at any scale."""
+    from rlink_rs_spark.operators.lm import (
+        LM_SCALE,
+        bigram_rows,
+        normalize_expr,
+        score_documents,
+        score_stream_columns,
+        train_bigram_lut,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = bigram_rows(docs)
+    lut, pre_lut = train_bigram_lut(bigrams.where(F.col("lang") == "en"))
+    batch = {
+        r.doc_id: (r.n_bigrams, r.nll_per_char)
+        for r in score_documents(bigrams, lut, pre_lut).collect()
+    }
+
+    lut_pairs = [(r.bg, r.lp) for r in lut.collect()]
+    pre_pairs = [(r.pre, r.lp) for r in pre_lut.collect()]
+    n_bigrams, sum_lp = score_stream_columns(lut_pairs, pre_pairs)
+    stream = {
+        r.doc_id: (r.n, r.nll)
+        for r in docs.select("doc_id", normalize_expr("text").alias("norm"))
+        .where(F.length("norm") >= 2)
+        .select(
+            "doc_id",
+            n_bigrams.alias("n"),
+            ((-sum_lp) / (n_bigrams * float(LM_SCALE))).alias("nll"),
+        )
+        .collect()
+    }
+    assert stream == batch and stream
