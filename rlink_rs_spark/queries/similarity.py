@@ -766,3 +766,54 @@ def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sv").cast("bigint").alias("sum_scaled"),
         (F.sum("sv").cast("bigint") / (F.count(F.lit(1)).cast("bigint") * F.lit(1000000.0))).alias("mean"),
     )
+
+
+# --- ANN evaluation: recall vs exact -----------------------------------------
+
+from rlink_rs_spark.queries.base import REGISTRY as _SIM_REG  # noqa: E402
+
+# The recall oracle composes the two registered oracles verbatim as
+# subqueries (both are deterministic SELECTs of (query_id, neighbor_id,
+# cosine, rank)) -- the eval cannot drift from the queries it evaluates.
+_RECALL_ORACLE = f"""
+SELECT b.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM (SELECT * FROM ({_SIM_REG["cosine_topk_bruteforce"].oracle})) b
+LEFT JOIN (SELECT * FROM ({_SIM_REG["cosine_topk_ivf"].oracle})) a
+       ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@register(
+    "ann_recall_report",
+    _RECALL_ORACLE,
+    "ANN evaluation harness: per-query recall@5 of the persisted-codebook "
+    "IVF index against the exact brute-force top-k -- the accuracy/cost "
+    "dial every approximate-index deployment monitors when tuning "
+    "n_cells/n_probe.",
+    bench=False,  # re-runs the two ANN plans cosine_topk_{bruteforce,ivf} already time
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition, not new machinery: both sides are the registered ANN
+    queries themselves (train-once artifacts included), so the report
+    measures exactly what production probes. Both result sets are
+    queries x k rows (tiny) -- the join and rollup are negligible next to
+    the index scans they evaluate."""
+    b = cosine_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    a = (
+        cosine_topk_ivf(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        b.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+    )

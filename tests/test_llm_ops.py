@@ -62,6 +62,8 @@ ORACLED = [
     # new in r7 (also in the driver window)
     "curriculum_stages",
     "chunk_documents",
+    # new in r7, not in the window (composition of two windowed ANN queries)
+    "ann_recall_report",
 ]
 
 

@@ -1,0 +1,77 @@
+"""Compose BENCH_sf1.json -- the 10x scale witness -- from two bench runs.
+
+Usage:
+  python tools/make_scaled_data.py /root/testdata/sf0.1 /tmp/sf1 10
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+  cp bench_results.json /tmp/bench_sf01.json
+  SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
+  cp bench_results.json /tmp/bench_sf1.json
+  python tools/make_sf1_witness.py /tmp/bench_sf01.json /tmp/bench_sf1.json "<note>"
+
+vs_linear for a query = (sf1_sec / sf0.1_sec) / 10: 1.0 means perfectly
+linear cost in data volume; <1 means sublinear (fixed overheads amortize);
+>2 is the red flag threshold (some super-linear candidate volume or plan
+degradation is eating the scale-up).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+
+def main() -> None:
+    small_path, big_path = sys.argv[1], sys.argv[2]
+    note = sys.argv[3] if len(sys.argv) > 3 else ""
+    with open(small_path) as f:
+        small = json.load(f)
+    with open(big_path) as f:
+        big = json.load(f)
+
+    queries = {}
+    ratios = []
+    over2 = []
+    for name, t_small in small["queries"].items():
+        t_big = big["queries"].get(name)
+        if t_big is None or t_small <= 0:
+            continue
+        vs_linear = round((t_big / t_small) / 10.0, 3)
+        queries[name] = {
+            "sf0.1_sec": t_small,
+            "sf1_sec": t_big,
+            "vs_linear": vs_linear,
+        }
+        ratios.append(vs_linear)
+        if vs_linear > 2.0:
+            over2.append(name)
+
+    out = {
+        "note": note,
+        "sf0.1_total_sec": small["value"],
+        "sf1_total_sec": big["value"],
+        "time_ratio_for_10x_data": round(big["value"] / small["value"], 2),
+        "median_vs_linear": round(statistics.median(ratios), 3),
+        "queries_over_2x_linear": sorted(over2),
+        "fixture_md5_sf0.1": small.get("fixture_md5"),
+        "fixture_md5_sf1": big.get("fixture_md5"),
+        "loadavg_sf0.1": small.get("loadavg"),
+        "loadavg_sf1": big.get("loadavg"),
+        "families_sf0.1": small.get("families"),
+        "families_sf1": big.get("families"),
+        "queries": queries,
+    }
+    dest = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_sf1.json"
+    )
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1)
+    print(
+        f"wrote {dest}: 10x data -> {out['time_ratio_for_10x_data']}x wall, "
+        f"median vs-linear {out['median_vs_linear']}, >2x: {over2 or 'none'}"
+    )
+
+
+if __name__ == "__main__":
+    main()
