@@ -88,7 +88,7 @@ def make_scaled(src: str, out: str, replicas: int) -> None:
     write(
         "embeddings",
         " UNION ALL ".join(
-            f"SELECT vec_id + {k * vec_base} AS vec_id, embedding FROM {t('embeddings')}"
+            f"SELECT vec_id + {k * vec_base} AS vec_id, embedding, label FROM {t('embeddings')}"
             for k in range(replicas)
         ),
     )
