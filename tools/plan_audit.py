@@ -62,6 +62,7 @@ NLJ_ALLOWED = {
     "lm_perplexity_filter",
     "equi_depth_histogram",
     "curriculum_stages",  # same 1-row ranking-total broadcast cross
+    "ann_recall_report",  # composition of cosine_topk_{bruteforce,ivf}, both listed
     "cosine_topk_ivfpq",
     "resample_corpus_epoch",
     "bm25_keyword_search",
