@@ -66,7 +66,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- new in r7: streaming CCNet gate (takes repetition_quality_signals'
     #    slot; that query is r6-driver-green and in the ORACLED parity list)
     "streaming_quality_gate",
-    "pack_sequences",
+    # -- new in r7: streaming A-ES reservoir (takes pack_sequences' slot;
+    #    r6-driver-green, ORACLED-listed)
+    "streaming_weighted_reservoir",
     "temperature_resample_weights",
     "value_band_join",
     "pagerank_trade_graph",

@@ -968,3 +968,47 @@ def tfidf_lang_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _TI_TOP_K)
         .select("lang", "rank", "term", "tf", (F.col("score_n") / float(_TI_SCALE)).alias("tfidf"))
     )
+
+
+@register(
+    "streaming_weighted_reservoir",
+    _WS_ORACLE,  # shared with the batch twin: A-ES top-k composes exactly
+    "STREAMING twin of weighted_sample_docs: the per-language A-ES "
+    "reservoir (top-20 by pow(u, 1/n_chars)) maintained across micro-"
+    "batches with K-rows-per-language state -- CONSTANT in stream length "
+    "-- and per-epoch idempotent commits. Deterministic salted-md5 keys "
+    "make the drained reservoir row-identical to the batch draw, so it "
+    "shares that oracle.",
+)
+def streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling as a STREAM: top-K composes (top-K(prefix) union
+    batch -> top-K), so the reservoir IS the state and arrival order is
+    irrelevant -- the property that makes A-ES the streaming-native
+    sampler (vs seeded rand(), which changes under repartitioning).
+    Replayed in 4 chunks; exactly-once via overwrite-per-epoch state."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.sampling import (
+        read_reservoir,
+        streaming_weighted_reservoir_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4, order_col="doc_id"
+    )
+    work_dir = tempfile.mkdtemp(prefix="rlink_reservoir_")
+    q = streaming_weighted_reservoir_sink(
+        src.select("lang", "doc_id", "n_chars"),
+        key_expr=_WS_KEY.format(h=_WS_H_SPARK),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_reservoir_ck_"),
+        top_k=_WS_TOP_K,
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_weighted_reservoir did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_reservoir(spark, work_dir, top_k=_WS_TOP_K)

@@ -579,3 +579,58 @@ def test_streaming_incremental_dedup_crash_resume_matches_batch_twin(spark, sf_d
         for r in REGISTRY["incremental_batch_dedup"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_streaming_reservoir_bounded_state_and_crash_resume(spark, sf_dir):
+    """The A-ES reservoir's state must stay <= K rows per language at every
+    epoch (constant in stream length), and a crash between epochs must
+    resume to the exact batch draw (overwrite-per-epoch idempotence)."""
+    import os
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.text import _WS_H_SPARK, _WS_KEY, _WS_TOP_K
+    from rlink_rs_spark.streaming.sampling import (
+        read_reservoir,
+        streaming_weighted_reservoir_sink,
+    )
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    staged = stage_stream_dir(sf_dir, "documents", chunks=4, order_col="doc_id")
+    work_dir = tempfile.mkdtemp(prefix="rlink_res_test_")
+    ck = tempfile.mkdtemp(prefix="rlink_res_test_ck_")
+
+    def start():
+        src = stream_from_staged(
+            spark, staged, sf_dir, "documents", max_files_per_trigger=1
+        )
+        return streaming_weighted_reservoir_sink(
+            src.select("lang", "doc_id", "n_chars"),
+            key_expr=_WS_KEY.format(h=_WS_H_SPARK),
+            work_dir=work_dir,
+            checkpoint=ck,
+            top_k=_WS_TOP_K,
+        )
+
+    # run two micro-batches then kill mid-stream
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    assert q2.awaitTermination(240), "resumed reservoir stream timed out"
+
+    # bounded state: every committed epoch holds <= K rows per language
+    state_dir = os.path.join(work_dir, "reservoir")
+    n_langs = load_table(spark, sf_dir, "documents").select("lang").distinct().count()
+    for d in os.listdir(state_dir):
+        n = spark.read.parquet(os.path.join(state_dir, d)).count()
+        assert n <= _WS_TOP_K * n_langs, f"{d} holds {n} rows"
+
+    got = {tuple(r) for r in read_reservoir(spark, work_dir, _WS_TOP_K).collect()}
+    want = {
+        tuple(r) for r in REGISTRY["weighted_sample_docs"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
