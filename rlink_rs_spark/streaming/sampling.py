@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_RESERVOIR_SCHEMA = "lang string, doc_id bigint, n_chars int, key_n bigint"
+_RESERVOIR_SCHEMA = "lang string, doc_id bigint, n_chars bigint, key_n bigint"
 
 
 def _latest_epoch_dir(root: str, before_epoch: int) -> str | None:
@@ -60,7 +60,9 @@ def streaming_weighted_reservoir_sink(
         keyed = batch_df.select(
             "lang",
             "doc_id",
-            F.col("n_chars").cast("int").alias("n_chars"),
+            # bigint: the batch twin passes the fixture's int64 through
+            # untouched, and the driver's value hash is type-sensitive
+            F.col("n_chars").cast("bigint").alias("n_chars"),
             F.expr(key_expr).alias("key_n"),
         )
         prev_dir = _latest_epoch_dir(state_dir, epoch_id)
@@ -92,7 +94,7 @@ def read_reservoir(spark: SparkSession, work_dir: str, top_k: int = 20) -> DataF
     state_dir = os.path.join(work_dir, "reservoir")
     last = _latest_epoch_dir(state_dir, 1 << 62)
     if last is None:
-        return spark.createDataFrame([], "lang string, rank int, doc_id bigint, n_chars int, key double")
+        return spark.createDataFrame([], "lang string, rank int, doc_id bigint, n_chars bigint, key double")
     res = spark.read.schema(_RESERVOIR_SCHEMA).parquet(last)
     w = Window.partitionBy("lang").orderBy(F.col("key_n").desc(), F.col("doc_id"))
     return (

