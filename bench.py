@@ -27,6 +27,8 @@ from rlink_rs_spark.tables import load_table
 NOT_BENCHED = {
     "dedup_keep_list": "re-runs the same CC iterations near_dup_clusters already times",
     "ann_recall_report": "re-runs the two ANN plans cosine_topk_{bruteforce,ivf} already time",
+    "lsh_recall_report": "re-runs the two dedup plans ngram_jaccard/minhash_lsh already time",
+    "lang_id_confusion": "re-runs the lang_id_heuristic plan already timed",
 }
 
 

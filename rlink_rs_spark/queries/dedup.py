@@ -556,3 +556,59 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cont.where(F.col("containment") >= _CONT_THR)
+
+
+# --- LSH recall evaluation (the banding S-curve, measured) --------------------
+
+_LSH_EVAL_THR = 0.7
+
+
+@register(
+    "lsh_recall_report",
+    f"""
+    WITH exact_pairs AS (
+      SELECT * FROM ({_REG["ngram_jaccard_dedup"].oracle}) WHERE jaccard >= {_LSH_EVAL_THR}
+    ),
+    lsh_pairs AS (
+      SELECT id_a, id_b FROM ({_REG["minhash_lsh_near_dup"].oracle})
+    )
+    SELECT CAST(FLOOR(e.jaccard * 10) AS BIGINT) AS jaccard_band,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(l.id_a) AS BIGINT) AS n_caught,
+           CAST(COUNT(l.id_a) AS DOUBLE) / COUNT(*) AS recall
+    FROM exact_pairs e
+    LEFT JOIN lsh_pairs l ON l.id_a = e.id_a AND l.id_b = e.id_b
+    GROUP BY 1
+    """,
+    "Dedup-eval harness: per-jaccard-band recall of the MinHash-LSH pair "
+    f"set against the exact inverted-index baseline at >= {_LSH_EVAL_THR} "
+    "-- the measured banding S-curve (recall rises with similarity) that "
+    "picks (bands, rows) for a target similarity threshold. Oracle "
+    "composes the two registered oracles verbatim.",
+    bench=False,  # re-runs the two dedup plans ngram_jaccard/minhash_lsh already time
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same composition discipline as ann_recall_report: both sides ARE
+    the registered queries (shared shingle pass via with_shingles), so the
+    S-curve measures production behavior. At 100 TB only the LSH side
+    scales; the exact side is the audit you run on a SAMPLE -- the report
+    shape is identical either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = with_shingles(docs)
+    exact = ngram_jaccard_pairs(shingled, threshold=_LSH_EVAL_THR)
+    sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
+    cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    lsh = (
+        verify_jaccard(cands, shingled, threshold=_LSH_EVAL_THR)
+        .select("id_a", "id_b")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["id_a", "id_b"], "left")
+        .groupBy(F.floor(F.col("jaccard") * 10).cast("bigint").alias("jaccard_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_caught"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+    )

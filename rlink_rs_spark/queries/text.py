@@ -1012,3 +1012,48 @@ def streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return read_reservoir(spark, work_dir, top_k=_WS_TOP_K)
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH pred AS (
+      SELECT doc_id, lang_label, lang_pred
+      FROM (WITH counted AS (
+              SELECT doc_id, lang,
+                     {", ".join(f"{marker_count_sql(_TOK_DUCK, lang)} AS c_{lang}" for lang in LANG_MARKERS)}
+              FROM documents
+            )
+            SELECT doc_id, lang AS lang_label, {argmax_case_sql()} AS lang_pred
+            FROM counted)
+    )
+    SELECT lang_label, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) /
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY lang_label) AS DOUBLE) AS frac_of_label
+    FROM pred GROUP BY lang_label, lang_pred
+    """,
+    "Classifier-eval harness: confusion matrix of the lang-ID heuristic "
+    "against the fixture's language labels, with per-label fractions -- "
+    "the precision/recall report a pipeline runs before trusting a "
+    "filter's routing decisions. One combinable aggregate; the window "
+    "normalizer runs over the <= |langs|^2 confusion cells, not the corpus.",
+    bench=False,  # re-runs the lang_id_heuristic plan already timed
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition over the registered lang_id_heuristic: groupBy the
+    (label, prediction) pair, then normalize within label over the tiny
+    cell table. At 100 TB the only corpus-sized work is the marker-count
+    projection the underlying query already does map-side."""
+    pred = lang_id_heuristic(spark, sf_dir)
+    cells = pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang_label")
+    return cells.select(
+        "lang_label",
+        "lang_pred",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "frac_of_label"
+        ),
+    )

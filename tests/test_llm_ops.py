@@ -62,8 +62,10 @@ ORACLED = [
     # new in r7 (also in the driver window)
     "curriculum_stages",
     "chunk_documents",
-    # new in r7, not in the window (composition of two windowed ANN queries)
+    # new in r7, not in the window (compositions of windowed/listed queries)
     "ann_recall_report",
+    "lsh_recall_report",
+    "lang_id_confusion",
 ]
 
 
