@@ -69,7 +69,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- new in r7: streaming A-ES reservoir (takes pack_sequences' slot;
     #    r6-driver-green, ORACLED-listed)
     "streaming_weighted_reservoir",
-    "temperature_resample_weights",
+    # -- new in r7: interval-containment range join (takes
+    #    temperature_resample_weights' slot; r6-green, ORACLED-listed)
+    "open_orders_range_join",
     "value_band_join",
     "pagerank_trade_graph",
     # -- late r6 additions, never driver-checked: PQ ANN, RANGE-frame moving

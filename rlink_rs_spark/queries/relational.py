@@ -1383,3 +1383,84 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+# --- interval-containment range join ------------------------------------------
+
+_RJ_EPOCH = "1992-01-01"
+_RJ_BUCKET_DAYS = 91  # ~ one bucket per quarter: fixture fulfillment windows
+                      # average ~700 days -> ~8 bucket replicas per interval
+
+
+@register(
+    "open_orders_range_join",
+    """
+    WITH iv AS (
+      SELECT o.o_custkey, o.o_orderkey, o.o_orderdate AS s, MAX(l.l_shipdate) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT p.o_orderkey, CAST(COUNT(*) AS BIGINT) AS open_orders
+    FROM iv a JOIN orders p
+      ON p.o_custkey = a.o_custkey
+     AND p.o_orderkey <> a.o_orderkey
+     AND a.s <= p.o_orderdate AND p.o_orderdate <= a.e
+    GROUP BY p.o_orderkey
+    """,
+    "Interval-containment RANGE JOIN (the brief's range-join operator, "
+    "batch form): for each order, how many of the same customer's OTHER "
+    "orders were still open (order placed, last line not yet shipped) at "
+    "its order date. Implemented as a bucket-expansion equi-join: the "
+    "INTERVAL side explodes into its covered 91-day buckets, the point "
+    "side maps to exactly one bucket, the join key is (custkey, bucket), "
+    "and the exact containment predicate filters after the hash join -- "
+    "every qualifying pair matches exactly once (the point's bucket), so "
+    "no dedup step. The oracle states the same join as the naive theta "
+    "join.",
+)
+def open_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The interval twin of the (former) value_band_join bucket pattern --
+    and the case where bucketing IS the right scale plan (unlike 1-D band
+    counts, interval containment has no single ordering to window over
+    when intervals overlap arbitrarily). Scale: the join is keyed by
+    customer so per-key density is a per-customer bound; bucket width is
+    chosen so an interval replicates ~8x (span/91d), trading bounded
+    replication for a pure equi-join that AQE can plan -- the non-equi
+    predicate never becomes a nested loop. At 100 TB, re-derive the width
+    from the observed span distribution (key_skew_report's job)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    day = lambda c: F.datediff(F.col(c).cast("date"), F.lit(_RJ_EPOCH).cast("date"))  # noqa: E731
+    iv = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("e"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("iv_orderkey"),
+            F.col("o_orderdate").alias("s"),
+            "e",
+            F.explode(
+                F.sequence(
+                    F.floor(day("o_orderdate") / _RJ_BUCKET_DAYS),
+                    F.floor(F.datediff(F.col("e").cast("date"), F.lit(_RJ_EPOCH).cast("date")) / _RJ_BUCKET_DAYS),
+                )
+            ).alias("bucket"),
+        )
+    )
+    pts = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("p_orderkey"),
+        F.col("o_orderdate").alias("t"),
+        F.floor(day("o_orderdate") / _RJ_BUCKET_DAYS).alias("bucket"),
+    )
+    return (
+        iv.join(pts, ["custkey", "bucket"])
+        .where(
+            (F.col("iv_orderkey") != F.col("p_orderkey"))
+            & (F.col("s") <= F.col("t"))
+            & (F.col("t") <= F.col("e"))
+        )
+        .groupBy(F.col("p_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("open_orders"))
+    )

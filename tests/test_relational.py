@@ -51,6 +51,8 @@ RELATIONAL = [
     "hourly_autocorr_lag1",
     "percentile_bands",
     "key_skew_report",
+    # new in r7 (also in the driver window)
+    "open_orders_range_join",
 ]
 
 
