@@ -280,3 +280,41 @@ def test_ntile_closed_form_property(n, k):
             t = _ntile_closed_form_py(r, n, k)
             assert t >= prev  # monotone in rank
             prev = t
+
+
+def test_edge_strings_chunking_parity(spark, edge_tables):
+    """chunk_documents' generate-and-explode expressions must agree across
+    engines on adversarial strings (empty text, empty tokens from double
+    spaces, unicode, one-token docs): same chunk starts, lengths, and
+    content hashes."""
+    from pyspark.sql import functions as F
+
+    from rlink_rs_spark.queries.pipeline_ops import _CHUNK_S, _CHUNK_W
+
+    df, con = edge_tables
+    toks = df.select("doc_id", F.expr("split(text, ' ')").alias("w"))
+    starts = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.expr(f"sequence(0, size(w) - 1, {_CHUNK_S})")).alias("st"),
+    )
+    chunk = F.expr(f"slice(w, st + 1, {_CHUNK_W})")
+    s_rows = starts.select(
+        "doc_id",
+        F.col("st").cast("bigint"),
+        F.size(chunk).cast("bigint").alias("n"),
+        F.md5(F.array_join(chunk, " ")).alias("h"),
+    ).collect()
+    d_rows = con.sql(
+        f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        starts AS (
+          SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, {_CHUNK_S})) AS st
+          FROM toks)
+        SELECT doc_id, CAST(st AS BIGINT),
+               CAST(len(list_slice(w, st + 1, st + {_CHUNK_W})) AS BIGINT) AS n,
+               md5(array_to_string(list_slice(w, st + 1, st + {_CHUNK_W}), ' ')) AS h
+        FROM starts
+        """
+    ).fetchall()
+    _compare(s_rows, d_rows)
