@@ -291,10 +291,12 @@ GROUP BY event_type
 def percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three percentiles from ONE rank window and one pivot-style
     aggregate (no per-percentile passes). The window partitions by
-    event_type, so at 100 TB this is a single keyed sort per group --
-    and for groups too large to sort, the documented swap-in is the KMV
-    sketch / sampled-quantile threshold (queries/stats.py siblings);
-    exact ranks keep the oracle bit-for-bit here."""
+    event_type, so at 100 TB this is a single keyed sort per group -- and
+    for a single group too large for one task, the EXACT swap-in is the
+    distributed rank (operators/ranking.py): range-repartition on
+    (event_type, value, event_id) keeps groups contiguous, and per-group
+    rank = global rank minus a broadcast per-group offset (a |groups|-row
+    table). Exact ranks keep the oracle bit-for-bit here."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")

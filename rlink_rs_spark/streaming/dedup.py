@@ -45,6 +45,17 @@ At 100 TB: state dirs become the metastore-tracked signature/hash tables of
 admitted batches (bounded by corpus size / 4 bands, not by stream length);
 the static corpus contributes only band-index reads and shingle lookups for
 verified candidates.
+
+Compaction contract: each epoch reads the UNION of all earlier epoch dirs,
+so a long-lived stream accumulates O(epochs) small dirs -- the same growth
+an LSM level-0 has, with the same remedy: periodically fold the epoch
+deltas into the base band-index artifact (a deterministic rewrite keyed by
+the max folded epoch, so a crash mid-compaction replays it idempotently)
+and drop the folded dirs at the NEXT successful checkpoint, never inside
+the epoch that wrote them. The 4-chunk replay here stays well under any
+compaction trigger; the policy is documented rather than exercised because
+the artifact-fold is byte-identical to `load_or_build_band_index` on the
+concatenated corpus, which IS exercised.
 """
 
 from __future__ import annotations
