@@ -54,13 +54,15 @@ def with_global_rank(
     df: DataFrame,
     order: list[Column],
     rank_col: str = "_grank",
-    total_col: str = "_gtotal",
+    total_col: str | None = "_gtotal",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Append the exact 1-based global rank under `order` (which MUST be a
-    total order -- include a unique tie-break column) plus the total row
-    count, without a single-partition WindowExec. See module docstring for
-    the plan shape and determinism argument."""
+    total order -- include a unique tie-break column) plus, when
+    `total_col` is set, the total row count (a 1-row broadcast cross --
+    pass None to skip it when the caller only needs ranks). No
+    single-partition WindowExec either way. See module docstring for the
+    plan shape and determinism argument."""
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranked = (
@@ -76,12 +78,13 @@ def with_global_rank(
     offs = sizes.select(
         "_pid", F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("bigint").alias("_off")
     )
-    tot = sizes.agg(F.sum("_c").cast("bigint").alias(total_col))
     local_idx = F.col("_mid").bitwiseAND(F.lit(_LOCAL_MASK))
+    out = part.join(F.broadcast(offs), "_pid")
+    if total_col is not None:
+        tot = sizes.agg(F.sum("_c").cast("bigint").alias(total_col))
+        out = out.crossJoin(F.broadcast(tot))
     return (
-        part.join(F.broadcast(offs), "_pid")
-        .crossJoin(F.broadcast(tot))
-        .withColumn(rank_col, (F.col("_off") + local_idx + 1).cast("bigint"))
+        out.withColumn(rank_col, (F.col("_off") + local_idx + 1).cast("bigint"))
         .drop("_mid", "_pid", "_off")
     )
 
@@ -103,4 +106,34 @@ def ntile_expr(rank_col: str, total_col: str, k: int) -> str:
         f"CAST(CASE WHEN {rank_col} <= {big} "
         f"THEN ({rank_col} + {q}) div ({q} + 1) "
         f"ELSE {rem} + (({rank_col} - {big} + {q} - 1) div {q}) END AS BIGINT)"
+    )
+
+
+def with_group_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    rank_col: str = "_grank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group 1-based rank WITHOUT one-task-per-group: the scale
+    fix for `row_number() OVER (PARTITION BY k ORDER BY ...)` when k has
+    few values (event_type, lang) -- a keyed window funnels each group
+    through a single task, so five groups at 100 TB means five tasks.
+
+    Composition over `with_global_rank`: range-repartition on
+    (group_cols, order) -- groups are CONTIGUOUS in that total order, and
+    a giant group simply spans several range partitions -- then per-group
+    rank = global rank minus a broadcast per-group offset (min global rank
+    in group - 1; a |groups|-row aggregate). `order` must total-order rows
+    WITHIN each group (include a unique tie-break)."""
+    full_order = [F.col(g) for g in group_cols] + list(order)
+    ranked = with_global_rank(
+        df, full_order, rank_col="_gabs", total_col=None, num_partitions=num_partitions
+    )
+    offs = ranked.groupBy(*group_cols).agg((F.min("_gabs") - 1).alias("_goff"))
+    return (
+        ranked.join(F.broadcast(offs), group_cols)
+        .withColumn(rank_col, (F.col("_gabs") - F.col("_goff")).cast("bigint"))
+        .drop("_gabs", "_goff")
     )

@@ -289,23 +289,27 @@ GROUP BY event_type
     "report shape, one pass.",
 )
 def percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All three percentiles from ONE rank window and one pivot-style
-    aggregate (no per-percentile passes). The window partitions by
-    event_type, so at 100 TB this is a single keyed sort per group -- and
-    for a single group too large for one task, the EXACT swap-in is the
-    distributed rank (operators/ranking.py): range-repartition on
-    (event_type, value, event_id) keeps groups contiguous, and per-group
-    rank = global rank minus a broadcast per-group offset (a |groups|-row
-    table). Exact ranks keep the oracle bit-for-bit here."""
-    from pyspark.sql.window import Window
+    """All three percentiles from ONE distributed exact rank and one
+    pivot-style aggregate (no per-percentile passes). r7: the keyed
+    row_number window became `with_group_rank` (operators/ranking.py) --
+    event_type has ~5 values, so a PARTITION BY event_type window funnels
+    20 TB per group through one task at 100 TB; the group rank instead
+    range-partitions on (event_type, value, event_id), where a giant group
+    simply spans several partitions. Ranks are bit-identical, so the
+    oracle is untouched; the per-group count rides on a broadcast
+    |groups|-row aggregate."""
+    from rlink_rs_spark.operators.ranking import with_group_rank
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    gr = with_group_rank(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        [F.col("value"), F.col("event_id")],
+        rank_col="rn",
+    )
+    counts = gr.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = gr.join(F.broadcast(counts), "event_type").select(
+        "event_type", "value", "rn", "n"
     )
     def at(p: float):
         return F.max(

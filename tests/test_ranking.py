@@ -94,3 +94,41 @@ def test_plan_audit_detector_flags_global_ntile(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert unpartitioned_windows(plan) >= 1, plan
+
+
+def test_with_group_rank_matches_keyed_window(spark, sf_dir):
+    """Per-group distributed rank must equal row_number() OVER (PARTITION BY
+    group ORDER BY ...) exactly -- including duplicate order values resolved
+    by the tie-break -- while never funneling a group through one task."""
+    from rlink_rs_spark.operators.ranking import with_group_rank
+    from rlink_rs_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    got = {
+        (r.event_type, r.event_id): r._grank
+        for r in with_group_rank(
+            ev, ["event_type"], [F.col("value"), F.col("event_id")], num_partitions=7
+        ).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    want = {
+        (r.event_type, r.event_id): r.rn
+        for r in ev.select(
+            "event_type", "event_id", F.row_number().over(w).cast("bigint").alias("rn")
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_percentile_bands_has_no_keyed_window(spark, sf_dir):
+    """The r7 rewire: percentile_bands must contain NO WindowExec over the
+    events table at all (neither unpartitioned nor low-cardinality-keyed);
+    the only window is the ranking module's <=P-row size cumsum."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    plan = (
+        REGISTRY["percentile_bands"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert windows and all("_pid#" in ln for ln in windows), plan
