@@ -137,3 +137,60 @@ def with_group_rank(
         .withColumn(rank_col, (F.col("_gabs") - F.col("_goff")).cast("bigint"))
         .drop("_gabs", "_goff")
     )
+
+
+def with_group_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    value_col: str,
+    sum_col: str = "_gcum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact inclusive per-group running SUM of an INTEGER column without
+    one-task-per-group -- the prefix-sum sibling of `with_group_rank`, for
+    `SUM(v) OVER (PARTITION BY k ORDER BY ... ROWS UNBOUNDED PRECEDING)`
+    where k has few values (pack_sequences' per-language token cumsum).
+
+    Plan: range-repartition on (group_cols, order) (giant groups span
+    partitions), local running sums within each (range-partition, group)
+    cell -- a keyed window whose partitions are at most one range
+    partition's rows, so every task stays bounded -- then per-cell totals
+    (a <=P x |groups|-row table) prefix-summed per group and broadcast
+    back as offsets. Integer addition is exactly associative, so the
+    result is bit-identical to the single-task keyed window at any
+    partitioning; `order` must total-order rows within each group."""
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    full_order = [F.col(g) for g in group_cols] + list(order)
+    ranged = (
+        df.repartitionByRange(p, *full_order)
+        .sortWithinPartitions(*full_order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    part = ranged.withColumn("_pid", F.shiftright("_mid", _PID_SHIFT))
+    wloc = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = part.withColumn("_lcum", F.sum(value_col).over(wloc).cast("bigint"))
+    cells = part.groupBy("_pid", *group_cols).agg(
+        F.sum(value_col).cast("bigint").alias("_s")
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = cells.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_s").over(woff), F.lit(0)).cast("bigint").alias("_goff"),
+    )
+    return (
+        loc.join(F.broadcast(offs), ["_pid", *group_cols])
+        .withColumn(sum_col, (F.col("_lcum") + F.col("_goff")).cast("bigint"))
+        .drop("_mid", "_pid", "_lcum", "_goff")
+    )

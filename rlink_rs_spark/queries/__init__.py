@@ -72,6 +72,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- new in r7: interval-containment range join (takes
     #    temperature_resample_weights' slot; r6-green, ORACLED-listed)
     "open_orders_range_join",
+    # -- changed in r7 (distributed prefix-sum rewire): fresh driver row;
+    #    takes zorder_layout_stats' slot (r6-green, RELATIONAL-listed)
+    "pack_sequences",
     "value_band_join",
     "pagerank_trade_graph",
     # -- late r6 additions, never driver-checked: PQ ANN, RANGE-frame moving
@@ -88,7 +91,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_dedup",
     "bpe_tokenize_corpus",
     "streaming_windowed_topk",
-    "zorder_layout_stats",
     "source_mix_report",
     "leakage_free_split",
     # -- wave-3 additions (this session), never driver-checked; they take

@@ -174,24 +174,25 @@ _CTX_LEN = 256  # training context length in (whitespace) tokens
     f"order per language, each assigned to training-context bin floor(start_"
     f"offset / {_CTX_LEN}) from a running token cumsum -- the step that "
     "turns a filtered corpus into fixed-length training sequences with "
-    "known padding waste (total_tokens vs bins * ctx). Scale: one window "
-    "cumsum per language partition (high-cardinality in real corpora via "
-    "(lang, shard) composite keys) and a map-side-combined final agg.",
+    "known padding waste (total_tokens vs bins * ctx). Scale (r7): the "
+    "per-language cumsum runs through the distributed exact prefix sum "
+    "(operators/ranking.py with_group_prefix_sum) -- a language is no "
+    "longer one task; a giant language spans range partitions and the "
+    "per-cell offsets broadcast back. Bit-identical integer sums keep "
+    "the oracle untouched.",
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.ranking import with_group_prefix_sum
+
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n")
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = sized.select(
+    cum = with_group_prefix_sum(sized, ["lang"], [F.col("doc_id")], "n")
+    packed = cum.select(
         "lang",
         "n",
-        F.floor((F.sum("n").over(w) - F.col("n")) / float(_CTX_LEN)).alias("bin"),
+        F.floor((F.col("_gcum") - F.col("n")) / float(_CTX_LEN)).alias("bin"),
     )
     return packed.groupBy("lang", "bin").agg(
         F.count("*").alias("n_docs"), F.sum("n").alias("total_tokens")

@@ -132,3 +132,33 @@ def test_percentile_bands_has_no_keyed_window(spark, sf_dir):
     )
     windows = [ln for ln in plan.splitlines() if "Window [" in ln]
     assert windows and all("_pid#" in ln for ln in windows), plan
+
+
+def test_with_group_prefix_sum_matches_keyed_window(spark, sf_dir):
+    """Distributed per-group running sum must equal SUM() OVER (PARTITION BY
+    group ORDER BY ... ROWS UNBOUNDED PRECEDING) bit-for-bit on integer
+    values (the pack_sequences shape)."""
+    from rlink_rs_spark.operators.ranking import with_group_prefix_sum
+    from rlink_rs_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    got = {
+        (r.lang, r.doc_id): r._gcum
+        for r in with_group_prefix_sum(
+            docs, ["lang"], [F.col("doc_id")], "n", num_partitions=7
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r.lang, r.doc_id): r.c
+        for r in docs.select(
+            "lang", "doc_id", F.sum("n").over(w).cast("bigint").alias("c")
+        ).collect()
+    }
+    assert got == want and got
