@@ -102,22 +102,29 @@ def weekday_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Exact lower-median per key via rank (percentile_disc family, "
     "deterministic event_id tie-break) -- the exact twin of the histogram "
-    "percentile's bucketed answer. Per-key sort window; at 100 TB prefer "
-    "the histogram for hot keys.",
+    "percentile's bucketed answer. r7: distributed per-group rank, so a "
+    "hot key no longer funnels through one task (the histogram remains "
+    "the cheaper sketch when approximation is acceptable).",
 )
 def exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    """Same rewire as percentile_bands: event_type has ~5 values, so the
+    keyed row_number window was one task per group; with_group_rank
+    range-partitions on (event_type, value, event_id) instead. Ranks are
+    bit-identical -- the oracle is untouched."""
+    from rlink_rs_spark.operators.ranking import with_group_rank
 
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = events.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    gr = with_group_rank(
+        events.select("event_type", "value", "event_id"),
+        ["event_type"],
+        [F.col("value"), F.col("event_id")],
+        rank_col="rn",
     )
-    return ranked.where(F.col("rn") == ((F.col("n") + 1) / 2).cast("long")).select(
-        "event_type", F.col("value").alias("median_value")
+    counts = gr.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        gr.join(F.broadcast(counts), "event_type")
+        .where(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        .select("event_type", F.col("value").alias("median_value"))
     )
 
 
