@@ -91,7 +91,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "semantic_dedup",
     "bpe_tokenize_corpus",
     "streaming_windowed_topk",
-    "source_mix_report",
+    # -- new in r7: the composed intake pipeline (takes source_mix_report's
+    #    slot; r6-green, ORACLED-listed)
+    "streaming_intake_pipeline",
     "leakage_free_split",
     # -- wave-3 additions (this session), never driver-checked; they take
     # the slots the r3-era re-proves held (q10/q14/q6/event_transition/

@@ -238,3 +238,121 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return spark.read.parquet(out_dir)
+
+
+# --- full streaming intake pipeline (quality gate + incremental dedup) --------
+
+import dataclasses as _dc  # noqa: E402
+
+from rlink_rs_spark.queries.base import REGISTRY as _LM_REG  # noqa: E402
+
+
+@register(
+    "streaming_intake_pipeline",
+    None,  # composed below from the two registered twins' oracles
+    "The COMPLETE streaming intake: one foreachBatch pass runs the CCNet "
+    "quality gate (persisted LM LUT, map-literal fold) AND incremental "
+    "dedup (persisted history band index + epoch state) per micro-batch; "
+    "admit = passes_quality AND not a duplicate. Dedup state records every "
+    "streamed doc (quality-rejected docs remain dedup targets), so the "
+    "dedup columns stay row-identical to incremental_batch_dedup and the "
+    "oracle is the literal join of the two twins' oracles.",
+)
+def streaming_intake_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a 100 TB crawl ingest actually runs: every arriving batch is
+    scored (stateless, broadcast LUT -- zero extra shuffles on the stream)
+    and admitted against everything already seen (artifact index + epoch
+    state), in ONE pass over the micro-batch, exactly-once across
+    restarts. Composition of streaming_quality_gate's scorer and
+    streaming_incremental_dedup's sink (score_fn seam)."""
+    import os
+    import tempfile
+
+    from rlink_rs_spark.operators.dedup import load_or_build_band_index, with_shingles
+    from rlink_rs_spark.operators.lm import (
+        load_or_train_lm_lut,
+        normalize_expr,
+        score_stream_columns,
+    )
+    from rlink_rs_spark.queries.dedup import (
+        _BANDS,
+        _INCR_THR,
+        _N_HASHES,
+        _documents_fingerprint,
+    )
+    from rlink_rs_spark.streaming.dedup import (
+        read_verdicts,
+        streaming_incremental_dedup_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 4 != 0)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    fp = _documents_fingerprint(sf_dir)
+    hist_banded = load_or_build_band_index(
+        spark,
+        with_shingles(history),
+        cache_dir=os.path.join(repo_root, "artifacts", "lsh_band_index"),
+        fingerprint=fp,
+        n_hashes=_N_HASHES,
+        bands=_BANDS,
+    )
+    lut, pre_lut = load_or_train_lm_lut(
+        spark,
+        bigram_rows(docs.where((F.col("lang") == "en") & (F.col("doc_id") % 4 != 0))),
+        cache_dir=os.path.join(repo_root, "artifacts", "lm_lut"),
+        fingerprint=fp,
+    )
+    lut_pairs = [(r.bg, r.lp) for r in lut.collect()]  # <=784 rows, bounded
+    pre_pairs = [(r.pre, r.lp) for r in pre_lut.collect()]
+
+    def score_fn(batch_df: DataFrame) -> DataFrame:
+        normed = batch_df.select(
+            "doc_id", normalize_expr("text").alias("norm")
+        ).where(F.length("norm") >= 2)
+        n_bigrams, sum_lp = score_stream_columns(lut_pairs, pre_pairs)
+        return normed.select(
+            "doc_id",
+            ((-sum_lp) * 100 <= n_bigrams * (_QG_THR_CENTI * LM_SCALE)).alias("passes"),
+        )
+
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4, order_col="doc_id"
+    ).where(F.col("doc_id") % 4 == 0)
+    work_dir = tempfile.mkdtemp(prefix="rlink_intake_")
+    q = streaming_incremental_dedup_sink(
+        src,
+        history,
+        hist_banded,
+        with_shingles(docs),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_intake_ck_"),
+        threshold=_INCR_THR,
+        n_hashes=_N_HASHES,
+        bands=_BANDS,
+        score_fn=score_fn,
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_intake_pipeline did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_verdicts(spark, work_dir, with_quality=True)
+
+
+# oracle: the literal join of the two registered twins' oracles -- the
+# composed pipeline cannot drift from the pieces it composes
+_LM_REG["streaming_intake_pipeline"] = _dc.replace(
+    _LM_REG["streaming_intake_pipeline"],
+    oracle=f"""
+    WITH dedup AS ({_LM_REG["incremental_batch_dedup"].oracle}),
+    q AS ({_QG_ORACLE})
+    SELECT d.doc_id,
+           COALESCE(q.passes, FALSE) AS passes_quality,
+           d.exact_dup, d.near_dup_of,
+           (COALESCE(q.passes, FALSE) AND d.admit) AS admit
+    FROM dedup d LEFT JOIN q ON q.doc_id = d.doc_id
+    """,
+)

@@ -93,6 +93,10 @@ def dedup_stream(
 _HASH_SCHEMA = "doc_id bigint, h string"
 _BAND_SCHEMA = "doc_id bigint, band int, sig string"
 _OUT_SCHEMA = "doc_id bigint, exact_dup boolean, near_dup_of bigint, admit boolean"
+_OUT_SCHEMA_Q = (
+    "doc_id bigint, passes_quality boolean, exact_dup boolean, "
+    "near_dup_of bigint, admit boolean"
+)
 
 
 def _epoch_dirs(root: str, before_epoch: int) -> list[str]:
@@ -127,13 +131,22 @@ def streaming_incremental_dedup_sink(
     n_hashes: int = 16,
     bands: int = 4,
     crash_at_epoch: int | None = None,
+    score_fn=None,
 ):
     """Wire the admit pipeline as a foreachBatch sink over `doc_stream`
     (columns doc_id, text, ...). Returns the started StreamingQuery;
     verdicts accumulate under `<work_dir>/out`. `crash_at_epoch` raises
     mid-epoch BEFORE any state commit on the FIRST attempt only -- the
     kill/resume test hook (a marker file records the crash so the resumed
-    run proceeds)."""
+    run proceeds).
+
+    `score_fn` (optional) turns this into the FULL intake pipeline: a
+    callable mapping the raw micro-batch to (doc_id, passes boolean) --
+    e.g. the LM quality gate's map-literal scorer -- joined into the
+    verdict as passes_quality, with admit = passes_quality AND not a
+    duplicate. Dedup state still records EVERY streamed doc (quality-
+    rejected docs remain dedup targets), so the dedup columns stay
+    row-identical to the plain sink and the batch twin."""
     spark = doc_stream.sparkSession
     out_dir = os.path.join(work_dir, "out")
     hash_dir = os.path.join(work_dir, "state_hashes")
@@ -198,6 +211,18 @@ def streaming_incremental_dedup_sink(
             "near_dup_of",
             (~F.col("exact_dup") & F.col("near_dup_of").isNull()).alias("admit"),
         )
+        if score_fn is not None:
+            qual = score_fn(batch_df).select(
+                "doc_id", F.col("passes").alias("passes_quality")
+            )
+            pq = F.coalesce(F.col("passes_quality"), F.lit(False))
+            verdict = verdict.join(qual, "doc_id", "left").select(
+                "doc_id",
+                pq.alias("passes_quality"),
+                "exact_dup",
+                "near_dup_of",
+                (pq & F.col("admit")).alias("admit"),
+            )
 
         # --- epoch-idempotent commits (overwrite THIS epoch's dirs only)
         verdict.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={epoch_id}"))
@@ -219,10 +244,11 @@ def streaming_incremental_dedup_sink(
     )
 
 
-def read_verdicts(spark: SparkSession, work_dir: str) -> DataFrame:
+def read_verdicts(spark: SparkSession, work_dir: str, with_quality: bool = False) -> DataFrame:
     """All committed verdict rows (one per streamed doc)."""
+    schema = _OUT_SCHEMA_Q if with_quality else _OUT_SCHEMA
     out_dir = os.path.join(work_dir, "out")
     dirs = _epoch_dirs(out_dir, 1 << 62)
     if not dirs:
-        return spark.createDataFrame([], _OUT_SCHEMA)
-    return spark.read.schema(_OUT_SCHEMA).parquet(*dirs)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*dirs)
