@@ -634,3 +634,80 @@ def test_streaming_reservoir_bounded_state_and_crash_resume(spark, sf_dir):
         tuple(r) for r in REGISTRY["weighted_sample_docs"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_streaming_intake_score_seam_crash_resume(spark, sf_dir):
+    """The score_fn seam (streaming_intake_pipeline's quality stage) under
+    kill/resume: with a synthetic deterministic gate (doc_id % 2 == 0), the
+    drained verdicts must equal the batch dedup twin with admit ANDed by
+    the gate -- across an injected crash at epoch 1."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from rlink_rs_spark.operators.dedup import load_or_build_band_index, with_shingles
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.dedup import (
+        _BANDS,
+        _INCR_THR,
+        _N_HASHES,
+        _documents_fingerprint,
+    )
+    from rlink_rs_spark.streaming.dedup import (
+        read_verdicts,
+        streaming_incremental_dedup_sink,
+    )
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 4 != 0)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist_banded = load_or_build_band_index(
+        spark,
+        with_shingles(history),
+        cache_dir=os.path.join(repo_root, "artifacts", "lsh_band_index"),
+        fingerprint=_documents_fingerprint(sf_dir),
+        n_hashes=_N_HASHES,
+        bands=_BANDS,
+    )
+    staged = stage_stream_dir(sf_dir, "documents", chunks=4, order_col="doc_id")
+    work_dir = tempfile.mkdtemp(prefix="rlink_intake_test_")
+    ck = tempfile.mkdtemp(prefix="rlink_intake_test_ck_")
+
+    def gate(batch_df):
+        return batch_df.select("doc_id", (F.col("doc_id") % 2 == 0).alias("passes"))
+
+    def start(crash_at):
+        src = stream_from_staged(
+            spark, staged, sf_dir, "documents", max_files_per_trigger=1
+        ).where(F.col("doc_id") % 4 == 0)
+        return streaming_incremental_dedup_sink(
+            src,
+            history,
+            hist_banded,
+            with_shingles(docs),
+            work_dir=work_dir,
+            checkpoint=ck,
+            threshold=_INCR_THR,
+            n_hashes=_N_HASHES,
+            bands=_BANDS,
+            crash_at_epoch=1,
+            score_fn=gate,
+        )
+
+    q = start(crash_at=1)
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination(300)
+
+    q2 = start(crash_at=1)
+    assert q2.awaitTermination(300), "resumed intake stream timed out"
+
+    got = {
+        tuple(r) for r in read_verdicts(spark, work_dir, with_quality=True).collect()
+    }
+    want = {
+        (r.doc_id, r.doc_id % 2 == 0, r.exact_dup, r.near_dup_of,
+         bool(r.admit and r.doc_id % 2 == 0))
+        for r in REGISTRY["incremental_batch_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
