@@ -139,10 +139,7 @@ def exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_K = 1024
 _TWO60 = 1 << 60
 
-
-@register(
-    "approx_distinct_users",
-    f"""
+_KMV_ORACLE = f"""
     WITH dist AS (
       SELECT event_type,
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
@@ -165,7 +162,12 @@ _TWO60 = 1 << 60
            END AS approx_users,
            t.cnt AS cnt
     FROM kmv k JOIN tot t ON k.event_type = t.event_type
-    """,
+    """
+
+
+@register(
+    "approx_distinct_users",
+    _KMV_ORACLE,
     "Approximate distinct users per event_type via a KMV (k-minimum-"
     f"values) sketch, K={_KMV_K}: fixed-size per group, mergeable by "
     "union-then-keep-K-smallest (the two-level window below IS that "
@@ -184,6 +186,52 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_sketch(events, "event_type", "user_id", k=_KMV_K).select(
         "event_type", F.col("approx_distinct").alias("approx_users"), "cnt"
     )
+
+
+@register(
+    "streaming_kmv_distinct",
+    _KMV_ORACLE,  # shared with the batch twin: the KMV merge is exact
+    "STREAMING twin of approx_distinct_users: the per-group KMV sketch "
+    f"(K={_KMV_K} smallest distinct 60-bit hashes + one running row count) "
+    "maintained across micro-batches. The sketch merge is EXACT -- "
+    "discarded hashes are provably larger than the kth smallest, which "
+    "only decreases -- so the drained estimate is row-identical to the "
+    "batch sketch over the same rows and shares its DuckDB oracle. State "
+    "is O(groups * K) rows, constant in stream length; per-epoch "
+    "overwrite commits give exactly-once across restarts.",
+)
+def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketching as a STREAM (streaming/sketches.py): per
+    micro-batch one map-side-combined groupBy over the batch, a distinct
+    union with the <= K kept hashes, and one rank window over at most
+    |groups| * (K + batch) rows. The standing corpus is never rescanned."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.sketches import (
+        read_kmv_estimate,
+        streaming_kmv_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="event_id"
+    )
+    work_dir = tempfile.mkdtemp(prefix="rlink_kmv_")
+    q = streaming_kmv_sink(
+        src.select("event_type", "user_id"),
+        group_col="event_type",
+        value_col="user_id",
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_kmv_ck_"),
+        k=_KMV_K,
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_kmv_distinct did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_kmv_estimate(spark, work_dir, k=_KMV_K)
 
 
 @register(

@@ -636,6 +636,65 @@ def test_streaming_reservoir_bounded_state_and_crash_resume(spark, sf_dir):
     assert got == want and got
 
 
+def test_streaming_kmv_bounded_state_and_crash_resume(spark, sf_dir):
+    """The KMV sketch's state must stay <= K hash rows per group at every
+    epoch (constant in stream length), and a kill mid-stream must resume
+    to the exact batch sketch (the KMV merge is exact, so the drained
+    estimate is row-identical to approx_distinct_users over the same rows)."""
+    import os
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.stats import _KMV_K
+    from rlink_rs_spark.streaming.sketches import read_kmv_estimate, streaming_kmv_sink
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    staged = stage_stream_dir(sf_dir, "events", chunks=4, order_col="event_id")
+    work_dir = tempfile.mkdtemp(prefix="rlink_kmv_test_")
+    ck = tempfile.mkdtemp(prefix="rlink_kmv_test_ck_")
+
+    def start():
+        src = stream_from_staged(
+            spark, staged, sf_dir, "events", max_files_per_trigger=1
+        )
+        return streaming_kmv_sink(
+            src.select("event_type", "user_id"),
+            group_col="event_type",
+            value_col="user_id",
+            work_dir=work_dir,
+            checkpoint=ck,
+            k=_KMV_K,
+        )
+
+    # run two micro-batches then kill mid-stream
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    assert q2.awaitTermination(240), "resumed KMV stream timed out"
+
+    # bounded state: every committed epoch holds <= K hash rows per group
+    events = load_table(spark, sf_dir, "events")
+    n_groups = events.select("event_type").distinct().count()
+    hash_dir = os.path.join(work_dir, "hashes")
+    for d in os.listdir(hash_dir):
+        n = spark.read.parquet(os.path.join(hash_dir, d)).count()
+        assert n <= _KMV_K * n_groups, f"{d} holds {n} rows"
+    count_dir = os.path.join(work_dir, "counts")
+    for d in os.listdir(count_dir):
+        n = spark.read.parquet(os.path.join(count_dir, d)).count()
+        assert n <= n_groups, f"{d} holds {n} count rows"
+
+    got = {tuple(r) for r in read_kmv_estimate(spark, work_dir, _KMV_K).collect()}
+    want = {
+        tuple(r) for r in REGISTRY["approx_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
 def test_streaming_intake_score_seam_crash_resume(spark, sf_dir):
     """The score_fn seam (streaming_intake_pipeline's quality stage) under
     kill/resume: with a synthetic deterministic gate (doc_id % 2 == 0), the
