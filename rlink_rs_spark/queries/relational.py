@@ -52,6 +52,62 @@ def flat_map_filter_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_word_positions",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS word,
+             CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INT) AS pos
+      FROM documents
+    ), flagged AS (
+      SELECT doc_id, pos, word,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, word ORDER BY pos) = 1 AS first_seen
+      FROM toks
+    )
+    SELECT doc_id, pos, word, first_seen,
+           CAST(COUNT(*) FILTER (first_seen)
+                OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS INT) AS vocab_so_far
+    FROM flagged
+    """,
+    "The reference's FlatMapFunction as a PYTHON UDTF (Spark 4's native "
+    "1->N arbitrary-logic surface, core/function.rs:186-195): each doc "
+    "expands to one row per word position with per-row Python state (the "
+    "set of words seen so far) that plain explode can't carry. The "
+    "DuckDB oracle needs two window passes to reproduce what the UDTF "
+    "does in one O(words) loop. Map-side only: the UDTF is "
+    "partition-parallel with zero shuffles; prefer expressions when "
+    "expressible -- this query IS the escape-hatch witness.",
+)
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-join the UDTF against documents: the table's own columns
+    (doc_id) stay addressable next to the generated rows, exactly the
+    reference's flat_map record-context contract. Arrow-batched transfer
+    (useArrow) keeps the Python boundary columnar."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="pos int, word string, first_seen boolean, vocab_so_far int",
+        useArrow=True,
+    )
+    class WordPositions:
+        def eval(self, text: str):
+            seen: set[str] = set()
+            for i, w in enumerate((text or "").split(" ")):
+                first = w not in seen
+                if first:
+                    seen.add(w)
+                yield i, w, first, len(seen)
+
+    spark.udtf.register("word_positions", WordPositions)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.word, t.first_seen, t.vocab_so_far "
+        "FROM docs_udtf d, LATERAL word_positions(d.text) t"
+    )
+
+
 from rlink_rs_spark.sources.python_datasource import synth_oracle_sql  # noqa: E402
 
 _PYDS_ROWS, _PYDS_PARTS = 100, 4

@@ -163,3 +163,109 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_micro") / F.lit(1000000.0)).alias("score"),
         )
     )
+
+
+# --- positional phrase search ----------------------------------------------
+
+# Fixed phrase set (vocabulary drawn from the synthetic corpus); slot =
+# 0-based position of the term inside the phrase. Arbitrary-length phrases
+# are supported -- the set includes a trigram on purpose.
+PHRASE_QUERIES: list[tuple[str, list[str]]] = [
+    ("p_table_hash", ["table", "hash"]),
+    ("p_merge_group", ["merge", "group"]),
+    ("p_table_hash_agg", ["table", "hash", "agg"]),
+]
+PHRASE_TOP_K = 10
+
+_PHRASE_VALUES = ", ".join(
+    f"('{pid}', {slot}, '{t}', {len(terms)})"
+    for pid, terms in PHRASE_QUERIES
+    for slot, t in enumerate(terms)
+)
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos
+  FROM documents
+),
+phrases AS (
+  SELECT * FROM (VALUES {_PHRASE_VALUES}) AS p(phrase_id, slot, term, plen)
+),
+anchored AS (
+  SELECT p.phrase_id, t.doc_id, t.pos - p.slot AS anchor, p.slot, p.plen
+  FROM toks t JOIN phrases p ON t.term = p.term
+  WHERE t.pos - p.slot >= 0
+),
+matches AS (
+  SELECT phrase_id, doc_id, anchor
+  FROM anchored
+  GROUP BY phrase_id, doc_id, anchor, plen
+  HAVING COUNT(DISTINCT slot) = plen
+),
+per_doc AS (
+  SELECT phrase_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+  FROM matches GROUP BY phrase_id, doc_id
+)
+SELECT phrase_id, rank, doc_id, n_matches
+FROM (SELECT phrase_id, doc_id, n_matches,
+             CAST(ROW_NUMBER() OVER (PARTITION BY phrase_id
+                                     ORDER BY n_matches DESC, doc_id) AS INT) AS rank
+      FROM per_doc)
+WHERE rank <= {PHRASE_TOP_K}
+"""
+
+
+@register(
+    "phrase_search_positional",
+    _PHRASE_ORACLE,
+    "Exact phrase search over a POSITIONAL inverted index: each posting "
+    "(term, doc, pos) that matches a phrase term at slot s votes for "
+    "anchor position pos-s; an anchor with all |phrase| distinct slots "
+    "present is one occurrence. ONE broadcast join against the tiny "
+    "phrase table + one combinable aggregate replaces per-slot postings "
+    "self-joins, so arbitrary-length phrases cost the same two shuffles "
+    "as bigrams. The corpus prunes to query-term postings MAP-SIDE "
+    "before any exchange; the rank window sees candidate docs only. "
+    "(BM25 above is the bag-of-words ranker; this is the adjacency-"
+    "exact complement an IR stack needs for quoted queries.)",
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slot-voting phrase match: anchor = pos - slot groups every aligned
+    occurrence of the phrase's terms; COUNT(DISTINCT slot) == |phrase|
+    certifies adjacency without pairwise joins (repeated words inside a
+    phrase are why the count is DISTINCT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
+    phrases = spark.createDataFrame(
+        [
+            (pid, slot, t, len(terms))
+            for pid, terms in PHRASE_QUERIES
+            for slot, t in enumerate(terms)
+        ],
+        "phrase_id string, slot int, term string, plen int",
+    )
+    anchored = (
+        toks.join(F.broadcast(phrases), "term")
+        .withColumn("anchor", F.col("pos") - F.col("slot"))
+        .where(F.col("anchor") >= 0)
+    )
+    matches = (
+        anchored.groupBy("phrase_id", "doc_id", "anchor", "plen")
+        .agg(F.countDistinct("slot").alias("n_slots"))
+        .where(F.col("n_slots") == F.col("plen"))
+    )
+    per_doc = matches.groupBy("phrase_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )
+    w = Window.partitionBy("phrase_id").orderBy(
+        F.col("n_matches").desc(), F.col("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= PHRASE_TOP_K)
+        .select("phrase_id", "rank", "doc_id", "n_matches")
+    )
