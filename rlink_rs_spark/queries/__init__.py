@@ -61,8 +61,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- new in r7: RAG/context-window chunking (takes decontamination's
     #    slot; that query is r6-driver-green and in the ORACLED parity list)
     "chunk_documents",
-    # -- r6-green, retained for continuity of the streaming/windowed block
-    "bpe_train_merges",
+    # -- new in r8, never driver-checked: streaming KMV distinct sketch
+    #    (takes bpe_train_merges' slot; r6-driver-green, added to ORACLED)
+    "streaming_kmv_distinct",
     # -- new in r7: streaming CCNet gate (takes repetition_quality_signals'
     #    slot; that query is r6-driver-green and in the ORACLED parity list)
     "streaming_quality_gate",
@@ -82,8 +83,11 @@ _DRIVER_WINDOW_PRIORITY = [
     #    r6 wave (training shuffle, exact-substring dedup, SemDeDup, BPE
     #    tokenize-apply, streaming top-k, z-order layout, source mix,
     #    leakage-free split)
-    "cosine_topk_pq",
-    "moving_average_7d",
+    # -- new in r8: Python-UDTF flat-map + positional phrase search (take
+    #    cosine_topk_pq's and moving_average_7d's slots; both r6-driver-
+    #    green and ORACLED/WINDOWED-parity-listed)
+    "udtf_word_positions",
+    "phrase_search_positional",
     "dynamic_gap_sessions",
     "streaming_dynamic_gap_sessions",
     "training_shuffle_shards",
@@ -106,10 +110,15 @@ _DRIVER_WINDOW_PRIORITY = [
     # fix), so a fresh driver row re-proves the new formula.
     "bm25_keyword_search",
     "dsir_importance_weights",
-    "timeseries_gap_fill",
+    # -- new in r8: per-group closed-form OLS trend (takes
+    #    timeseries_gap_fill's slot; r6-driver-green, RELATIONAL-listed)
+    "daily_trend_ols",
     "scd2_priority_dimension",
-    "grouping_sets_agg",
-    "trade_graph_triangles",
+    # -- new in r8: anti-entropy checksum diff + streaming transition
+    #    matrix (take grouping_sets_agg's and trade_graph_triangles'
+    #    slots; both r6-driver-green, RELATIONAL/TPCH-parity-listed)
+    "table_checksum_diff",
+    "streaming_transition_matrix",
     "weighted_sample_docs",
     "attribution_last_touch",
     "equi_depth_histogram",

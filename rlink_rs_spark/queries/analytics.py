@@ -465,3 +465,86 @@ def hourly_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
     )
     return moments.select("event_type", "n", F.expr(_AC_R_EXPR).alias("autocorr_lag1"))
+
+
+# --- per-group closed-form OLS trend ----------------------------------------
+
+# Shared double-precision tail for the OLS closed form (identical text in
+# Spark SQL and DuckDB; inputs are exact BIGINT moments). Denominator 0
+# (all observations on one day) yields NULL, not an error, in both engines.
+_OLS_DEN = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_OLS_SLOPE = (
+    "CASE WHEN n > 1 AND " + _OLS_DEN + " <> 0.0 THEN "
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / " + _OLS_DEN + " / 100.0 ELSE NULL END"
+)
+_OLS_ICPT = (
+    "CASE WHEN n > 1 AND " + _OLS_DEN + " <> 0.0 THEN "
+    "(CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / " + _OLS_DEN + " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0 ELSE NULL END"
+)
+
+_TREND_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS yc
+  FROM events GROUP BY 1, 2
+),
+rel AS (
+  SELECT event_type, day - MIN(day) OVER (PARTITION BY event_type) AS x, yc AS y
+  FROM daily
+),
+moments AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM rel GROUP BY event_type
+)
+SELECT event_type, n AS n_days, {_OLS_SLOPE} AS slope_per_day, {_OLS_ICPT} AS intercept
+FROM moments
+"""
+
+
+@register(
+    "daily_trend_ols",
+    _TREND_ORACLE,
+    "Per-key closed-form OLS trend: slope/intercept of DAILY value totals "
+    "per event type from exact BIGINT moments (n, Sx, Sy, Sxy, Sxx) -- "
+    "the grouped linear-regression primitive (growth/decay screens, "
+    "forecasting features) without MLlib. The corpus does ONE combinable "
+    "daily aggregate; OLS runs on the <= groups x days table. x is "
+    "day - min(day) PER GROUP, so moments stay small integers at any "
+    "calendar range and the x*y products obey the SCALING.md headroom "
+    "rule (y stays cents-BIGINT; no y^2 term is computed, keeping every "
+    "sum far from 2^63 even at 1000x data).",
+)
+def daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily totals (one shuffle) -> per-group relative day index -> exact
+    integer moments -> one shared double expression. The min-day window
+    and moment agg both run on the tiny daily table, partitioned by the
+    same key the daily agg already hashed on."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("CAST(unix_millis(ts) div 86400000 AS BIGINT)").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value*100) AS BIGINT)")).cast("bigint").alias("yc")
+    )
+    w = Window.partitionBy("event_type")
+    rel = daily.select(
+        "event_type",
+        (F.col("day") - F.min("day").over(w)).alias("x"),
+        F.col("yc").alias("y"),
+    )
+    moments = rel.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return moments.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(_OLS_SLOPE).alias("slope_per_day"),
+        F.expr(_OLS_ICPT).alias("intercept"),
+    )

@@ -364,9 +364,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "event_transition_matrix",
-    """
+_TRANSITION_ORACLE = """
     WITH ordered AS (
       SELECT user_id, event_type,
              LEAD(event_type) OVER (PARTITION BY user_id
@@ -376,7 +374,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, next_type, COUNT(*) AS cnt
     FROM ordered WHERE next_type IS NOT NULL
     GROUP BY event_type, next_type
-    """,
+    """
+
+
+@register(
+    "event_transition_matrix",
+    _TRANSITION_ORACLE,
     "Per-user event-transition (Markov) matrix: LEAD over (ts, event_id) "
     "within each user, counted per (from, to) pair -- the funnel/sequence "
     "primitive. One shuffle on user_id for the window (per-user sort only), "
@@ -1519,4 +1522,118 @@ def open_orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("p_orderkey").alias("o_orderkey"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("open_orders"))
+    )
+
+
+# --- anti-entropy table reconciliation --------------------------------------
+
+# Engine-portable 48-bit row fingerprint over a CANONICAL projection:
+# integer keys + integer cents -- never raw float-to-string casts, whose
+# formatting is engine-specific. 48 bits (12 hex chars) keeps the per-
+# bucket XOR fold far from any BIGINT edge in both engines.
+_CK_ROW = (
+    "CAST(('0x' || substr(md5("
+    "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || "
+    "CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR) || '|' || "
+    "CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS VARCHAR) || '|' || "
+    "CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR)"
+    "), 1, 12)) AS BIGINT)"
+)
+_CK_ROW_SPARK = (
+    "CAST(conv(substr(md5("
+    "CAST(l_orderkey AS STRING) || '|' || CAST(l_linenumber AS STRING) || '|' || "
+    "CAST(l_partkey AS STRING) || '|' || CAST(l_suppkey AS STRING) || '|' || "
+    "CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) AS STRING) || '|' || "
+    "CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS STRING)"
+    "), 1, 12), 16, 10) AS BIGINT)"
+)
+_CK_BUCKETS = 256
+# deterministic replica drift, derived in-query so the oracle can mirror it:
+# one deletion stripe and one silent-corruption stripe
+_CK_DROP = "l_orderkey % 997 = 0"
+_CK_CORRUPT = "l_partkey % 1009 = 0"
+
+_CK_ORACLE = f"""
+WITH base AS (
+  SELECT *, CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT) % {_CK_BUCKETS} AS bucket
+  FROM lineitem
+),
+lhs AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_left,
+         bit_xor({_CK_ROW}) AS xor_left
+  FROM base GROUP BY bucket
+),
+replica AS (
+  SELECT bucket, l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CASE WHEN {_CK_CORRUPT} THEN l_quantity + 1.0 ELSE l_quantity END AS l_quantity,
+         l_extendedprice
+  FROM base WHERE NOT ({_CK_DROP})
+),
+rhs AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_right,
+         bit_xor({_CK_ROW}) AS xor_right
+  FROM replica GROUP BY bucket
+)
+SELECT l.bucket, l.n_left, COALESCE(r.n_right, 0) AS n_right,
+       l.xor_left, COALESCE(r.xor_right, 0) AS xor_right
+FROM lhs l LEFT JOIN rhs r ON l.bucket = r.bucket
+WHERE r.bucket IS NULL OR l.n_left <> r.n_right OR l.xor_left <> r.xor_right
+"""
+
+
+@register(
+    "table_checksum_diff",
+    _CK_ORACLE,
+    "Anti-entropy reconciliation (the Merkle-leaf level of replica "
+    "repair): both table copies fold MAP-SIDE into per-bucket (count, "
+    "XOR-of-row-fingerprints) summaries -- order-independent, overflow-"
+    "free, combinable -- and only the 256-row summaries join; output = "
+    "the buckets that disagree, localizing divergence to 1/256 of the "
+    "data without ever shuffling a corpus row. The replica here is "
+    "derived in-query with one deletion stripe and one corruption "
+    "stripe so the oracle mirrors it exactly; at 100 TB the bucket "
+    "count scales with data and the tree gains levels (bucket-of-"
+    "buckets), keeping every comparison tiny.",
+)
+def table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each side: one map-side fingerprint projection + one combinable
+    groupBy on a 256-value key; the mismatch join touches 256-row
+    aggregates only. Float columns enter the fingerprint as integer
+    cents (ROUND(x*100)) -- raw float casts format differently across
+    engines and would poison the checksum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.withColumn(
+        "bucket",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(l_orderkey AS STRING) || '#' || "
+            f"CAST(l_linenumber AS STRING)), 1, 12), 16, 10) AS BIGINT) % {_CK_BUCKETS}"
+        ),
+    )
+    lhs = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left"),
+        F.expr(f"bit_xor({_CK_ROW_SPARK})").alias("xor_left"),
+    )
+    replica = base.where(f"NOT ({_CK_DROP})").withColumn(
+        "l_quantity",
+        F.expr(f"CASE WHEN {_CK_CORRUPT} THEN l_quantity + 1.0 ELSE l_quantity END"),
+    )
+    rhs = replica.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right"),
+        F.expr(f"bit_xor({_CK_ROW_SPARK})").alias("xor_right"),
+    )
+    return (
+        lhs.join(rhs, "bucket", "left")
+        .select(
+            "bucket",
+            "n_left",
+            F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
+            "xor_left",
+            F.coalesce("xor_right", F.lit(0)).cast("bigint").alias("xor_right"),
+        )
+        .where(
+            F.col("n_right").isNull()
+            | (F.col("n_left") != F.col("n_right"))
+            | (F.col("xor_left") != F.col("xor_right"))
+        )
     )

@@ -798,3 +798,36 @@ def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = cusum_drift(src, mu0=_CUSUM_MU_C / 100.0, h=_CUSUM_H_C / 100.0)
     return run_to_memory(out, shuffle_partitions=8, output_mode="append")
+
+
+from rlink_rs_spark.queries.relational import _TRANSITION_ORACLE  # noqa: E402
+
+
+@register(
+    "streaming_transition_matrix",
+    _TRANSITION_ORACLE,  # shared with the batch twin: same matrix by construction
+    "STREAMING twin of event_transition_matrix: per-user (from, to) "
+    "transition pairs from a custom stateful operator whose keyed state "
+    "is ONE string (the user's most recent event type); the boundary "
+    "pair joining carried state to each batch's first event makes the "
+    "drained pair stream exactly the batch LEAD sequence, so the count "
+    "matrix shares that oracle. Replayed in 4 ts-ordered chunks; state "
+    "is O(1) per key.",
+)
+def streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minimal sequential stateful operator (one carried record of
+    state, vs CUSUM's numeric fold): LEAD-as-a-stream. The final count
+    is a <= |types|^2 aggregate over the drained pairs."""
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+    from rlink_rs_spark.streaming.stateful import transition_pairs
+
+    src = file_stream(
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts"
+    )
+    pairs = run_to_memory(
+        transition_pairs(src), shuffle_partitions=8, output_mode="append"
+    )
+    return pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -312,3 +312,53 @@ def cusum_drift_batch_oracle(
             .alias("direction"),
         )
     )
+
+
+TRANSITION_SCHEMA = "event_type string, next_type string"
+TRANSITION_STATE_SCHEMA = "last_type string"
+
+
+def transition_pairs(events: DataFrame) -> DataFrame:
+    """Per-user event-sequence transition pairs as a custom stateful
+    streaming operator: keyed state is ONE string -- the user's most
+    recent event_type -- and each micro-batch emits the (from, to) pair
+    for every consecutive event, including the boundary pair that joins
+    the carried state to the batch's first event. With a ts-ordered
+    replay this is exactly the batch LEAD-window sequence, so the
+    downstream count matrix shares event_transition_matrix's oracle.
+
+    The reference shape: a CoProcess keeping one record of keyed state
+    (core/function.rs:256-272) -- the minimal sequential operator, vs
+    CUSUM's numeric fold. State is O(1) per key regardless of stream
+    length."""
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (last,) = state.get if state.exists else (None,)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            state.update((last,))
+            return
+        sort_cols = ["ts", "event_id"] if "event_id" in pdf.columns else ["ts"]
+        pdf = pdf.sort_values(sort_cols, kind="mergesort", ignore_index=True)
+        types = pdf["event_type"].tolist()
+        seq = ([last] if last is not None else []) + types
+        state.update((types[-1],))
+        if len(seq) >= 2:
+            yield pd.DataFrame(
+                {"event_type": seq[:-1], "next_type": seq[1:]}
+            )
+
+    cols = ["user_id", "ts", "event_type"] + (
+        ["event_id"] if "event_id" in events.columns else []
+    )
+    return (
+        events.select(*cols)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            TRANSITION_SCHEMA,
+            TRANSITION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

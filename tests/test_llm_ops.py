@@ -66,6 +66,8 @@ ORACLED = [
     "ann_recall_report",
     "lsh_recall_report",
     "lang_id_confusion",
+    # displaced from the driver window by the r8 rotation (r6-driver-green)
+    "bpe_train_merges",
 ]
 
 

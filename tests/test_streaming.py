@@ -508,6 +508,36 @@ def test_cusum_drift_matches_batch(spark, sf_dir):
     assert got == want and got
 
 
+def test_transition_pairs_match_batch_lead(spark, sf_dir):
+    """The streaming transition operator (one-string keyed state, boundary
+    pair per batch) must produce exactly the batch LEAD-window pair
+    multiset -- including transitions that straddle micro-batch
+    boundaries, which is the whole point of the carried state."""
+    from pyspark.sql.window import Window
+
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+    from rlink_rs_spark.streaming.stateful import transition_pairs
+
+    src = file_stream(
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts"
+    )
+    streamed = run_to_memory(transition_pairs(src), output_mode="append")
+    got = sorted((r.event_type, r.next_type) for r in streamed.collect())
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        events.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+    )
+    want = sorted((r.event_type, r.next_type) for r in batch.collect())
+    assert got == want and got
+    # boundary coverage: more pairs than any single chunk could produce
+    n_users = events.select("user_id").distinct().count()
+    assert len(got) == events.count() - n_users
+
+
 def test_streaming_incremental_dedup_crash_resume_matches_batch_twin(spark, sf_dir):
     """Inject a crash at epoch 2 of the incremental-dedup intake stream,
     resume from the checkpoint (same work_dir + staged source), and require
