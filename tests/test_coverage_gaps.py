@@ -201,6 +201,35 @@ def test_aqe_splits_skewed_join(spark):
     assert "skew=true" in plan
 
 
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """The 100 TB semi-join pushdown path made executable: when a selective
+    dimension filter feeds a shuffle join, Catalyst's runtime-filter rule
+    injects a bloom filter on the fact side (BloomFilterMightContain in
+    the final plan), pruning fact rows BEFORE the shuffle. Thresholds are
+    lowered to make fixture-sized tables eligible; at real scale the
+    defaults (10MB creation side / 10GB application side) gate it."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert rows and rows[0]["count"] > 0
+    assert "bloom_filter_agg" in plan or "BloomFilterMightContain" in plan or "might_contain" in plan
+
+
 def test_plan_hygiene_no_unplanned_cartesians(spark, sf_dir):
     """Every batch registry query must be free of CartesianProduct /
     BroadcastNestedLoopJoin except the documented by-design baselines

@@ -53,6 +53,8 @@ RELATIONAL = [
     "key_skew_report",
     # new in r7 (also in the driver window)
     "open_orders_range_join",
+    # new in r8, not in the window
+    "fuzzy_name_linkage",
 ]
 
 

@@ -18,6 +18,8 @@ WINDOWED = [
     "dynamic_gap_sessions",
     "pct_output_decode",
     "session_window_agg",
+    # new in r8, not in the window
+    "window_distinct_users",
 ]
 
 
