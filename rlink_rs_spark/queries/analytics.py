@@ -548,3 +548,66 @@ def daily_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_OLS_SLOPE).alias("slope_per_day"),
         F.expr(_OLS_ICPT).alias("intercept"),
     )
+
+
+# --- forward as-of with tolerance (label generation) ------------------------
+
+_TTP_TOL_MS = 7 * 86_400_000  # 7-day label horizon
+
+_TTP_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+         FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ms
+  FROM events
+)
+SELECT user_id, event_id, ts_ms,
+       CASE WHEN next_purchase_ms - ts_ms <= {_TTP_TOL_MS}
+            THEN next_purchase_ms END AS next_purchase_ms,
+       CASE WHEN next_purchase_ms - ts_ms <= {_TTP_TOL_MS}
+            THEN next_purchase_ms - ts_ms END AS delta_ms
+FROM seq WHERE event_type = 'view'
+"""
+
+
+@register(
+    "time_to_next_purchase",
+    _TTP_ORACLE,
+    "FORWARD as-of join with tolerance -- the label-generation twin of "
+    "asof_join_latest_click (which looks backward): every view event "
+    "gets the SAME USER's next purchase timestamp within a 7-day "
+    "horizon, or NULL past it (right-censoring). ONE forward-frame "
+    "FIRST_VALUE(IGNORE NULLS) window replaces a per-view self-join "
+    "against purchases: one shuffle on user_id, per-user sort only -- "
+    "the time-to-event feature/label every conversion or survival "
+    "model consumes, at corpus scale.",
+)
+def time_to_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first(ignorenulls) over ROWS 1 FOLLOWING..UNBOUNDED: the forward
+    scan is a single linear frame pass per user; tolerance censoring is
+    a map-side CASE after the window."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    purchase_ms = F.when(
+        F.col("event_type") == "purchase", F.unix_millis("ts")
+    )
+    seq = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.first(purchase_ms, ignorenulls=True).over(w).alias("raw_next"),
+    )
+    in_tol = (F.col("raw_next") - F.col("ts_ms")) <= _TTP_TOL_MS
+    return seq.where(F.col("event_type") == "view").select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.when(in_tol, F.col("raw_next")).alias("next_purchase_ms"),
+        F.when(in_tol, F.col("raw_next") - F.col("ts_ms")).alias("delta_ms"),
+    )

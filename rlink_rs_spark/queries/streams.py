@@ -831,3 +831,66 @@ def streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("event_type", "next_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+_WD_SIZE_MS = 6 * 3_600_000  # mirror of windowed.window_distinct_users
+
+
+@register(
+    "streaming_window_distinct",
+    f"""
+    WITH assigned AS (
+      SELECT (epoch_ms(ts) // {_WD_SIZE_MS}) * {_WD_SIZE_MS} AS ws, event_type, user_id
+      FROM events
+    ),
+    level1 AS (
+      SELECT ws, event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM assigned GROUP BY ws, event_type, user_id
+    ),
+    agg AS (
+      SELECT ws AS window_start, ws + {_WD_SIZE_MS} AS window_end, event_type,
+             CAST(COUNT(*) AS BIGINT) AS distinct_users,
+             CAST(SUM(n_events) AS BIGINT) AS cnt
+      FROM level1 GROUP BY ws, event_type
+    )
+    SELECT * FROM agg
+    WHERE window_end <= (SELECT epoch_ms(MAX(ts)) - {_DELAY_MS} FROM events)
+    """,
+    "CHAINED STATEFUL streaming: exact windowed COUNT DISTINCT as two "
+    "cascaded stateful aggregations in ONE streaming query (per-(window, "
+    "key, user) counts feeding the per-(window, key) distinct/total "
+    "rollup) -- Spark's multiple-stateful-operator support, the shape "
+    "the reference's single-operator window state cannot compose "
+    "(window_base_reduce.rs holds one fold per window-key). Oracle = "
+    "the batch two-level SQL restricted to watermark-closed windows.",
+)
+def streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both aggregation levels keep their own state store; append mode
+    propagates level-1 emissions to level 2 when the watermark closes a
+    window, so the final rows equal the batch twin on closed windows."""
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+    from rlink_rs_spark.streaming.watermarks import bounded_out_of_orderness
+
+    ev = file_stream(spark, sf_dir, "events")
+    size_s = _WD_SIZE_MS // 1000
+    lvl1 = (
+        bounded_out_of_orderness("ts", _DELAY_MS / 1000).apply(ev)
+        .groupBy(F.window("ts", f"{size_s} seconds"), "event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    lvl2 = (
+        lvl1.groupBy("window", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("distinct_users"),
+            F.sum("n_events").cast("bigint").alias("cnt"),
+        )
+        .select(
+            F.unix_millis("window.start").alias("window_start"),
+            F.unix_millis("window.end").alias("window_end"),
+            "event_type",
+            "distinct_users",
+            "cnt",
+        )
+    )
+    return run_to_memory(lvl2, shuffle_partitions=8)

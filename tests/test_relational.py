@@ -55,6 +55,7 @@ RELATIONAL = [
     "open_orders_range_join",
     # new in r8, not in the window
     "fuzzy_name_linkage",
+    "time_to_next_purchase",
 ]
 
 
