@@ -56,6 +56,7 @@ RELATIONAL = [
     # new in r8, not in the window
     "fuzzy_name_linkage",
     "time_to_next_purchase",
+    "incremental_daily_rollup",
 ]
 
 
@@ -415,3 +416,34 @@ def test_key_skew_report_consistent(spark, sf_dir):
         assert r.total == total and r.n_keys == n_keys
         assert abs(r.share - r.cnt / total) < 1e-12
         assert abs(r.x_mean - r.cnt * n_keys / total) < 1e-9
+
+
+def test_incremental_rollup_artifact_is_history_only_and_warm_path_exact(spark, sf_dir):
+    """The persisted rollup must contain ONLY pre-delta days (the warm path
+    never re-scans history), and a warm re-run must reproduce the
+    full-table rollup exactly."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.analytics import _ROLL_DAY_MS, _events_fingerprint
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(
+        repo_root, "artifacts", "daily_rollup", f"rollup_{_events_fingerprint(sf_dir)}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+
+    cold = {tuple(r) for r in REGISTRY["incremental_daily_rollup"].fn(spark, sf_dir).collect()}
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    warm = {tuple(r) for r in REGISTRY["incremental_daily_rollup"].fn(spark, sf_dir).collect()}
+    assert cold == warm and cold
+
+    ev = load_table(spark, sf_dir, "events")
+    max_day = ev.agg(
+        F.max(F.expr(f"CAST(unix_millis(ts) div {_ROLL_DAY_MS} AS BIGINT)"))
+    ).collect()[0][0]
+    art_days = {r.day for r in spark.read.parquet(path).select("day").distinct().collect()}
+    assert art_days and max(art_days) < max_day
