@@ -29,6 +29,7 @@ NOT_BENCHED = {
     "ann_recall_report": "re-runs the two ANN plans cosine_topk_{bruteforce,ivf} already time",
     "lsh_recall_report": "re-runs the two dedup plans ngram_jaccard/minhash_lsh already time",
     "lang_id_confusion": "re-runs the lang_id_heuristic plan already timed",
+    "quality_ensemble_gate": "re-runs three quality-filter plans the registry already times",
 }
 
 

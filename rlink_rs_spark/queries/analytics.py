@@ -708,3 +708,109 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_value",
         "min_value",
     )
+
+
+@register(
+    "streaming_daily_rollup",
+    _ROLL_ORACLE,  # shared with the incremental batch twin: same algebra
+    "STREAMING materialized-view maintenance: the daily rollup's "
+    "mergeable carriers (count/sum-cents/max/min) fold per micro-batch "
+    "against the carried view on the <= days x types summary table -- "
+    "state is the view itself, bounded by the key space, and the "
+    "drained view equals the full-table rollup (shared oracle). "
+    "Per-epoch overwrite commits give exactly-once across restarts; "
+    "the reference's incremental window reduce "
+    "(window_base_reduce.rs:84-101) generalized to a persistent view.",
+)
+def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay in 4 ts-ordered chunks; each epoch's work is one combinable
+    aggregate over the BATCH plus a tiny-view merge -- the stream never
+    rescans history (streaming/rollup.py)."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.rollup import read_rollup_view, streaming_rollup_sink
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts"
+    )
+    work_dir = tempfile.mkdtemp(prefix="rlink_rollup_")
+    q = streaming_rollup_sink(
+        src.select("ts", "event_type", "value"),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_rollup_ck_"),
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_daily_rollup did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_rollup_view(spark, work_dir)
+
+
+# --- composed quality-ensemble gate -----------------------------------------
+
+def _ensemble_oracle() -> str:
+    """Composition of the three registered quality oracles VERBATIM (the
+    ann_recall_report pattern) -- the gate cannot drift from the filters
+    it combines."""
+    from rlink_rs_spark.queries.base import REGISTRY as _R
+
+    return f"""
+WITH ppl AS ({_R["lm_perplexity_filter"].oracle}),
+rep AS ({_R["repetition_quality_signals"].oracle}),
+dsir AS ({_R["dsir_importance_weights"].oracle})
+SELECT p.doc_id, p.lang,
+       p.ppl_bucket <> 'tail' AS passes_ppl,
+       r.passes_repetition_filter AS passes_rep,
+       d.selected AS passes_dsir,
+       (p.ppl_bucket <> 'tail' AND r.passes_repetition_filter AND d.selected)
+         AS admitted
+FROM ppl p JOIN rep r ON p.doc_id = r.doc_id JOIN dsir d ON p.doc_id = d.doc_id
+"""
+
+
+@register(
+    "quality_ensemble_gate",
+    _ensemble_oracle(),
+    "The FULL corpus-quality stack as one verdict table: CCNet perplexity "
+    "tercile (not tail) AND Gopher repetition signals AND DSIR top-"
+    "quartile importance, combined per document -- the admit decision a "
+    "production pretraining intake actually applies (each filter alone "
+    "has known blind spots; the ensemble is the deployed shape). "
+    "Composition, not new machinery: all three branches are the "
+    "registered queries themselves, sharing their plans and oracles "
+    "verbatim, joined on doc_id (each side one row per doc).",
+    bench=False,  # re-runs three plans the registry already times
+)
+def quality_ensemble_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.queries.lm import lm_perplexity_filter
+    from rlink_rs_spark.queries.pipeline_ops import (
+        dsir_importance_weights,
+        repetition_quality_signals,
+    )
+
+    ppl = lm_perplexity_filter(spark, sf_dir).select(
+        "doc_id", "lang", (F.col("ppl_bucket") != "tail").alias("passes_ppl")
+    )
+    rep = repetition_quality_signals(spark, sf_dir).select(
+        "doc_id", F.col("passes_repetition_filter").alias("passes_rep")
+    )
+    dsir = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", F.col("selected").alias("passes_dsir")
+    )
+    return (
+        ppl.join(rep, "doc_id")
+        .join(dsir, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "passes_ppl",
+            "passes_rep",
+            "passes_dsir",
+            (F.col("passes_ppl") & F.col("passes_rep") & F.col("passes_dsir")).alias(
+                "admitted"
+            ),
+        )
+    )

@@ -68,6 +68,8 @@ ORACLED = [
     "lang_id_confusion",
     # displaced from the driver window by the r8 rotation (r6-driver-green)
     "bpe_train_merges",
+    # new in r8, not in the window (composition of three listed filters)
+    "quality_ensemble_gate",
 ]
 
 

@@ -800,3 +800,51 @@ def test_streaming_intake_score_seam_crash_resume(spark, sf_dir):
         for r in REGISTRY["incremental_batch_dedup"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_streaming_rollup_bounded_state_and_crash_resume(spark, sf_dir):
+    """The streaming materialized view's state must stay <= days x types
+    rows at every epoch, and a kill mid-stream must resume to exactly the
+    batch rollup (overwrite-per-epoch idempotence)."""
+    import os
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.streaming.rollup import read_rollup_view, streaming_rollup_sink
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    staged = stage_stream_dir(sf_dir, "events", chunks=4, order_col="ts")
+    work_dir = tempfile.mkdtemp(prefix="rlink_rollup_test_")
+    ck = tempfile.mkdtemp(prefix="rlink_rollup_test_ck_")
+
+    def start():
+        src = stream_from_staged(
+            spark, staged, sf_dir, "events", max_files_per_trigger=1
+        )
+        return streaming_rollup_sink(
+            src.select("ts", "event_type", "value"), work_dir=work_dir, checkpoint=ck
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    assert q2.awaitTermination(240), "resumed rollup stream timed out"
+
+    ev = load_table(spark, sf_dir, "events")
+    n_days = ev.select(F.expr("unix_millis(ts) div 86400000")).distinct().count()
+    n_types = ev.select("event_type").distinct().count()
+    view_dir = os.path.join(work_dir, "view")
+    for d in os.listdir(view_dir):
+        n = spark.read.parquet(os.path.join(view_dir, d)).count()
+        assert n <= n_days * n_types, f"{d} holds {n} rows"
+
+    got = {tuple(r) for r in read_rollup_view(spark, work_dir).collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["incremental_daily_rollup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got

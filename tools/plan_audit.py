@@ -63,6 +63,8 @@ NLJ_ALLOWED = {
     "equi_depth_histogram",
     "curriculum_stages",  # same 1-row ranking-total broadcast cross
     "ann_recall_report",  # composition of cosine_topk_{bruteforce,ivf}, both listed
+    "quality_ensemble_gate",  # composition of lm_perplexity_filter + dsir +
+    #                           repetition; inherits their listed 1-row crosses
     "cosine_topk_ivfpq",
     "resample_corpus_epoch",
     "bm25_keyword_search",
