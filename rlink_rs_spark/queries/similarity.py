@@ -817,3 +817,56 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
         )
     )
+
+
+@register(
+    "streaming_ann_probe",
+    _IVF_ORACLE,  # shared with cosine_topk_ivf: per-query results depend
+    #               only on the query and the standing index
+    "ONLINE vector serving: query vectors arrive as a STREAM and each "
+    "micro-batch probes the persisted IVF index (codebook + inverted "
+    "file artifacts) for its own queries only -- broadcast assignment, "
+    "candidate scan over probed cells, per-query top-k. The drained "
+    "union across epochs is row-identical to the batch probe (shared "
+    "oracle); per-epoch overwrite commits make replays exactly-once. "
+    "The index never retrains and the corpus never rescans per batch -- "
+    "the query-side cost is O(batch x probed cells) at any corpus size.",
+)
+def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queries staged in label order across 2 chunks so the fixed query
+    set (vec_id < 10) genuinely spans multiple micro-batches (each epoch
+    pays the full probe-plan constant at fixture scale, so the chunk
+    count is kept at the minimum that still proves cross-epoch union);
+    empty batches commit nothing."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.ann import (
+        read_probe_results,
+        streaming_ann_probe_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    emb, codebook, assignment = _ivf_artifacts(spark, sf_dir)
+    src = file_stream(
+        spark, sf_dir, "embeddings", max_files_per_trigger=1, chunks=2, order_col="label"
+    ).where(F.col("vec_id") < _N_QUERIES)
+    out_dir = tempfile.mkdtemp(prefix="rlink_ann_probe_")
+    q = streaming_ann_probe_sink(
+        src.select("vec_id", "embedding"),
+        corpus=emb,
+        codebook=codebook,
+        assignment=assignment,
+        out_dir=out_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_ann_probe_ck_"),
+        dims=_DIMS,
+        k=_K,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_ann_probe did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_probe_results(spark, out_dir)

@@ -1,0 +1,83 @@
+"""Streaming ANN serving -- online vector search against the persisted IVF
+index, the query-side twin of queries/similarity.cosine_topk_ivf.
+
+The serving shape every vector deployment runs: the index artifacts
+(coarse-quantizer codebook + inverted file, trained once and persisted,
+operators/similarity.load_or_train_ivf_codebook) stand; query vectors
+ARRIVE as a stream and each micro-batch probes only its own queries --
+broadcast codebook assignment, candidate scan over the probed cells,
+per-query top-k. A query's result depends only on that query and the
+standing index, so the drained union across epochs is row-identical to
+the batch probe over the same query set and SHARES its DuckDB oracle.
+
+Epoch protocol: results for epoch N commit to `<out>/batch_id=N` with
+overwrite semantics -- a crash-replayed epoch rewrites byte-identical
+rows (the probe is deterministic), so the drained union is exactly-once.
+
+Reference parity: a stream of lookups against broadcast/persisted state
+is the reference's ConfigInputFormat dimension-stream pattern
+(example/example-utils/src/config_input_format.rs) inverted -- here the
+big side stands and the small side streams.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def streaming_ann_probe_sink(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    codebook: DataFrame,
+    assignment: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    dims: int,
+    k: int,
+    n_cells: int,
+    n_probe: int,
+):
+    """foreachBatch sink probing each micro-batch of query vectors against
+    the persisted IVF index. Returns the started StreamingQuery."""
+    from rlink_rs_spark.operators import similarity as sim_ops
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = sim_ops.cosine_topk_ivf(
+            corpus,
+            batch_df,
+            dims=dims,
+            k=k,
+            n_cells=n_cells,
+            n_probe=n_probe,
+            codebook=codebook,
+            assignment=assignment,
+        ).select("query_id", "neighbor_id", "cosine", "rank")
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={epoch_id}")
+        )
+
+    return (
+        query_stream.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_probe_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of all committed epochs (queries are disjoint across epochs;
+    replayed epochs overwrote in place)."""
+    if not os.path.isdir(out_dir) or not any(
+        d.startswith("batch_id=") for d in os.listdir(out_dir)
+    ):
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cosine double, rank int"
+        )
+    return spark.read.parquet(os.path.join(out_dir, "batch_id=*")).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )

@@ -848,3 +848,14 @@ def test_streaming_rollup_bounded_state_and_crash_resume(spark, sf_dir):
         for r in REGISTRY["incremental_daily_rollup"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_streaming_ann_probe_equals_batch_probe(spark, sf_dir):
+    """The drained streaming probe must equal the batch IVF probe row-for-
+    row: a query's result depends only on the query and the standing
+    index, and the query set provably spans both micro-batches."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    got = {tuple(r) for r in REGISTRY["streaming_ann_probe"].fn(spark, sf_dir).collect()}
+    want = {tuple(r) for r in REGISTRY["cosine_topk_ivf"].fn(spark, sf_dir).collect()}
+    assert got == want and got
