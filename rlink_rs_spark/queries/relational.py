@@ -1705,3 +1705,55 @@ def fuzzy_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_parts").alias("n_parts_b"),
         )
     )
+
+
+# --- temporal (point-in-time) dimension join --------------------------------
+
+def _temporal_join_oracle() -> str:
+    """Composes the registered SCD2 oracle verbatim (the ensemble-gate
+    pattern) so the lookup cannot drift from the dimension it reads."""
+    from rlink_rs_spark.queries.base import REGISTRY as _R
+
+    return f"""
+WITH dim AS ({_R["scd2_priority_dimension"].oracle})
+SELECT o.o_orderkey, o.o_custkey, epoch_ms(o.o_orderdate) AS order_ms,
+       d.version, d.priority AS priority_at_order
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.o_custkey
+ AND epoch_ms(o.o_orderdate) >= d.valid_from_ms
+ AND epoch_ms(o.o_orderdate) <  d.valid_to_ms
+"""
+
+
+@register(
+    "temporal_dimension_join",
+    _temporal_join_oracle(),
+    "Point-in-time (temporal) dimension lookup: each fact row joins the "
+    "SCD2 version VALID AT ITS OWN event time -- the query every "
+    "versioned-dimension warehouse runs for non-leaking historical "
+    "features (a training-data must: joining the current row instead "
+    "leaks the future). Plan: hash equi-join on the dimension key with "
+    "the interval containment as a post-join filter -- versions per key "
+    "are few, so the filter prunes a bounded factor; contiguous SCD2 "
+    "intervals guarantee exactly one match per fact. Dimension and "
+    "oracle are the registered scd2_priority_dimension verbatim.",
+)
+def temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the dim stays orders of magnitude smaller than facts
+    (broadcast when it fits, else both sides hash on the key); the
+    interval filter never becomes a range explosion because SCD2
+    versions partition time per key."""
+    dim = scd2_priority_dimension(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    o_ms = F.unix_millis("o_orderdate")
+    return (
+        orders.join(dim, "o_custkey")
+        .where((o_ms >= F.col("valid_from_ms")) & (o_ms < F.col("valid_to_ms")))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            o_ms.alias("order_ms"),
+            "version",
+            F.col("priority").alias("priority_at_order"),
+        )
+    )

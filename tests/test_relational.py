@@ -57,6 +57,7 @@ RELATIONAL = [
     "fuzzy_name_linkage",
     "time_to_next_purchase",
     "incremental_daily_rollup",
+    "temporal_dimension_join",
 ]
 
 
@@ -447,3 +448,15 @@ def test_incremental_rollup_artifact_is_history_only_and_warm_path_exact(spark, 
     ).collect()[0][0]
     art_days = {r.day for r in spark.read.parquet(path).select("day").distinct().collect()}
     assert art_days and max(art_days) < max_day
+
+
+def test_temporal_join_exactly_one_version_per_fact(spark, sf_dir):
+    """Point-in-time correctness: contiguous SCD2 intervals must give every
+    order exactly one version, and that version's validity must bracket
+    the order date."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    joined = REGISTRY["temporal_dimension_join"].fn(spark, sf_dir)
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert joined.count() == n_orders
+    assert joined.select("o_orderkey").distinct().count() == n_orders
