@@ -94,6 +94,13 @@ def main() -> None:
     for name, q in REGISTRY.items():
         if not q.bench:
             continue
+        # Drop caches left behind by EARLIER queries (several legitimately
+        # .cache() their own intermediates): with 150+ queries in one JVM,
+        # accumulated foreign cache blocks turn into executor-memory/GC
+        # pressure that stalls late queries at the larger SFs (observed in
+        # the r8 sf1 leg: tfidf_lang_terms 79 s mid-run vs 10 s isolated).
+        # A query's OWN caches still build inside its measured window.
+        spark.catalog.clearCache()
         t0 = time.time()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
