@@ -379,3 +379,94 @@ def percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         at(0.99).alias("p99"),
         F.max("n").cast("bigint").alias("n"),
     )
+
+
+# Count-min sketch (Cormode & Muthukrishnan 2005): d=4 rows x w=256
+# counters; counter (r, h_r(key)) accumulates every occurrence, estimate =
+# min over rows -- always >= the true count, with collision excess bounded
+# by ~ N/w per row. md5-derived row hashes make the sketch a pure function
+# of content: deterministic, mergeable by counter addition, and exactly
+# reproducible in SQL.
+_CMS_D, _CMS_W = 4, 256
+_CMS_TOP = 10
+
+def _cms_bucket(engine_hex_to_int: str) -> str:
+    """Bucket expression per (row r, key): 48-bit md5 slice of 'r#key'
+    mod w. `engine_hex_to_int` formats the hex->BIGINT cast."""
+    return engine_hex_to_int
+
+
+_CMS_B_DUCK = (
+    f"CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) % {_CMS_W}"
+)
+_CMS_B_SPARK = (
+    f"CAST(conv(substr(md5(CAST(r AS STRING) || '#' || CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT) % {_CMS_W}"
+)
+
+_CMS_ORACLE = f"""
+WITH counters AS (
+  SELECT r.r, {_CMS_B_DUCK} AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events CROSS JOIN range({_CMS_D}) r(r)
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+  FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, exact_cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, user_id) AS INT) AS rank
+  FROM exact QUALIFY rank <= {_CMS_TOP}
+),
+probed AS (
+  SELECT t.user_id, t.exact_cnt, t.rank, r.r,
+         CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '#' || CAST(t.user_id AS VARCHAR)), 1, 12)) AS BIGINT) % {_CMS_W} AS b
+  FROM top t CROSS JOIN range({_CMS_D}) r(r)
+)
+SELECT p.user_id, p.rank, p.exact_cnt, MIN(c.c) AS cms_estimate
+FROM probed p JOIN counters c ON c.r = p.r AND c.b = p.b
+GROUP BY p.user_id, p.rank, p.exact_cnt
+"""
+
+
+@register(
+    "cms_heavy_hitters",
+    _CMS_ORACLE,
+    f"Count-min sketch frequency estimation (d={_CMS_D} rows x w={_CMS_W} "
+    "counters): the corpus folds into a FIXED-SIZE counter table in one "
+    "map-side-combined pass (each row contributes d counter increments); "
+    "estimates = min over rows of the probed counters, always >= exact "
+    "with ~N/w expected collision excess. md5-derived hashes make the "
+    "sketch content-deterministic and exactly SQL-reproducible -- the "
+    "frequency complement of the KMV distinct sketch, and like it "
+    "MERGEABLE (counter addition), so shards/streams combine without "
+    "rescanning. Probes here are the exact top-10 users so the result "
+    "also witnesses the overestimate bound per key.",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two combinable aggregates over the corpus (counters + exact counts,
+    each one shuffle); everything after runs on <= d*w + top-k rows."""
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events")
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("r"))
+    counters = (
+        events.crossJoin(F.broadcast(rows))
+        .groupBy("r", F.expr(_CMS_B_SPARK).alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    # top-k via orderBy+limit (compiles to distributed TakeOrderedAndProject
+    # -- never a single-partition window over all users); the rank window
+    # then runs on the k-row result only
+    topk = exact.orderBy(F.col("exact_cnt").desc(), "user_id").limit(_CMS_TOP)
+    w = Window.orderBy(F.col("exact_cnt").desc(), "user_id")
+    top = topk.withColumn("rank", F.row_number().over(w).cast("int"))
+    probed = top.crossJoin(F.broadcast(rows)).withColumn("b", F.expr(_CMS_B_SPARK))
+    return (
+        probed.join(counters, ["r", "b"])
+        .groupBy("user_id", "rank", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+    )

@@ -541,3 +541,33 @@ def test_bench_family_keys_are_pinned():
         "analytics",
         "search",
     }
+
+
+def test_cms_counters_merge_and_overestimate_bound(spark, sf_dir):
+    """CMS properties: (a) counters built on two disjoint halves and summed
+    equal the whole-corpus counters (mergeability -- the shard/stream
+    combine path); (b) every estimate >= its exact count (one-sided
+    error)."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.stats import _CMS_B_SPARK, _CMS_D
+
+    events = load_table(spark, sf_dir, "events")
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("r"))
+
+    def counters(df):
+        return (
+            df.crossJoin(F.broadcast(rows))
+            .groupBy("r", F.expr(_CMS_B_SPARK).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    whole = {(r.r, r.b): r.c for r in counters(events).collect()}
+    h1 = counters(events.where(F.col("event_id") % 2 == 0))
+    h2 = counters(events.where(F.col("event_id") % 2 == 1))
+    merged = {}
+    for r in h1.unionByName(h2).groupBy("r", "b").agg(F.sum("c").alias("c")).collect():
+        merged[(r.r, r.b)] = r.c
+    assert merged == whole
+
+    for r in REGISTRY["cms_heavy_hitters"].fn(spark, sf_dir).collect():
+        assert r.cms_estimate >= r.exact_cnt

@@ -58,6 +58,7 @@ RELATIONAL = [
     "time_to_next_purchase",
     "incremental_daily_rollup",
     "temporal_dimension_join",
+    "cms_heavy_hitters",
 ]
 
 

@@ -65,6 +65,8 @@ NLJ_ALLOWED = {
     "ann_recall_report",  # composition of cosine_topk_{bruteforce,ivf}, both listed
     "quality_ensemble_gate",  # composition of lm_perplexity_filter + dsir +
     #                           repetition; inherits their listed 1-row crosses
+    "cms_heavy_hitters",  # 4-row sketch-row-index broadcast cross (each event
+    #                       increments d=4 counters), the range(d) replication
     "cosine_topk_ivfpq",
     "resample_corpus_epoch",
     "bm25_keyword_search",
