@@ -470,3 +470,49 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "rank", "exact_cnt")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+_CMS_COUNTERS_ORACLE = f"""
+SELECT r.r, {_CMS_B_DUCK} AS b, CAST(COUNT(*) AS BIGINT) AS c
+FROM events CROSS JOIN range({_CMS_D}) r(r)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_cms_counters",
+    _CMS_COUNTERS_ORACLE,
+    "STREAMING count-min sketch: the fixed d x w counter table maintained "
+    "as epoch state -- the CMS merge is counter ADDITION (exactly "
+    "associative BIGINT sums), so the drained sketch is bit-equal to the "
+    "batch fold over the same rows and hash-matches the batch counters "
+    "SQL. With streaming_kmv_distinct this makes both sketch families "
+    "(frequency + distinct) streamable with constant state and shared "
+    "batch oracles; per-epoch overwrite commits give exactly-once.",
+)
+def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per micro-batch: one map-side-combined fold of the BATCH into d x w
+    counters, then a <= d*w-row merge with the carried table."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.sketches import read_cms_counters, streaming_cms_sink
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="event_id"
+    )
+    work_dir = tempfile.mkdtemp(prefix="rlink_cms_")
+    q = streaming_cms_sink(
+        src.select("user_id"),
+        bucket_expr=_CMS_B_SPARK,
+        d=_CMS_D,
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_cms_ck_"),
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_cms_counters did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_cms_counters(spark, work_dir)

@@ -139,3 +139,54 @@ def read_kmv_estimate(spark: SparkSession, work_dir: str, k: int = 1024) -> Data
         .alias("approx_users"),
         "cnt",
     )
+
+
+_CMS_SCHEMA = "r int, b bigint, c bigint"
+
+
+def streaming_cms_sink(
+    stream: DataFrame,
+    bucket_expr: str,
+    d: int,
+    work_dir: str,
+    checkpoint: str,
+):
+    """foreachBatch sink maintaining count-min counters across micro-batches.
+    The CMS merge is counter ADDITION -- exactly associative BIGINT sums --
+    so the carried state is the fixed d x w counter table itself and the
+    drained sketch is bit-equal to the batch fold over the same rows.
+    `bucket_expr` is the Spark SQL bucket expression shared verbatim with
+    the batch query and its DuckDB oracle."""
+    spark = stream.sparkSession
+    cdir = os.path.join(work_dir, "counters")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = spark.range(d).select(F.col("id").cast("int").alias("r"))
+        delta = (
+            batch_df.crossJoin(F.broadcast(rows))
+            .groupBy("r", F.expr(bucket_expr).alias("b"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        prev = _latest_epoch_dir(cdir, epoch_id)
+        if prev is not None:
+            delta = delta.unionByName(spark.read.schema(_CMS_SCHEMA).parquet(prev))
+        merged = delta.groupBy("r", "b").agg(F.sum("c").cast("bigint").alias("c"))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(cdir, f"batch_id={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_counters(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Drain the newest committed counter table (r, b, c)."""
+    last = _latest_epoch_dir(os.path.join(work_dir, "counters"), 1 << 62)
+    if last is None:
+        return spark.createDataFrame([], _CMS_SCHEMA)
+    return spark.read.schema(_CMS_SCHEMA).parquet(last)
