@@ -318,3 +318,33 @@ def test_edge_strings_chunking_parity(spark, edge_tables):
         """
     ).fetchall()
     _compare(s_rows, d_rows)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=120),
+    cuts=st.lists(st.integers(min_value=0, max_value=120), max_size=5),
+    k=st.integers(min_value=1, max_value=16),
+)
+def test_kmv_merge_is_exact_property(values, cuts, k):
+    """The algebra streaming_kmv_distinct relies on, pinned over random
+    multisets and arbitrary chunkings: folding chunk-by-chunk (keep the K
+    smallest distinct hashes + a running count) equals computing the
+    sketch over the whole stream at once, for every split."""
+    import hashlib
+
+    def h(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    whole_hashes = sorted({h(v) for v in values})[:k]
+    whole_count = len(values)
+
+    bounds = sorted({c for c in cuts if c <= len(values)} | {0, len(values)})
+    chunks = [values[a:b] for a, b in zip(bounds, bounds[1:])]
+    kept: set[int] = set()
+    count = 0
+    for ch in chunks:
+        kept = set(sorted(kept | {h(v) for v in ch})[:k])
+        count += len(ch)
+    assert sorted(kept) == whole_hashes
+    assert count == whole_count
