@@ -688,8 +688,23 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache_dir = os.path.join(repo_root, "artifacts", "daily_rollup")
     path = os.path.join(cache_dir, f"rollup_{_events_fingerprint(sf_dir)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):  # committed write only
-        _daily_rollup(history).write.mode("overwrite").parquet(path)
-    view = spark.read.parquet(path)
+        # temp dir + atomic rename: concurrent sessions sharing the repo-root
+        # artifact path each build into their own staging dir and the first
+        # rename wins (the content fingerprint makes all builds identical)
+        staging = f"{path}.tmp.{os.getpid()}"
+        _daily_rollup(history).write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:  # another session committed first -- use theirs
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+    # pinned schema (mirrors streaming/rollup._VIEW_SCHEMA): a single-day
+    # corpus has an EMPTY history, whose part-file-less artifact dir cannot
+    # be schema-inferred
+    view = spark.read.schema(
+        "day bigint, event_type string, n bigint, sc bigint, mx double, mn double"
+    ).parquet(path)
     merged = (
         view.unionByName(_daily_rollup(delta))
         .groupBy("day", "event_type")

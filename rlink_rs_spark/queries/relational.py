@@ -93,8 +93,10 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     class WordPositions:
         def eval(self, text: str):
+            if text is None:  # match unnest(string_split(NULL)): zero rows
+                return
             seen: set[str] = set()
-            for i, w in enumerate((text or "").split(" ")):
+            for i, w in enumerate(text.split(" ")):
                 first = w not in seen
                 if first:
                     seen.add(w)
@@ -1624,17 +1626,20 @@ def table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lhs.join(rhs, "bucket", "left")
+        # mismatch predicate BEFORE the coalescing projection (mirrors the
+        # oracle's WHERE on the raw joined columns): a bucket missing from
+        # the replica is caught by the isNull branch, not by n_left <> 0
+        .where(
+            F.col("n_right").isNull()
+            | (F.col("n_left") != F.col("n_right"))
+            | (F.col("xor_left") != F.col("xor_right"))
+        )
         .select(
             "bucket",
             "n_left",
             F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
             "xor_left",
             F.coalesce("xor_right", F.lit(0)).cast("bigint").alias("xor_right"),
-        )
-        .where(
-            F.col("n_right").isNull()
-            | (F.col("n_left") != F.col("n_right"))
-            | (F.col("xor_left") != F.col("xor_right"))
         )
     )
 

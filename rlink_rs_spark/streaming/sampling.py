@@ -31,13 +31,23 @@ _RESERVOIR_SCHEMA = "lang string, doc_id bigint, n_chars bigint, key_n bigint"
 
 
 def _latest_epoch_dir(root: str, before_epoch: int) -> str | None:
+    """Newest COMMITTED epoch dir under `root` with id < before_epoch.
+
+    Committed means the Spark `_SUCCESS` marker is present: a crash mid-write
+    (or mid-overwrite of a replayed epoch) leaves a torn dir without the
+    marker, and both writers and drain-readers must fall back to the last
+    fully-committed epoch instead of failing on partial parquet."""
     if not os.path.isdir(root):
         return None
     best = None
     for d in os.listdir(root):
         if d.startswith("batch_id="):
             i = int(d.split("=", 1)[1])
-            if i < before_epoch and (best is None or i > best):
+            if (
+                i < before_epoch
+                and (best is None or i > best)
+                and os.path.exists(os.path.join(root, d, "_SUCCESS"))
+            ):
                 best = i
     return None if best is None else os.path.join(root, f"batch_id={best}")
 

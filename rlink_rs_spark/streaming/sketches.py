@@ -43,6 +43,23 @@ _HASH_SCHEMA = "event_type string, h bigint"
 _COUNT_SCHEMA = "event_type string, cnt bigint"
 
 
+def _latest_pair_dir(hash_dir: str, count_dir: str, before_epoch: int) -> str | None:
+    """Newest epoch dir (under hash_dir) whose counts twin is ALSO committed.
+
+    A replayed epoch overwrites counts before hashes; a crash mid-replay can
+    leave the hashes dir committed from the prior attempt while counts is
+    torn, so the pair must be validated together."""
+    before = before_epoch
+    while True:
+        cand = _latest_epoch_dir(hash_dir, before)
+        if cand is None:
+            return None
+        twin = os.path.join(count_dir, os.path.basename(cand))
+        if os.path.exists(os.path.join(twin, "_SUCCESS")):
+            return cand
+        before = int(os.path.basename(cand).split("=", 1)[1])
+
+
 def _kmv_hash(col: str) -> F.Column:
     """60-bit md5-derived hash -- the exact expression the batch twin and
     its DuckDB oracle use (operators/aggregations.kmv_distinct_sketch)."""
@@ -76,7 +93,7 @@ def streaming_kmv_sink(
         )
         batch_hashes = batch.distinct()
 
-        prev = _latest_epoch_dir(hash_dir, epoch_id)
+        prev = _latest_pair_dir(hash_dir, count_dir, epoch_id)
         if prev is not None:
             prev_hashes = spark.read.schema(_HASH_SCHEMA).parquet(prev)
             batch_hashes = batch_hashes.unionByName(prev_hashes).distinct()
@@ -94,13 +111,15 @@ def streaming_kmv_sink(
             .where(F.col("rn") <= k)
             .drop("rn")
         )
-        # hashes first, counts second; the reader keys off the hashes dir,
-        # so a crash between the two writes replays the whole epoch
-        merged.write.mode("overwrite").parquet(
-            os.path.join(hash_dir, f"batch_id={epoch_id}")
-        )
+        # counts first, hashes LAST: the hashes dir (with its _SUCCESS
+        # marker) is the epoch's commit record, so a crash between the two
+        # writes leaves the epoch uncommitted and readers/replay fall back
+        # to the previous fully-committed pair
         batch_counts.write.mode("overwrite").parquet(
             os.path.join(count_dir, f"batch_id={epoch_id}")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(hash_dir, f"batch_id={epoch_id}")
         )
 
     return (
@@ -116,7 +135,7 @@ def read_kmv_estimate(spark: SparkSession, work_dir: str, k: int = 1024) -> Data
     """Drain the newest committed sketch into the batch twin's output shape
     (event_type, approx_users, cnt)."""
     hash_dir = os.path.join(work_dir, "hashes")
-    last = _latest_epoch_dir(hash_dir, 1 << 62)
+    last = _latest_pair_dir(hash_dir, os.path.join(work_dir, "counts"), 1 << 62)
     if last is None:
         return spark.createDataFrame(
             [], "event_type string, approx_users bigint, cnt bigint"

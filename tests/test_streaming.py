@@ -859,3 +859,49 @@ def test_streaming_ann_probe_equals_batch_probe(spark, sf_dir):
     got = {tuple(r) for r in REGISTRY["streaming_ann_probe"].fn(spark, sf_dir).collect()}
     want = {tuple(r) for r in REGISTRY["cosine_topk_ivf"].fn(spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_streaming_window_distinct_equals_closed_batch_windows(spark, sf_dir):
+    """The chained-stateful streaming COUNT DISTINCT must equal the batch
+    two-level query restricted to watermark-closed windows (ADVICE r8:
+    these two queries previously had no CI parity witness)."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.streams import _DELAY_MS
+
+    got = {
+        tuple(r)
+        for r in REGISTRY["streaming_window_distinct"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg(F.max(F.unix_millis("ts"))).collect()[0][0] - _DELAY_MS
+    want = {
+        tuple(r)
+        for r in REGISTRY["window_distinct_users"]
+        .fn(spark, sf_dir)
+        .where(F.col("window_end") <= cutoff)
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_streaming_cms_counters_equal_batch_fold(spark, sf_dir):
+    """The drained streaming CMS counter table must be bit-equal to the
+    batch fold over the same rows (counter addition is exactly
+    associative, so the sketch cannot drift with micro-batching)."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.stats import _CMS_B_SPARK, _CMS_D
+
+    got = {
+        tuple(r)
+        for r in REGISTRY["streaming_cms_counters"].fn(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("r"))
+    want = {
+        tuple(r)
+        for r in events.crossJoin(F.broadcast(rows))
+        .groupBy("r", F.expr(_CMS_B_SPARK).alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .collect()
+    }
+    assert got == want and got
