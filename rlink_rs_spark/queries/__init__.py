@@ -24,126 +24,83 @@ from rlink_rs_spark.queries import analytics  # noqa: E402,F401
 from rlink_rs_spark.queries import search  # noqa: E402,F401
 
 # The driver's correctness gate hashes the FIRST 50 registry entries only
-# (CORRECTNESS_r02..r05 are each exactly 50 rows, in registration order).
-# The window ROTATES each round so coverage cycles instead of shrinking
-# (ADVICE r5): flagship (entry() smoke) always first, then every query that
-# has never had a driver row (round-5 additions), then the 28 queries whose
-# last driver row is r3 (displaced by round 5's rotation -- a fresh row
-# re-proves them on the current fixtures), then queries changed this round
-# (approx_distinct_users' new exact-HLL oracle, embedding_cosine_near_dup
-# under perf work) and the streaming/windowed block most sensitive to
-# fixture drift. Exactly 50 entries; test_registry enforces the count and
-# that every name resolves.
+# (each CORRECTNESS_r0N is exactly 50 rows, in registration order). The
+# window ROTATES each round so coverage cycles instead of shrinking
+# (ADVICE r5): flagship (entry() smoke) always first, then queries that
+# have never had a driver row, then queries whose code changed this round,
+# then the stalest previously-green queries (fresh rows re-prove them on
+# current fixtures). Every displaced query must sit in a pytest parity
+# list (or be streaming-suite-replayed) -- enforced by
+# tests/test_coverage_gaps.py::test_every_oracled_query_has_a_local_witness.
+# Exactly 50 entries; test_registry enforces the count and resolution.
 _DRIVER_WINDOW_PRIORITY = [
     "flagship_sliding_window_agg",
-    # -- r7 rotation (VERDICT r6 item 1): the 9 late-r6 additions that have
-    # never had a driver row take the slots of r6-driver-green entries.
-    # Displaced into pytest parity lists: cosine_topk_gemm (pytest rank-parity
-    # vs brute force -- it is rows-only by design, no oracle to lose),
-    # cosine_topk_sq + corpus_prep_pipeline (ORACLED list), and TPC-H
-    # q11/q15/q16/q17/q19/q22 (already in the TPCH parity list).
-    "key_skew_report",
-    "streaming_cusum_drift",
-    "ngram_containment_pairs",
-    "label_embedding_centroids",
+    # -- r9 rotation (VERDICT r8 item 1): the 14 queries that have NEVER
+    # had a driver row (all passed the judge's r8 gate-replica run; a
+    # driver row is the only missing proof). cosine_topk_gemm stays out:
+    # rows-only by design, nothing for the driver to hash.
+    "ann_recall_report",
+    "cms_heavy_hitters",
+    "fuzzy_name_linkage",
+    "incremental_daily_rollup",
+    "lang_id_confusion",
+    "lsh_recall_report",
+    "quality_ensemble_gate",
+    "streaming_ann_probe",
+    "streaming_cms_counters",
+    "streaming_daily_rollup",
+    "streaming_window_distinct",
+    "temporal_dimension_join",
+    "time_to_next_purchase",
+    "window_distinct_users",
+    # -- changed in r9, so a fresh driver row re-proves the new code:
+    # tfidf (vocab broadcast -> window-over-term rewrite), pmi (unhinted
+    # unigram joins), table_checksum_diff (live isNull branch), udtf
+    # (NULL-text semantics), streaming_kmv_distinct (counts-first atomic
+    # epoch commit), lm_perplexity_filter (persisted LUT artifact),
+    # streaming_incremental_dedup (epoch-state compaction fold)
     "tfidf_lang_terms",
-    "percentile_bands",
-    "funnel_conversion",
-    "cohort_retention",
-    "hourly_autocorr_lag1",
-    # -- new in r7, never driver-checked: streaming intake dedup against the
-    #    persisted LSH band index (takes q20's slot; q20 is r6-driver-green
-    #    and in the TPCH parity list)
-    "streaming_incremental_dedup",
-    # -- new in r7: curriculum staging over the distributed exact NTILE
-    #    (takes q21's slot; q21 is r6-driver-green and TPCH-parity-listed)
-    "curriculum_stages",
-    # -- new in r7: RAG/context-window chunking (takes decontamination's
-    #    slot; that query is r6-driver-green and in the ORACLED parity list)
-    "chunk_documents",
-    # -- new in r8, never driver-checked: streaming KMV distinct sketch
-    #    (takes bpe_train_merges' slot; r6-driver-green, added to ORACLED)
-    "streaming_kmv_distinct",
-    # -- new in r7: streaming CCNet gate (takes repetition_quality_signals'
-    #    slot; that query is r6-driver-green and in the ORACLED parity list)
-    "streaming_quality_gate",
-    # -- new in r7: streaming A-ES reservoir (takes pack_sequences' slot;
-    #    r6-driver-green, ORACLED-listed)
-    "streaming_weighted_reservoir",
-    # -- new in r7: interval-containment range join (takes
-    #    temperature_resample_weights' slot; r6-green, ORACLED-listed)
-    "open_orders_range_join",
-    # -- changed in r7 (distributed prefix-sum rewire): fresh driver row;
-    #    takes zorder_layout_stats' slot (r6-green, RELATIONAL-listed)
-    "pack_sequences",
-    "value_band_join",
-    "pagerank_trade_graph",
-    # -- late r6 additions, never driver-checked: PQ ANN, RANGE-frame moving
-    #    average, dynamic-gap sessions (batch + streaming), and the second
-    #    r6 wave (training shuffle, exact-substring dedup, SemDeDup, BPE
-    #    tokenize-apply, streaming top-k, z-order layout, source mix,
-    #    leakage-free split)
-    # -- new in r8: Python-UDTF flat-map + positional phrase search (take
-    #    cosine_topk_pq's and moving_average_7d's slots; both r6-driver-
-    #    green and ORACLED/WINDOWED-parity-listed)
-    "udtf_word_positions",
-    "phrase_search_positional",
-    "dynamic_gap_sessions",
-    "streaming_dynamic_gap_sessions",
-    "training_shuffle_shards",
-    "exact_substring_dedup",
-    "semantic_dedup",
-    "bpe_tokenize_corpus",
-    "streaming_windowed_topk",
-    # -- new in r7: the composed intake pipeline (takes source_mix_report's
-    #    slot; r6-green, ORACLED-listed)
-    "streaming_intake_pipeline",
-    "leakage_free_split",
-    # -- wave-3 additions (this session), never driver-checked; they take
-    # the slots the r3-era re-proves held (q10/q14/q6/event_transition/
-    # semi_anti/pipeline_enriched/kafka x2/rollup/near_dup_clusters/
-    # dedup_keep_list/streaming_enrichment_join -- each r3-driver-green,
-    # now added to a pytest oracle-parity list so the meta-coverage guard
-    # keeps an active local witness; the whole registry also passed the
-    # sf0.01 gate-replica sweep this session). resample_corpus_epoch takes
-    # the 12th slot: its Bernoulli arithmetic changed this round (overflow
-    # fix), so a fresh driver row re-proves the new formula.
-    "bm25_keyword_search",
-    "dsir_importance_weights",
-    # -- new in r8: per-group closed-form OLS trend (takes
-    #    timeseries_gap_fill's slot; r6-driver-green, RELATIONAL-listed)
-    "daily_trend_ols",
-    "scd2_priority_dimension",
-    # -- new in r8: anti-entropy checksum diff + streaming transition
-    #    matrix (take grouping_sets_agg's and trade_graph_triangles'
-    #    slots; both r6-driver-green, RELATIONAL/TPCH-parity-listed)
-    "table_checksum_diff",
-    "streaming_transition_matrix",
-    "weighted_sample_docs",
-    "attribution_last_touch",
-    "equi_depth_histogram",
-    "merge_upsert_snapshot",
     "pmi_collocations",
-    "resample_corpus_epoch",
-    # -- changed in r6: needs a fresh driver row
-    "approx_distinct_users",
-    # (embedding_cosine_near_dup rotated out: r5-driver-green, unchanged,
-    #  in the ORACLED pytest parity list; slot goes to the float-hash
-    #  showcase below)
-    "anomaly_zscore_events",
-    # -- new in the r6 continuation session, never driver-checked: LM quality
-    #    filter, IVF-PQ residual ANN, incremental dedup, text normalization.
-    #    Displaced (all r5-driver-green on current fixtures, now pytest-
-    #    witnessed): pct_output_decode + session_window_agg (added to the
-    #    WINDOWED parity list), stream_stream_interval_join +
-    #    streaming_three_stream_connect (streaming suite replays them)
+    "table_checksum_diff",
+    "udtf_word_positions",
+    "streaming_kmv_distinct",
     "lm_perplexity_filter",
-    "cosine_topk_ivfpq",
-    "incremental_batch_dedup",
-    "clean_normalize_docs",
+    "streaming_incremental_dedup",
+    # -- the 27 stalest queries: last driver row r4 (judge re-proved 20 of
+    # the stale set local in r8; this refreshes them on current fixtures).
+    # streaming_enrichment_join is the one r4 entry left out (streaming-
+    # exempt, replayed by tests/test_streaming.py).
+    "avg_agg",
+    "cosine_topk_bruteforce",
+    "cube_agg",
+    "dedup_keep_list",
+    "distinct_agg",
+    "event_transition_matrix",
+    "exact_dedup_docs",
+    "kafka_envelope_roundtrip",
+    "kafka_loopback_seek",
+    "minhash_lsh_near_dup",
+    "near_dup_clusters",
+    "ngram_jaccard_dedup",
+    "pipeline_enriched_agg",
+    "pivot_agg",
+    "profile_columns",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_star_join_volume",
+    "q6_forecast_revenue",
+    "rollup_agg",
+    "salted_hot_key_agg",
+    "semi_anti_join_cohorts",
+    "set_ops_users",
+    "simhash_near_dup",
+    "top_k_per_group",
     # -- streaming sentinel (most sensitive to fixture/timestamp drift)
     "streaming_flagship_agg",
 ]
+
 
 
 def _apply_priority() -> None:

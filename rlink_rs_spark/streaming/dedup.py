@@ -46,16 +46,19 @@ admitted batches (bounded by corpus size / 4 bands, not by stream length);
 the static corpus contributes only band-index reads and shingle lookups for
 verified candidates.
 
-Compaction contract: each epoch reads the UNION of all earlier epoch dirs,
-so a long-lived stream accumulates O(epochs) small dirs -- the same growth
-an LSM level-0 has, with the same remedy: periodically fold the epoch
-deltas into the base band-index artifact (a deterministic rewrite keyed by
-the max folded epoch, so a crash mid-compaction replays it idempotently)
-and drop the folded dirs at the NEXT successful checkpoint, never inside
-the epoch that wrote them. The 4-chunk replay here stays well under any
-compaction trigger; the policy is documented rather than exercised because
-the artifact-fold is byte-identical to `load_or_build_band_index` on the
-concatenated corpus, which IS exercised.
+Compaction (LSM level-0 fold, exercised by
+tests/test_streaming.py::test_streaming_dedup_compaction_crash_resume):
+each epoch reads the union of earlier state dirs, so a long-lived stream
+accumulates O(epochs) small dirs. When the committed delta count reaches
+`compact_every`, the epoch folds base + deltas into a new
+`base_upto=<max folded epoch>` dir -- a DETERMINISTIC union keyed by the
+max folded epoch, so a crash mid-fold replays it idempotently (overwrite
+of the same dir name, torn dirs have no _SUCCESS and are invisible).
+Folded delta dirs and superseded bases are dropped by a GC pass at the
+START of the NEXT epoch, never inside the epoch that wrote the base, so a
+crash anywhere leaves at least one complete representation on disk.
+Readers take the newest committed base plus the deltas above its
+watermark; state content is identical before and after a fold.
 """
 
 from __future__ import annotations
@@ -99,25 +102,92 @@ _OUT_SCHEMA_Q = (
 )
 
 
-def _epoch_dirs(root: str, before_epoch: int) -> list[str]:
-    """Committed state dirs for epochs strictly before `before_epoch` (a
-    retried epoch must not see its own partial writes)."""
+def _epoch_dirs(root: str, before_epoch: int, after_epoch: int = -1) -> list[str]:
+    """COMMITTED (_SUCCESS present) delta dirs for epochs in
+    (after_epoch, before_epoch) -- a retried epoch must not see its own
+    partial writes, and readers must skip dirs a crash left torn."""
     if not os.path.isdir(root):
         return []
     out = []
     for d in sorted(os.listdir(root)):
         if not d.startswith("batch_id="):
             continue
-        if int(d.split("=", 1)[1]) < before_epoch:
+        i = int(d.split("=", 1)[1])
+        if after_epoch < i < before_epoch and os.path.exists(
+            os.path.join(root, d, "_SUCCESS")
+        ):
             out.append(os.path.join(root, d))
     return out
 
 
+def _newest_base(root: str) -> tuple[str | None, int]:
+    """Newest committed compaction base under `root` as (path, upto);
+    (None, -1) when no fold has happened yet."""
+    if not os.path.isdir(root):
+        return None, -1
+    best, best_upto = None, -1
+    for d in os.listdir(root):
+        if d.startswith("base_upto=") and os.path.exists(
+            os.path.join(root, d, "_SUCCESS")
+        ):
+            upto = int(d.split("=", 1)[1])
+            if upto > best_upto:
+                best, best_upto = os.path.join(root, d), upto
+    return best, best_upto
+
+
+def _state_inputs(root: str, before_epoch: int) -> list[str]:
+    """Newest committed base (if any) + committed deltas above its
+    watermark and below `before_epoch` -- together exactly the state of
+    all committed epochs < before_epoch, fold or no fold."""
+    base, upto = _newest_base(root)
+    dirs = _epoch_dirs(root, before_epoch, after_epoch=upto)
+    return ([base] if base is not None else []) + dirs
+
+
 def _read_state(spark: SparkSession, root: str, schema: str, before_epoch: int) -> DataFrame:
-    dirs = _epoch_dirs(root, before_epoch)
+    dirs = _state_inputs(root, before_epoch)
     if not dirs:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*dirs)
+
+
+def _gc_folded(root: str) -> None:
+    """Drop delta dirs covered by the newest committed base, plus
+    superseded bases -- the deferred half of a fold, run at the START of
+    a later epoch so the folding epoch's crash window never deletes the
+    only copy of any state."""
+    import shutil
+
+    base, upto = _newest_base(root)
+    if base is None:
+        return
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= upto:
+            shutil.rmtree(p, ignore_errors=True)
+        elif d.startswith("base_upto=") and p != base:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _compact(
+    spark: SparkSession, root: str, schema: str, before_epoch: int, compact_every: int
+) -> None:
+    """Fold base + committed deltas below `before_epoch` into a new
+    `base_upto=<max delta>` dir once the delta count reaches
+    `compact_every`. Deterministic: the output is keyed by the max folded
+    epoch and its content is the union of all state <= that epoch, so a
+    replayed fold overwrites byte-identical data. Old dirs are NOT removed
+    here (see _gc_folded)."""
+    deltas = _epoch_dirs(root, before_epoch, after_epoch=_newest_base(root)[1])
+    if len(deltas) < compact_every:
+        return
+    upto = max(int(os.path.basename(d).split("=", 1)[1]) for d in deltas)
+    base, _ = _newest_base(root)
+    inputs = ([base] if base is not None else []) + deltas
+    spark.read.schema(schema).parquet(*inputs).write.mode("overwrite").parquet(
+        os.path.join(root, f"base_upto={upto}")
+    )
 
 
 def streaming_incremental_dedup_sink(
@@ -132,6 +202,8 @@ def streaming_incremental_dedup_sink(
     bands: int = 4,
     crash_at_epoch: int | None = None,
     score_fn=None,
+    compact_every: int = 8,
+    crash_in_compaction_at: int | None = None,
 ):
     """Wire the admit pipeline as a foreachBatch sink over `doc_stream`
     (columns doc_id, text, ...). Returns the started StreamingQuery;
@@ -146,12 +218,20 @@ def streaming_incremental_dedup_sink(
     verdict as passes_quality, with admit = passes_quality AND not a
     duplicate. Dedup state still records EVERY streamed doc (quality-
     rejected docs remain dedup targets), so the dedup columns stay
-    row-identical to the plain sink and the batch twin."""
+    row-identical to the plain sink and the batch twin.
+
+    `compact_every` is the LSM-style fold trigger: once that many delta
+    dirs have committed since the last base, the epoch folds them (plus
+    the old base) into a new `base_upto=` dir; folded dirs are GC'd at
+    the start of the NEXT epoch. `crash_in_compaction_at` raises BETWEEN
+    the two state dirs' folds (hashes folded, bands not) on the first
+    attempt only -- the mid-compaction kill/resume test hook."""
     spark = doc_stream.sparkSession
     out_dir = os.path.join(work_dir, "out")
     hash_dir = os.path.join(work_dir, "state_hashes")
     band_dir = os.path.join(work_dir, "state_bands")
     crash_marker = os.path.join(work_dir, "crashed_once")
+    compact_crash_marker = os.path.join(work_dir, "crashed_in_compaction")
 
     hist_hashes = history.select(F.md5("text").alias("h")).distinct()
 
@@ -160,6 +240,21 @@ def streaming_incremental_dedup_sink(
             with open(crash_marker, "w") as f:
                 f.write(str(epoch_id))
             raise RuntimeError(f"injected crash at epoch {epoch_id}")
+
+        # deferred GC of dirs a PRIOR epoch's fold superseded, then this
+        # epoch's fold if the committed-delta count reached the trigger
+        _gc_folded(hash_dir)
+        _gc_folded(band_dir)
+        _compact(spark, hash_dir, _HASH_SCHEMA, epoch_id, compact_every)
+        if (
+            crash_in_compaction_at is not None
+            and epoch_id == crash_in_compaction_at
+            and not os.path.exists(compact_crash_marker)
+        ):
+            with open(compact_crash_marker, "w") as f:
+                f.write(str(epoch_id))
+            raise RuntimeError(f"injected mid-compaction crash at epoch {epoch_id}")
+        _compact(spark, band_dir, _BAND_SCHEMA, epoch_id, compact_every)
 
         batch = batch_df.select("doc_id", "text").cache()
 

@@ -70,6 +70,9 @@ ORACLED = [
     "bpe_train_merges",
     # new in r8, not in the window (composition of three listed filters)
     "quality_ensemble_gate",
+    # displaced from the driver window by the r9 rotation (r8-driver-green)
+    "phrase_search_positional",
+    "approx_distinct_users",
 ]
 
 

@@ -59,6 +59,8 @@ RELATIONAL = [
     "incremental_daily_rollup",
     "temporal_dimension_join",
     "cms_heavy_hitters",
+    # displaced from the driver window by the r9 rotation (r8-driver-green)
+    "daily_trend_ols",
 ]
 
 

@@ -905,3 +905,94 @@ def test_streaming_cms_counters_equal_batch_fold(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_streaming_dedup_compaction_crash_resume(spark, sf_dir):
+    """Epoch-state compaction (VERDICT r8 #3): run the intake stream over 8
+    micro-batches with an LSM fold every 3 committed deltas, kill it
+    MID-COMPACTION (after the hashes fold commits, before the bands fold),
+    resume, and require (a) the drained verdicts row-identical to
+    incremental_batch_dedup, and (b) the state dirs actually folded --
+    a committed base_upto dir present and the covered deltas GC'd."""
+    import os
+
+    from rlink_rs_spark.operators.dedup import load_or_build_band_index, with_shingles
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.dedup import (
+        _BANDS,
+        _INCR_THR,
+        _N_HASHES,
+        _documents_fingerprint,
+    )
+    from rlink_rs_spark.streaming.dedup import (
+        _newest_base,
+        read_verdicts,
+        streaming_incremental_dedup_sink,
+    )
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 4 != 0)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hist_banded = load_or_build_band_index(
+        spark,
+        with_shingles(history),
+        cache_dir=os.path.join(repo_root, "artifacts", "lsh_band_index"),
+        fingerprint=_documents_fingerprint(sf_dir),
+        n_hashes=_N_HASHES,
+        bands=_BANDS,
+    )
+    staged = stage_stream_dir(sf_dir, "documents", chunks=8, order_col="doc_id")
+    work_dir = tempfile.mkdtemp(prefix="rlink_sdedup_compact_")
+    ck = tempfile.mkdtemp(prefix="rlink_sdedup_compact_ck_")
+
+    def start():
+        src = stream_from_staged(
+            spark, staged, sf_dir, "documents", max_files_per_trigger=1
+        ).where(F.col("doc_id") % 4 == 0)
+        return streaming_incremental_dedup_sink(
+            src,
+            history,
+            hist_banded,
+            with_shingles(docs),
+            work_dir=work_dir,
+            checkpoint=ck,
+            threshold=_INCR_THR,
+            n_hashes=_N_HASHES,
+            bands=_BANDS,
+            compact_every=3,          # first fold at epoch 3 (deltas 0,1,2)
+            crash_in_compaction_at=3,  # between the hashes and bands folds
+        )
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = start()
+    with pytest.raises(StreamingQueryException, match="mid-compaction"):
+        q.awaitTermination(300)
+    hash_dir = os.path.join(work_dir, "state_hashes")
+    band_dir = os.path.join(work_dir, "state_bands")
+    # the crash window's exact state: hashes folded and committed, bands not
+    assert _newest_base(hash_dir) == (os.path.join(hash_dir, "base_upto=2"), 2)
+    assert _newest_base(band_dir) == (None, -1)
+
+    q2 = start()  # marker file makes the retried fold proceed
+    assert q2.awaitTermination(300), "resumed intake stream timed out"
+    assert q2.exception() is None
+
+    got = {tuple(r) for r in read_verdicts(spark, work_dir).collect()}
+    want = {
+        tuple(r)
+        for r in REGISTRY["incremental_batch_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+    # both state dirs folded (second trigger at epoch 6 covers deltas 3-5)
+    # and the GC pass dropped every delta the newest base covers
+    for d in (hash_dir, band_dir):
+        base, upto = _newest_base(d)
+        assert base is not None and upto == 5, (d, base, upto)
+        leftover = [
+            x for x in os.listdir(d)
+            if x.startswith("batch_id=") and int(x.split("=", 1)[1]) <= upto
+        ]
+        assert not leftover, (d, leftover)
