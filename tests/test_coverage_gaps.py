@@ -571,3 +571,24 @@ def test_cms_counters_merge_and_overestimate_bound(spark, sf_dir):
 
     for r in REGISTRY["cms_heavy_hitters"].fn(spark, sf_dir).collect():
         assert r.cms_estimate >= r.exact_cnt
+
+
+def test_committed_sf1_witness_is_clean():
+    """Scale-regression gate (VERDICT r8 #4): the committed 10x witness
+    must have zero queries above 2x linear -- the absolute bar
+    tools/make_sf1_witness.py also enforces (plus a 1.5x-degradation
+    check against the previous witness) at refresh time. A refresh that
+    trips the gate exits nonzero and must not be committed."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_sf1.json")
+    with open(path) as f:
+        witness = json.load(f)
+    assert witness["queries_over_2x_linear"] == []
+    over = {
+        name: row["vs_linear"]
+        for name, row in witness["queries"].items()
+        if row["vs_linear"] > 2.0
+    }
+    assert not over, f"committed witness has super-linear rows: {over}"
