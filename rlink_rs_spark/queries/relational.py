@@ -1344,27 +1344,10 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the snapshot never shuffles -- the property real MERGE relies on
     (file-level pruning replaces the anti-join's row-level work).
     Emits md5(text) rather than text to keep the result compact."""
+    from rlink_rs_spark.streaming.cdc import derive_cdc_changes
+
     base = load_table(spark, sf_dir, "documents")
-    deletes = base.where(F.col("doc_id") % 13 == 0).select(
-        "doc_id", F.lit("D").alias("op"),
-        F.lit(None).cast("string").alias("text"),
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(None).cast("string").alias("source"),
-        F.lit(None).cast("bigint").alias("n_chars"),
-    )
-    updates = base.where((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0)).select(
-        "doc_id", F.lit("U").alias("op"),
-        F.concat(F.lit("v2:"), F.col("text")).alias("text"),
-        "lang", "source",
-        (F.col("n_chars") + 3).alias("n_chars"),
-    )
-    inserts = base.where(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 10000000).alias("doc_id"), F.lit("I").alias("op"),
-        F.concat(F.lit("new:"), F.col("text")).alias("text"),
-        "lang", F.lit("backfill").alias("source"),
-        (F.col("n_chars") + 4).alias("n_chars"),
-    )
-    changes = deletes.unionByName(updates).unionByName(inserts)
+    changes = derive_cdc_changes(base)
     untouched = base.join(
         F.broadcast(changes.select("doc_id")), "doc_id", "left_anti"
     ).select(
@@ -1376,6 +1359,52 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars", F.lit(1).cast("int").alias("version"),
     )
     return untouched.unionByName(upserted)
+
+
+@register(
+    "streaming_cdc_merge",
+    _MERGE_ORACLE,  # shared with the batch twin: same changefeed, same MERGE
+    "STREAMING CDC MERGE: a changefeed applied continuously to a "
+    "persisted BUCKETED snapshot -- each micro-batch rewrites only the "
+    "hash buckets its change keys touch (file-level pruning, the Delta/"
+    "Iceberg MERGE shape), with per-epoch overwrite commits for "
+    "exactly-once across restarts. The drained snapshot equals the "
+    "batch MERGE (shared oracle). Closes the continuous-upsert "
+    "warehouse shape the reference's sinks (clickhouse_sink.rs:27-102, "
+    "plain batched inserts) stop short of.",
+)
+def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay documents in 4 doc_id-ordered chunks; each epoch derives its
+    chunk's change events and merges them into the carried snapshot,
+    touching only changed buckets (streaming/cdc.py). The snapshot never
+    fully rewrites -- per-epoch cost is O(changed buckets), not O(corpus)."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.cdc import (
+        read_merged_snapshot,
+        streaming_merge_sink,
+        write_base_snapshot,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_")
+    write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        order_col="doc_id",
+    )
+    q = streaming_merge_sink(
+        src.select("doc_id", "text", "lang", "source", "n_chars"),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_cdc_ck_"),
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_cdc_merge did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_merged_snapshot(spark, work_dir)
 
 
 # --- key-skew diagnostics ----------------------------------------------------

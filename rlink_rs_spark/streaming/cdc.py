@@ -1,0 +1,183 @@
+"""Streaming CDC MERGE -- continuous upsert maintenance of a persisted
+snapshot, the streaming twin of queries/relational.merge_upsert_snapshot.
+
+The snapshot lives as a BUCKETED copy-on-write artifact: rows hash into
+``N_BUCKETS`` fixed buckets by merge key, and each micro-batch of change
+events (insert / update / delete) rewrites ONLY the buckets its keys
+touch -- the file-level pruning that real MERGE engines (Delta, Iceberg,
+Hudi) rely on, expressed as a directory protocol:
+
+    <work>/snap/batch_id=-1/bucket=B/...   the base snapshot (all buckets)
+    <work>/snap/batch_id=N/bucket=B/...    buckets rewritten by epoch N
+
+The CURRENT version of bucket B is its newest committed (``_SUCCESS``)
+``batch_id`` dir; reading the snapshot is one union over the per-bucket
+newest versions, O(1) dirs per bucket regardless of stream length.
+
+Epoch protocol (same as streaming/dedup.py / rollup.py / sketches.py):
+epoch N reads per-bucket state from committed epochs with id < N and
+overwrites ``batch_id=N`` -- change derivation is deterministic, so a
+crash-replayed epoch rewrites byte-identical buckets: exactly-once.
+
+At 100 TB: the snapshot NEVER fully rewrites. A change batch touching k
+of NB buckets costs one broadcast anti-join over k buckets' rows plus a
+k-bucket write; NB scales with corpus size so per-bucket rewrite stays
+bounded. The changed-bucket list is a <= NB-row collect (bounded by
+config, not data). Superseded bucket versions become garbage once the
+epoch that replaced them is past the checkpoint ack; folding them away
+is the same LSM compaction exercised for the dedup epoch state
+(streaming/dedup.py:compact_epoch_state).
+
+Reference parity: the reference has no MERGE operator; this closes the
+continuous-upsert warehouse shape its sink surface (clickhouse_sink.rs:
+27-102 batches plain inserts) stops short of, composed from pieces the
+repo already proves (foreachBatch exactly-once, artifact carriers,
+shared batch/stream oracles).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 8
+
+_SNAP_SCHEMA = (
+    "doc_id bigint, content_md5 string, lang string, source string, "
+    "n_chars bigint, version int"
+)
+
+
+def _bucket(col):
+    return F.pmod(F.xxhash64(col.cast("bigint")), F.lit(N_BUCKETS)).cast("int")
+
+
+def derive_cdc_changes(docs: DataFrame) -> DataFrame:
+    """The deterministic changefeed both twins share (rules documented in
+    relational._MERGE_ORACLE): doc_id % 13 deletes (delete wins on rule
+    overlap), % 7 updates, % 50 spawns an insert in a disjoint key range.
+    Deriving per micro-batch is exactly-once because each doc_id arrives
+    in exactly one replay chunk."""
+    deletes = docs.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id", F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+    )
+    updates = docs.where(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0)
+    ).select(
+        "doc_id", F.lit("U").alias("op"),
+        F.concat(F.lit("v2:"), F.col("text")).alias("text"),
+        "lang", "source",
+        (F.col("n_chars") + 3).alias("n_chars"),
+    )
+    inserts = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), F.lit("I").alias("op"),
+        F.concat(F.lit("new:"), F.col("text")).alias("text"),
+        "lang", F.lit("backfill").alias("source"),
+        (F.col("n_chars") + 4).alias("n_chars"),
+    )
+    return deletes.unionByName(updates).unionByName(inserts)
+
+
+def write_base_snapshot(docs: DataFrame, work_dir: str) -> None:
+    """Materialize the version-0 snapshot as batch_id=-1, partitioned by
+    bucket -- the state every later epoch's per-bucket reads key off."""
+    snap = docs.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        "lang", "source", "n_chars",
+        F.lit(0).cast("int").alias("version"),
+    ).withColumn("bucket", _bucket(F.col("doc_id")))
+    snap.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(work_dir, "snap", "batch_id=-1")
+    )
+
+
+def _bucket_versions(snap_dir: str, before_epoch: int) -> dict[int, str]:
+    """{bucket: path of its newest committed version among epochs < N}.
+    Committed = the epoch dir carries Spark's _SUCCESS marker; a torn
+    crash-epoch is invisible to both replaying writers and readers."""
+    out: dict[int, str] = {}
+    if not os.path.isdir(snap_dir):
+        return out
+    epochs = []
+    for d in os.listdir(snap_dir):
+        if d.startswith("batch_id="):
+            i = int(d.split("=", 1)[1])
+            if i < before_epoch and os.path.exists(
+                os.path.join(snap_dir, d, "_SUCCESS")
+            ):
+                epochs.append(i)
+    for eid in sorted(epochs, reverse=True):
+        edir = os.path.join(snap_dir, f"batch_id={eid}")
+        for sub in os.listdir(edir):
+            if sub.startswith("bucket="):
+                out.setdefault(int(sub.split("=", 1)[1]), os.path.join(edir, sub))
+    return out
+
+
+def read_snapshot(
+    spark: SparkSession,
+    work_dir: str,
+    before_epoch: int,
+    buckets: set[int] | None = None,
+) -> DataFrame:
+    """Union the per-bucket newest committed versions (optionally only the
+    listed buckets). Schema is pinned: leaf bucket dirs carry no partition
+    column and an empty selection must still have the snapshot shape."""
+    vers = _bucket_versions(os.path.join(work_dir, "snap"), before_epoch)
+    paths = [p for b, p in vers.items() if buckets is None or b in buckets]
+    if not paths:
+        return spark.createDataFrame([], _SNAP_SCHEMA)
+    return spark.read.schema(_SNAP_SCHEMA).parquet(*paths)
+
+
+def streaming_merge_sink(doc_stream: DataFrame, work_dir: str, checkpoint: str):
+    """foreachBatch sink applying each micro-batch's derived changefeed to
+    the bucketed snapshot: anti-join the touched buckets' current rows
+    against the (broadcast) change keys, union the upserts, rewrite only
+    those buckets under batch_id=N. Returns the started StreamingQuery."""
+    spark = doc_stream.sparkSession
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        changes = derive_cdc_changes(batch_df).withColumn(
+            "bucket", _bucket(F.col("doc_id"))
+        )
+        # bounded collect: <= N_BUCKETS rows by construction
+        touched = {r[0] for r in changes.select("bucket").distinct().collect()}
+        if not touched:
+            return
+        current = read_snapshot(spark, work_dir, epoch_id, buckets=touched)
+        untouched = current.join(
+            F.broadcast(changes.select("doc_id").distinct()), "doc_id", "left_anti"
+        )
+        upserts = changes.where(F.col("op") != "D").select(
+            "doc_id",
+            F.md5("text").alias("content_md5"),
+            "lang", "source", "n_chars",
+            F.lit(1).cast("int").alias("version"),
+        )
+        merged = untouched.unionByName(upserts).withColumn(
+            "bucket", _bucket(F.col("doc_id"))
+        )
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(work_dir, "snap", f"batch_id={epoch_id}")
+        )
+
+    return (
+        doc_stream.writeStream.outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_merged_snapshot(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Drain: the per-bucket newest committed versions across all epochs."""
+    return read_snapshot(spark, work_dir, 1 << 62)

@@ -996,3 +996,93 @@ def test_streaming_dedup_compaction_crash_resume(spark, sf_dir):
             if x.startswith("batch_id=") and int(x.split("=", 1)[1]) <= upto
         ]
         assert not leftover, (d, leftover)
+
+
+def test_streaming_cdc_merge_crash_resume_and_bucket_pruning(spark, sf_dir):
+    """Kill the CDC merge stream mid-replay and resume: the drained
+    snapshot must equal the batch MERGE row-for-row (per-epoch overwrite
+    idempotence), every committed epoch dir must contain EXACTLY the
+    buckets its chunk's change keys hash to (the file-level pruning the
+    design rides on), and torn (no-_SUCCESS) epochs must be invisible."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.streaming.cdc import (
+        N_BUCKETS,
+        derive_cdc_changes,
+        read_merged_snapshot,
+        streaming_merge_sink,
+        write_base_snapshot,
+    )
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+    from rlink_rs_spark.tables import load_table
+
+    staged = stage_stream_dir(sf_dir, "documents", chunks=4, order_col="doc_id")
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_test_")
+    ck = tempfile.mkdtemp(prefix="rlink_cdc_test_ck_")
+    write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
+
+    def start():
+        src = stream_from_staged(
+            spark, staged, sf_dir, "documents", max_files_per_trigger=1
+        )
+        return streaming_merge_sink(
+            src.select("doc_id", "text", "lang", "source", "n_chars"),
+            work_dir=work_dir,
+            checkpoint=ck,
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    assert q2.awaitTermination(240), "resumed CDC merge stream timed out"
+
+    # bucket pruning: each committed epoch dir holds exactly the buckets
+    # its chunk's derived change keys hash to
+    docs = load_table(spark, sf_dir, "documents")
+    table = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    ids = sorted(table.column("doc_id").to_pylist())
+    per = (len(ids) + 3) // 4
+    snap_dir = os.path.join(work_dir, "snap")
+    for i in range(4):
+        chunk_ids = set(ids[i * per : (i + 1) * per])
+        chunk = docs.where(F.col("doc_id").isin(chunk_ids))
+        want_buckets = {
+            r[0]
+            for r in derive_cdc_changes(chunk)
+            .select(
+                F.pmod(F.xxhash64(F.col("doc_id").cast("bigint")), F.lit(N_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        edir = os.path.join(snap_dir, f"batch_id={i}")
+        assert os.path.exists(os.path.join(edir, "_SUCCESS")), edir
+        got_buckets = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(edir)
+            if d.startswith("bucket=")
+        }
+        assert got_buckets == want_buckets, (i, got_buckets, want_buckets)
+
+    # a torn epoch (no _SUCCESS) must be invisible to the drain reader
+    before = {tuple(r) for r in read_merged_snapshot(spark, work_dir).collect()}
+    torn = os.path.join(snap_dir, "batch_id=99", "bucket=0")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    after = {tuple(r) for r in read_merged_snapshot(spark, work_dir).collect()}
+    assert after == before
+
+    want = {
+        tuple(r) for r in REGISTRY["merge_upsert_snapshot"].fn(spark, sf_dir).collect()
+    }
+    assert before == want and before
