@@ -66,13 +66,16 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_kmv_distinct",
     "lm_perplexity_filter",
     "streaming_incremental_dedup",
-    # -- the 27 stalest queries: last driver row r4 (judge re-proved 20 of
+    # -- new in r9: CDC MERGE pair (bucketed copy-on-write snapshot)
+    "streaming_cdc_merge",
+    "cdc_time_travel",
+    # -- the 25 stalest queries: last driver row r4 (judge re-proved 20 of
     # the stale set local in r8; this refreshes them on current fixtures).
     # streaming_enrichment_join is the one r4 entry left out (streaming-
-    # exempt, replayed by tests/test_streaming.py).
+    # exempt, replayed by tests/test_streaming.py); cube_agg and pivot_agg
+    # were displaced by the r9 CDC pair into the RELATIONAL parity list.
     "avg_agg",
     "cosine_topk_bruteforce",
-    "cube_agg",
     "dedup_keep_list",
     "distinct_agg",
     "event_transition_matrix",
@@ -83,7 +86,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "near_dup_clusters",
     "ngram_jaccard_dedup",
     "pipeline_enriched_agg",
-    "pivot_agg",
     "profile_columns",
     "q10_returned_items",
     "q14_promo_share",

@@ -1304,18 +1304,21 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic change batch derived from the snapshot itself: deletes take
 # precedence over updates when a key matches both rules; inserts use a
-# disjoint key range.
-_MERGE_ORACLE = """
+# disjoint key range. `pred` restricts which source docs have emitted their
+# change event yet (TRUE = the fully-applied changefeed; the time-travel
+# oracle passes the replay prefix).
+def _merge_oracle(pred: str = "TRUE") -> str:
+    return f"""
 WITH changes AS (
   SELECT doc_id, 'D' AS op, NULL AS text, NULL AS lang, NULL AS source,
          CAST(NULL AS BIGINT) AS n_chars
-  FROM documents WHERE doc_id % 13 = 0
+  FROM documents WHERE doc_id % 13 = 0 AND ({pred})
   UNION ALL
   SELECT doc_id, 'U', 'v2:' || text, lang, source, n_chars + 3
-  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0 AND ({pred})
   UNION ALL
   SELECT doc_id + 10000000, 'I', 'new:' || text, lang, 'backfill', n_chars + 4
-  FROM documents WHERE doc_id % 50 = 0
+  FROM documents WHERE doc_id % 50 = 0 AND ({pred})
 )
 SELECT b.doc_id, md5(b.text) AS content_md5, b.lang, b.source, b.n_chars,
        0 AS version
@@ -1325,6 +1328,18 @@ UNION ALL
 SELECT doc_id, md5(text), lang, source, n_chars, 1
 FROM changes WHERE op <> 'D'
 """
+
+
+_MERGE_ORACLE = _merge_oracle()
+
+# The replay stages documents in 4 doc_id-ordered chunks of ceil(n/4) rows;
+# "as of epoch 1" = the changefeed of the first two chunks applied.
+_TIME_TRAVEL_PRED = """doc_id IN (
+  SELECT rid FROM (
+    SELECT doc_id AS rid, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn <= 2 * CEIL((SELECT COUNT(*) FROM documents) / 4.0)
+)"""
 
 
 @register(
@@ -1405,6 +1420,52 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return read_merged_snapshot(spark, work_dir)
+
+
+@register(
+    "cdc_time_travel",
+    _merge_oracle(_TIME_TRAVEL_PRED),
+    "Time travel over the CDC-merged snapshot: read the bucketed "
+    "copy-on-write artifact AS OF epoch 1 (half the changefeed applied) "
+    "after the full stream has drained, under a Delta-style GC retention "
+    "window -- per-bucket version resolution at an epoch bound, the "
+    "read path real MERGE tables get from their transaction log.",
+)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same replay as streaming_cdc_merge but with retain=8 so GC keeps
+    every in-window version, then resolves each bucket to its newest
+    version among epochs <= 1 (streaming/cdc.py read_snapshot). The
+    oracle applies only the first two chunks' change events -- proving
+    as-of reads see exactly the prefix-merged state, untouched by the
+    later epochs that have already committed on top."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.cdc import (
+        read_snapshot,
+        streaming_merge_sink,
+        write_base_snapshot,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_tt_")
+    write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        order_col="doc_id",
+    )
+    q = streaming_merge_sink(
+        src.select("doc_id", "text", "lang", "source", "n_chars"),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_cdc_tt_ck_"),
+        retain=8,
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("cdc_time_travel did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_snapshot(spark, work_dir, before_epoch=2)
 
 
 # --- key-skew diagnostics ----------------------------------------------------

@@ -23,10 +23,13 @@ At 100 TB: the snapshot NEVER fully rewrites. A change batch touching k
 of NB buckets costs one broadcast anti-join over k buckets' rows plus a
 k-bucket write; NB scales with corpus size so per-bucket rewrite stays
 bounded. The changed-bucket list is a <= NB-row collect (bounded by
-config, not data). Superseded bucket versions become garbage once the
-epoch that replaced them is past the checkpoint ack; folding them away
-is the same LSM compaction exercised for the dedup epoch state
-(streaming/dedup.py:compact_epoch_state).
+config, not data). Superseded bucket versions are garbage-collected at
+the START of each epoch (``_gc_superseded``): when epoch N begins, every
+epoch < N is checkpoint-acked (foreachBatch for N only fires after N-1's
+commit returned), so for each bucket only the newest committed version
+among epochs < N can ever be read again -- older versions delete safely,
+and a crash mid-GC just replays the idempotent deletions. Version chains
+therefore stay O(1) per bucket, not O(epochs).
 
 Reference parity: the reference has no MERGE operator; this closes the
 continuous-upsert warehouse shape its sink surface (clickhouse_sink.rs:
@@ -137,14 +140,52 @@ def read_snapshot(
     return spark.read.schema(_SNAP_SCHEMA).parquet(*paths)
 
 
-def streaming_merge_sink(doc_stream: DataFrame, work_dir: str, checkpoint: str):
+def _gc_superseded(snap_dir: str, before_epoch: int) -> None:
+    """Delete bucket versions superseded by a newer committed epoch < N.
+
+    Safe because the caller is epoch N's handler: every epoch < N is past
+    its checkpoint ack (micro-batches are serial), so no future replay can
+    read anything but the newest committed version per bucket among
+    epochs < N. Deletion is idempotent -- a crash mid-GC replays it."""
+    import shutil
+
+    newest = _bucket_versions(snap_dir, before_epoch)
+    keep = set(newest.values())
+    if not os.path.isdir(snap_dir):
+        return
+    for d in os.listdir(snap_dir):
+        if not d.startswith("batch_id="):
+            continue
+        if int(d.split("=", 1)[1]) >= before_epoch:
+            continue
+        edir = os.path.join(snap_dir, d)
+        if not os.path.exists(os.path.join(edir, "_SUCCESS")):
+            # torn crash-epoch: nothing can read it, drop it wholesale
+            shutil.rmtree(edir, ignore_errors=True)
+            continue
+        for sub in os.listdir(edir):
+            p = os.path.join(edir, sub)
+            if sub.startswith("bucket=") and p not in keep:
+                shutil.rmtree(p, ignore_errors=True)
+
+
+def streaming_merge_sink(
+    doc_stream: DataFrame, work_dir: str, checkpoint: str, retain: int = 0
+):
     """foreachBatch sink applying each micro-batch's derived changefeed to
     the bucketed snapshot: anti-join the touched buckets' current rows
     against the (broadcast) change keys, union the upserts, rewrite only
-    those buckets under batch_id=N. Returns the started StreamingQuery."""
+    those buckets under batch_id=N. Returns the started StreamingQuery.
+
+    ``retain`` is the time-travel retention window (Delta's
+    VACUUM-retention shape): GC only prunes versions superseded within
+    epochs < N - retain, so ``read_snapshot(..., before_epoch=E+1)`` is
+    exact for any epoch E >= N - retain - 1. retain=0 keeps only the
+    current version per bucket."""
     spark = doc_stream.sparkSession
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        _gc_superseded(os.path.join(work_dir, "snap"), epoch_id - retain)
         changes = derive_cdc_changes(batch_df).withColumn(
             "bucket", _bucket(F.col("doc_id"))
         )

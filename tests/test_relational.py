@@ -41,6 +41,7 @@ RELATIONAL = [
     "attribution_last_touch",
     "equi_depth_histogram",
     "merge_upsert_snapshot",
+    "cdc_time_travel",
     # displaced from the driver window by the wave-3 rotation (r3-driver-green)
     "event_transition_matrix",
     "semi_anti_join_cohorts",

@@ -1043,17 +1043,20 @@ def test_streaming_cdc_merge_crash_resume_and_bucket_pruning(spark, sf_dir):
     q2 = start()
     assert q2.awaitTermination(240), "resumed CDC merge stream timed out"
 
-    # bucket pruning: each committed epoch dir holds exactly the buckets
-    # its chunk's derived change keys hash to
+    # bucket pruning: each committed epoch dir only ever held the buckets
+    # its chunk's derived change keys hash to (subset after GC; the final
+    # epoch, which no GC pass has seen, holds exactly its derived set)
     docs = load_table(spark, sf_dir, "documents")
     table = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     ids = sorted(table.column("doc_id").to_pylist())
     per = (len(ids) + 3) // 4
     snap_dir = os.path.join(work_dir, "snap")
+    derived = {}
+    present = {}
     for i in range(4):
         chunk_ids = set(ids[i * per : (i + 1) * per])
         chunk = docs.where(F.col("doc_id").isin(chunk_ids))
-        want_buckets = {
+        derived[i] = {
             r[0]
             for r in derive_cdc_changes(chunk)
             .select(
@@ -1066,12 +1069,25 @@ def test_streaming_cdc_merge_crash_resume_and_bucket_pruning(spark, sf_dir):
         }
         edir = os.path.join(snap_dir, f"batch_id={i}")
         assert os.path.exists(os.path.join(edir, "_SUCCESS")), edir
-        got_buckets = {
+        present[i] = {
             int(d.split("=", 1)[1])
             for d in os.listdir(edir)
             if d.startswith("bucket=")
         }
-        assert got_buckets == want_buckets, (i, got_buckets, want_buckets)
+        assert present[i] <= derived[i], (i, present[i], derived[i])
+    assert present[3] == derived[3]
+
+    # GC keeps version chains O(1): among checkpoint-acked epochs (< 3,
+    # incl. the base) each bucket has exactly ONE surviving version
+    acked = {}
+    for d in os.listdir(snap_dir):
+        eid = int(d.split("=", 1)[1])
+        if eid < 3:
+            for b in os.listdir(os.path.join(snap_dir, d)):
+                if b.startswith("bucket="):
+                    acked.setdefault(int(b.split("=", 1)[1]), []).append(eid)
+    assert acked and all(len(v) == 1 for v in acked.values()), acked
+    assert set(acked) == set(range(N_BUCKETS))
 
     # a torn epoch (no _SUCCESS) must be invisible to the drain reader
     before = {tuple(r) for r in read_merged_snapshot(spark, work_dir).collect()}
