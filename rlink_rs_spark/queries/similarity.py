@@ -870,3 +870,74 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return read_probe_results(spark, out_dir)
+
+
+_IVF_ADD_ORACLE = f"""
+WITH {_ivf_kmeans_ctes(_IVF_ITERS)},
+assign_scored AS (
+  SELECT v.vec_id AS vid, c.cell_id, {_IVF_ASSIGN_COS} AS cs
+  FROM embeddings v CROSS JOIN cents c
+),
+assign_ranked AS (
+  SELECT vid, cell_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+  FROM assign_scored
+)
+SELECT vid, cell_id, cs AS ccos FROM assign_ranked WHERE rn = 1
+"""
+
+
+@register(
+    "streaming_ivf_index_add",
+    _IVF_ADD_ORACLE,
+    "ONLINE index maintenance, the write side of vector serving: new "
+    "embeddings arrive as a stream and are ADDED to the standing IVF "
+    "index -- the persisted codebook never retrains, each micro-batch "
+    "pays one broadcast assignment over its own vectors only and appends "
+    "an inverted-file delta (no read of prior state: O(batch) per epoch "
+    "at any index size). The drained union of deltas IS the inverted "
+    "file and equals the batch-built index (oracle mirrors ivf_assign's "
+    "argmax-cosine with the shared cs DESC, cell_id ASC tie-break).",
+)
+def streaming_ivf_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings replay in 3 vec_id-ordered chunks against the train-once
+    codebook artifact (streaming/ann.py streaming_index_add_sink); each
+    epoch's delta commits by overwrite, so replays are exactly-once."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.ann import (
+        read_inverted_file,
+        streaming_index_add_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = _embeddings_fingerprint(sf_dir)
+    codebook = sim_ops.load_or_train_ivf_codebook(
+        spark,
+        emb,
+        dims=_DIMS,
+        cache_dir=_artifact_dir("ivf_codebooks"),
+        fingerprint=fp,
+        n_cells=_IVF_CELLS,
+        iters=_IVF_ITERS,
+    )
+    src = file_stream(
+        spark, sf_dir, "embeddings", max_files_per_trigger=1, chunks=3,
+        order_col="vec_id",
+    )
+    state_dir = tempfile.mkdtemp(prefix="rlink_ivf_add_")
+    q = streaming_index_add_sink(
+        src.select("vec_id", "embedding"),
+        codebook=codebook,
+        state_dir=state_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_ivf_add_ck_"),
+        dims=_DIMS,
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_ivf_index_add did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_inverted_file(spark, state_dir)

@@ -81,3 +81,59 @@ def read_probe_results(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "batch_id=*")).select(
         "query_id", "neighbor_id", "cosine", "rank"
     )
+
+
+# --- streaming index maintenance --------------------------------------------
+
+_INVERTED_SCHEMA = "vid bigint, cell_id bigint, ccos double"
+
+
+def streaming_index_add_sink(
+    emb_stream: DataFrame,
+    codebook: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    dims: int,
+):
+    """The WRITE side of online vector serving: new embeddings arrive as a
+    stream and are ADDED to the standing IVF index. The codebook (trained
+    once, persisted) never retrains; each micro-batch pays one broadcast
+    assignment over ITS OWN vectors only and appends the resulting
+    inverted-file delta as `<state>/batch_id=N` -- no read of prior state
+    at all, so per-epoch cost is O(batch) at any index size. Assignments
+    are immutable per vector, so deltas never rewrite; production folds
+    delta dirs into the cell-partitioned base periodically (the exercised
+    LSM compaction in streaming/dedup.py). Overwrite-per-epoch makes
+    crash replays byte-identical: exactly-once."""
+    from rlink_rs_spark.operators.similarity import ivf_assign
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = ivf_assign(batch_df, codebook, dims)
+        delta.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={epoch_id}")
+        )
+
+    return (
+        emb_stream.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_inverted_file(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Union of all committed (_SUCCESS) epoch deltas -- the full inverted
+    file. Vectors are disjoint across epochs, so the union is the index."""
+    paths = []
+    if os.path.isdir(state_dir):
+        for d in sorted(os.listdir(state_dir)):
+            if d.startswith("batch_id=") and os.path.exists(
+                os.path.join(state_dir, d, "_SUCCESS")
+            ):
+                paths.append(os.path.join(state_dir, d))
+    if not paths:
+        return spark.createDataFrame([], _INVERTED_SCHEMA)
+    return spark.read.schema(_INVERTED_SCHEMA).parquet(*paths)

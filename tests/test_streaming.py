@@ -1102,3 +1102,32 @@ def test_streaming_cdc_merge_crash_resume_and_bucket_pruning(spark, sf_dir):
         tuple(r) for r in REGISTRY["merge_upsert_snapshot"].fn(spark, sf_dir).collect()
     }
     assert before == want and before
+
+
+def test_streaming_ivf_index_add_equals_batch_index(spark, sf_dir):
+    """The drained union of streamed inverted-file deltas must equal the
+    batch-built index row-for-row: assignment is a pure function of
+    (vector, codebook), so WHEN a vector arrives cannot change WHERE it
+    lands."""
+    from rlink_rs_spark.operators import similarity as sim_ops
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.similarity import (
+        _DIMS,
+        _IVF_CELLS,
+        _IVF_ITERS,
+        _artifact_dir,
+        _embeddings_fingerprint,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = sim_ops.load_or_train_ivf_codebook(
+        spark, emb, dims=_DIMS, cache_dir=_artifact_dir("ivf_codebooks"),
+        fingerprint=_embeddings_fingerprint(sf_dir),
+        n_cells=_IVF_CELLS, iters=_IVF_ITERS,
+    )
+    got = {
+        tuple(r)
+        for r in REGISTRY["streaming_ivf_index_add"].fn(spark, sf_dir).collect()
+    }
+    want = {tuple(r) for r in sim_ops.ivf_assign(emb, codebook, _DIMS).collect()}
+    assert got == want and got
