@@ -805,3 +805,85 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("chunk_len"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
     )
+
+
+# --- intake DLQ routing ------------------------------------------------------
+
+from rlink_rs_spark.streaming.dlq import (  # noqa: E402
+    ALLOWED_LANGS as _DLQ_LANGS,
+    BLOCKED_SOURCES as _DLQ_BLOCKED,
+    MIN_CHARS as _DLQ_MIN_CHARS,
+    classify_intake as _classify_intake,
+)
+
+_DLQ_CASE = f"""CASE
+  WHEN n_chars < {_DLQ_MIN_CHARS} THEN 'too_short'
+  WHEN lang NOT IN {repr(tuple(_DLQ_LANGS))} THEN 'lang_unsupported'
+  WHEN source IN {repr(tuple(_DLQ_BLOCKED))} THEN 'source_blocked'
+END"""
+
+_DLQ_ORACLE = f"""
+SELECT doc_id, lang, source, n_chars,
+       {_DLQ_CASE} AS reason,
+       ({_DLQ_CASE}) IS NOT NULL AS quarantined
+FROM documents
+"""
+
+
+@register(
+    "intake_dlq_routing",
+    _DLQ_ORACLE,
+    "Intake dead-letter routing: first-match-wins reason codes "
+    "(too_short > lang_unsupported > source_blocked, NULL = clean) with "
+    "the source blocklist joined as a broadcast config dim -- the "
+    "classification every production ingest runs before a row may enter "
+    "the corpus, kept queryable by reason for triage.",
+)
+def intake_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local expressions + one tiny broadcast (streaming/dlq.py);
+    the corpus never shuffles. The streaming twin routes the same
+    classification to two per-epoch sinks."""
+    return _classify_intake(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "streaming_intake_dlq",
+    _DLQ_ORACLE,  # shared: drained clean + DLQ union = the batch routing
+    "STREAMING two-sink intake: each micro-batch's rows are classified "
+    "once and routed to EITHER the clean sink or the reason-coded DLQ "
+    "sink, both committing per epoch inside one foreachBatch handler -- "
+    "a crash between the two writes is healed by replay (deterministic "
+    "classification overwrites both dirs), giving exactly-once across a "
+    "MULTI-sink epoch. Drained union is disjoint, complete, and equal "
+    "to the batch classification (shared oracle).",
+)
+def streaming_intake_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay documents in 4 chunks; return clean UNION dlq -- equality
+    with the shared oracle proves both completeness and disjointness
+    (any row routed twice would double, any dropped row would miss)."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.dlq import (
+        read_clean,
+        read_dlq,
+        streaming_dlq_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        order_col="doc_id",
+    )
+    work_dir = tempfile.mkdtemp(prefix="rlink_dlq_")
+    q = streaming_dlq_sink(
+        src.select("doc_id", "lang", "source", "n_chars"),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_dlq_ck_"),
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_intake_dlq did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_clean(spark, work_dir).unionByName(read_dlq(spark, work_dir))

@@ -10,6 +10,7 @@ from rlink_rs_spark.tables import load_table
 from tests.helpers import run_query_vs_oracle
 
 ORACLED = [
+    "intake_dlq_routing",
     "exact_dedup_docs",
     "ngram_jaccard_dedup",
     "minhash_lsh_near_dup",

@@ -1131,3 +1131,54 @@ def test_streaming_ivf_index_add_equals_batch_index(spark, sf_dir):
     }
     want = {tuple(r) for r in sim_ops.ivf_assign(emb, codebook, _DIMS).collect()}
     assert got == want and got
+
+
+def test_streaming_intake_dlq_crash_resume_two_sink_invariants(spark, sf_dir):
+    """Kill the two-sink intake mid-replay and resume: clean and DLQ must
+    end up row-DISJOINT by doc_id, their union COMPLETE and equal to the
+    batch classification -- the invariant the single-handler multi-sink
+    epoch protocol exists to protect across crashes."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.streaming.dlq import read_clean, read_dlq, streaming_dlq_sink
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    staged = stage_stream_dir(sf_dir, "documents", chunks=4, order_col="doc_id")
+    work_dir = tempfile.mkdtemp(prefix="rlink_dlq_test_")
+    ck = tempfile.mkdtemp(prefix="rlink_dlq_test_ck_")
+
+    def start():
+        src = stream_from_staged(
+            spark, staged, sf_dir, "documents", max_files_per_trigger=1
+        )
+        return streaming_dlq_sink(
+            src.select("doc_id", "lang", "source", "n_chars"),
+            work_dir=work_dir,
+            checkpoint=ck,
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    assert q2.awaitTermination(240), "resumed DLQ stream timed out"
+
+    clean = read_clean(spark, work_dir)
+    dlq = read_dlq(spark, work_dir)
+    clean_ids = {r.doc_id for r in clean.collect()}
+    dlq_ids = {r.doc_id for r in dlq.collect()}
+    assert clean_ids and dlq_ids and not (clean_ids & dlq_ids)
+    assert clean.where(F.col("quarantined")).count() == 0
+    assert dlq.where(~F.col("quarantined")).count() == 0
+    assert {r.reason for r in dlq.select("reason").distinct().collect()} <= {
+        "too_short", "lang_unsupported", "source_blocked"
+    }
+
+    got = {tuple(r) for r in clean.unionByName(dlq).collect()}
+    want = {
+        tuple(r) for r in REGISTRY["intake_dlq_routing"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
