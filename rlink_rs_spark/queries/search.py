@@ -113,6 +113,17 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     `source_mix_report` shape). Final top-k is a per-query rank window
     over the scored candidates only -- never the corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    # tf feeds FOUR consumers (dl, totals-via-dl, df, scoring); Spark does
+    # not reuse the subplan across them, so cache the one corpus shuffle
+    # (the lm_perplexity_filter bigram-cache pattern).
+    tf = corpus_tf(docs).cache()
+    return bm25_score_tf(spark, tf)
+
+
+def corpus_tf(docs: DataFrame) -> DataFrame:
+    """The ONE corpus shuffle of the BM25 family: per-(doc, term) counts,
+    map-side combined. Per-doc rows are immutable, so the streaming index
+    twin appends exactly these rows as per-epoch deltas."""
     tokens = (
         docs.select(
             "doc_id",
@@ -120,12 +131,15 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("term") != "")
     )
-    # tf feeds FOUR consumers (dl, totals-via-dl, df, scoring); Spark does
-    # not reuse the subplan across them, so cache the one corpus shuffle
-    # (the lm_perplexity_filter bigram-cache pattern).
-    tf = tokens.groupBy("doc_id", "term").agg(
+    return tokens.groupBy("doc_id", "term").agg(
         F.count("*").cast("bigint").alias("tf")
-    ).cache()
+    )
+
+
+def bm25_score_tf(spark: SparkSession, tf: DataFrame) -> DataFrame:
+    """Score the fixed benchmark query set against a (doc_id, term, tf)
+    index table -- shared verbatim by the batch query (tf from one corpus
+    pass) and the streaming index twin (tf drained from epoch deltas)."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     totals = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -269,3 +283,48 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= PHRASE_TOP_K)
         .select("phrase_id", "rank", "doc_id", "n_matches")
     )
+
+
+@register(
+    "streaming_bm25_index_add",
+    _BM25_ORACLE,  # shared with the batch query: scoring reads the same
+    #               (doc_id, term, tf) index either way
+    "STREAMING full-text index maintenance: documents arrive as a "
+    "stream and are ADDED to a standing (doc, term, tf) posting table "
+    "-- each micro-batch tokenizes and tf-aggregates its own rows only "
+    "(O(batch) per epoch, the corpus never re-tokenizes) and appends an "
+    "immutable delta. BM25 over the drained index equals the batch "
+    "query bit-for-bit (shared oracle): WHEN a document was ingested "
+    "cannot change how it scores.",
+)
+def streaming_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay documents in 3 doc_id-ordered chunks through the index sink
+    (streaming/search_index.py), then score the fixed query set against
+    the drained posting table with the SAME bm25_score_tf the batch
+    query uses."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.search_index import (
+        read_posting_table,
+        streaming_bm25_index_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=3,
+        order_col="doc_id",
+    )
+    state_dir = tempfile.mkdtemp(prefix="rlink_bm25_idx_")
+    q = streaming_bm25_index_sink(
+        src.select("doc_id", "text"),
+        state_dir=state_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_bm25_idx_ck_"),
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_bm25_index_add did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    tf = read_posting_table(spark, state_dir).cache()
+    return bm25_score_tf(spark, tf)

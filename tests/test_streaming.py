@@ -1182,3 +1182,18 @@ def test_streaming_intake_dlq_crash_resume_two_sink_invariants(spark, sf_dir):
         tuple(r) for r in REGISTRY["intake_dlq_routing"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_streaming_bm25_index_add_equals_batch(spark, sf_dir):
+    """BM25 over the streamed-in posting table must equal the batch query
+    row-for-row: ingestion order cannot change scores."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    got = {
+        tuple(r)
+        for r in REGISTRY["streaming_bm25_index_add"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r) for r in REGISTRY["bm25_keyword_search"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
