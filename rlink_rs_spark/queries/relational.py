@@ -1852,3 +1852,82 @@ def temporal_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("priority").alias("priority_at_order"),
         )
     )
+
+
+_EVOLVE_ORACLE = """
+WITH firsthalf AS (
+  SELECT rid FROM (
+    SELECT doc_id AS rid, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn <= 2 * CEIL((SELECT COUNT(*) FROM documents) / 4.0)
+),
+changes AS (
+  SELECT doc_id, 'D' AS op, NULL AS text, NULL AS lang, NULL AS source,
+         CAST(NULL AS BIGINT) AS n_chars, CAST(NULL AS INT) AS rev
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, 'U', 'v2:' || text, lang, source, n_chars + 3,
+         CASE WHEN doc_id NOT IN (SELECT rid FROM firsthalf)
+              THEN CAST(1 AS INT) END
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'I', 'new:' || text, lang, 'backfill', n_chars + 4,
+         CASE WHEN doc_id NOT IN (SELECT rid FROM firsthalf)
+              THEN CAST(1 AS INT) END
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT b.doc_id, md5(b.text) AS content_md5, b.lang, b.source, b.n_chars,
+       0 AS version, CAST(NULL AS INT) AS rev
+FROM documents b LEFT JOIN changes c ON c.doc_id = b.doc_id
+WHERE c.doc_id IS NULL
+UNION ALL
+SELECT doc_id, md5(text), lang, source, n_chars, 1, rev
+FROM changes WHERE op <> 'D'
+"""
+
+
+@register(
+    "cdc_schema_evolution",
+    _EVOLVE_ORACLE,
+    "Mid-stream ADD COLUMN on the CDC snapshot: epochs 2+ write schema "
+    "v2 (+ rev int) while epochs 0-1 and the base stay on v1 -- old "
+    "buckets are NEVER rewritten for the evolution; the wide reader "
+    "fills their missing column with NULL (parquet reader-side "
+    "evolution, the mechanism Delta/Iceberg column adds ride on). "
+    "Oracle: rows upserted by the second half of the changefeed carry "
+    "rev=1, everything else NULL.",
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 4-chunk replay as streaming_cdc_merge with
+    evolve_rev_from=2 (streaming/cdc.py); the drained wide read proves
+    v1 buckets surface rev=NULL without rewrite while v2 buckets carry
+    their stamped revision."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.cdc import (
+        _SNAP_SCHEMA_V2,
+        read_snapshot,
+        streaming_merge_sink,
+        write_base_snapshot,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_evo_")
+    write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        order_col="doc_id",
+    )
+    q = streaming_merge_sink(
+        src.select("doc_id", "text", "lang", "source", "n_chars"),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_cdc_evo_ck_"),
+        evolve_rev_from=2,
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("cdc_schema_evolution did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_snapshot(spark, work_dir, 1 << 62, schema=_SNAP_SCHEMA_V2)

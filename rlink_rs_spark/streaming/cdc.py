@@ -52,6 +52,11 @@ _SNAP_SCHEMA = (
     "n_chars bigint, version int"
 )
 
+# Schema v2 (ADD COLUMN rev int): reader-side evolution -- Spark fills a
+# declared column that is absent from old parquet files with NULL, so
+# buckets written before the evolution epoch need no rewrite.
+_SNAP_SCHEMA_V2 = _SNAP_SCHEMA + ", rev int"
+
 
 def _bucket(col):
     return F.pmod(F.xxhash64(col.cast("bigint")), F.lit(N_BUCKETS)).cast("int")
@@ -129,15 +134,18 @@ def read_snapshot(
     work_dir: str,
     before_epoch: int,
     buckets: set[int] | None = None,
+    schema: str = _SNAP_SCHEMA,
 ) -> DataFrame:
     """Union the per-bucket newest committed versions (optionally only the
     listed buckets). Schema is pinned: leaf bucket dirs carry no partition
-    column and an empty selection must still have the snapshot shape."""
+    column and an empty selection must still have the snapshot shape.
+    Passing a WIDER schema than some buckets were written with is the
+    evolution read path -- missing columns surface as NULL."""
     vers = _bucket_versions(os.path.join(work_dir, "snap"), before_epoch)
     paths = [p for b, p in vers.items() if buckets is None or b in buckets]
     if not paths:
-        return spark.createDataFrame([], _SNAP_SCHEMA)
-    return spark.read.schema(_SNAP_SCHEMA).parquet(*paths)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def _gc_superseded(snap_dir: str, before_epoch: int) -> None:
@@ -170,7 +178,11 @@ def _gc_superseded(snap_dir: str, before_epoch: int) -> None:
 
 
 def streaming_merge_sink(
-    doc_stream: DataFrame, work_dir: str, checkpoint: str, retain: int = 0
+    doc_stream: DataFrame,
+    work_dir: str,
+    checkpoint: str,
+    retain: int = 0,
+    evolve_rev_from: int | None = None,
 ):
     """foreachBatch sink applying each micro-batch's derived changefeed to
     the bucketed snapshot: anti-join the touched buckets' current rows
@@ -181,7 +193,14 @@ def streaming_merge_sink(
     VACUUM-retention shape): GC only prunes versions superseded within
     epochs < N - retain, so ``read_snapshot(..., before_epoch=E+1)`` is
     exact for any epoch E >= N - retain - 1. retain=0 keeps only the
-    current version per bucket."""
+    current version per bucket.
+
+    ``evolve_rev_from`` simulates mid-stream ADD COLUMN: epochs >= it
+    read and write schema v2 (+ rev int, upserts stamped rev=1) while
+    earlier epochs stay on v1 -- old buckets are NEVER rewritten for the
+    evolution; the wide reader fills their missing column with NULL. The
+    epoch -> schema mapping is a pure function of epoch_id, so crash
+    replays still rewrite byte-identical buckets."""
     spark = doc_stream.sparkSession
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
@@ -193,7 +212,11 @@ def streaming_merge_sink(
         touched = {r[0] for r in changes.select("bucket").distinct().collect()}
         if not touched:
             return
-        current = read_snapshot(spark, work_dir, epoch_id, buckets=touched)
+        wide = evolve_rev_from is not None and epoch_id >= evolve_rev_from
+        current = read_snapshot(
+            spark, work_dir, epoch_id, buckets=touched,
+            schema=_SNAP_SCHEMA_V2 if wide else _SNAP_SCHEMA,
+        )
         untouched = current.join(
             F.broadcast(changes.select("doc_id").distinct()), "doc_id", "left_anti"
         )
@@ -203,6 +226,8 @@ def streaming_merge_sink(
             "lang", "source", "n_chars",
             F.lit(1).cast("int").alias("version"),
         )
+        if wide:
+            upserts = upserts.withColumn("rev", F.lit(1).cast("int"))
         merged = untouched.unionByName(upserts).withColumn(
             "bucket", _bucket(F.col("doc_id"))
         )

@@ -42,6 +42,7 @@ RELATIONAL = [
     "equi_depth_histogram",
     "merge_upsert_snapshot",
     "cdc_time_travel",
+    "cdc_schema_evolution",
     # displaced from the driver window by the wave-3 rotation (r3-driver-green)
     "event_transition_matrix",
     "semi_anti_join_cohorts",

@@ -1197,3 +1197,58 @@ def test_streaming_bm25_index_add_equals_batch(spark, sf_dir):
         tuple(r) for r in REGISTRY["bm25_keyword_search"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_cdc_schema_evolution_never_rewrites_v1_buckets(spark, sf_dir):
+    """The evolution's physical claim: buckets committed before the
+    evolution epoch still hold V1 parquet (no `rev` column in any file
+    footer) unless a later epoch rewrote them for data reasons -- the
+    column add itself costs zero rewrites -- while v2-epoch buckets
+    carry it; and the wide drain equals the batch-shaped oracle result
+    with rev NULL exactly on rows last written by a v1 epoch."""
+    import pyarrow.parquet as pq
+
+    from rlink_rs_spark.streaming.cdc import (
+        _SNAP_SCHEMA_V2,
+        read_snapshot,
+        streaming_merge_sink,
+        write_base_snapshot,
+    )
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    staged = stage_stream_dir(sf_dir, "documents", chunks=4, order_col="doc_id")
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_evo_test_")
+    write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
+    src = stream_from_staged(spark, staged, sf_dir, "documents", max_files_per_trigger=1)
+    q = streaming_merge_sink(
+        src.select("doc_id", "text", "lang", "source", "n_chars"),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_cdc_evo_test_ck_"),
+        retain=8,  # keep every version so epoch dirs stay inspectable
+        evolve_rev_from=2,
+    )
+    assert q.awaitTermination(240), "evolution stream timed out"
+
+    snap_dir = os.path.join(work_dir, "snap")
+    seen_v1 = seen_v2 = 0
+    for d in sorted(os.listdir(snap_dir)):
+        eid = int(d.split("=", 1)[1])
+        edir = os.path.join(snap_dir, d)
+        for b in os.listdir(edir):
+            if not b.startswith("bucket="):
+                continue
+            for f in os.listdir(os.path.join(edir, b)):
+                if not f.endswith(".parquet"):
+                    continue
+                names = pq.read_schema(os.path.join(edir, b, f)).names
+                if eid < 2:
+                    assert "rev" not in names, (d, b, f)
+                    seen_v1 += 1
+                else:
+                    assert "rev" in names, (d, b, f)
+                    seen_v2 += 1
+    assert seen_v1 and seen_v2
+
+    wide = read_snapshot(spark, work_dir, 1 << 62, schema=_SNAP_SCHEMA_V2)
+    assert wide.where(F.col("rev") == 1).count() > 0
+    assert wide.where(F.col("rev").isNull() & (F.col("version") == 1)).count() > 0
