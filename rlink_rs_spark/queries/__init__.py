@@ -66,18 +66,23 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_kmv_distinct",
     "lm_perplexity_filter",
     "streaming_incremental_dedup",
-    # -- new in r9: CDC MERGE pair (bucketed copy-on-write snapshot)
+    # -- new in r9: CDC MERGE family (bucketed copy-on-write snapshot),
+    # DLQ intake twins, and the two streaming index-maintenance paths
     "streaming_cdc_merge",
     "cdc_time_travel",
-    # -- the 25 stalest queries: last driver row r4 (judge re-proved 20 of
+    "cdc_schema_evolution",
+    "intake_dlq_routing",
+    "streaming_intake_dlq",
+    "streaming_ivf_index_add",
+    "streaming_bm25_index_add",
+    # -- the 20 stalest queries: last driver row r4 (judge re-proved 20 of
     # the stale set local in r8; this refreshes them on current fixtures).
     # streaming_enrichment_join is the one r4 entry left out (streaming-
-    # exempt, replayed by tests/test_streaming.py); cube_agg and pivot_agg
-    # were displaced by the r9 CDC pair into the RELATIONAL parity list.
-    "avg_agg",
+    # exempt, replayed by tests/test_streaming.py); cube_agg, pivot_agg,
+    # avg/distinct/rollup_agg, set_ops_users, and profile_columns were
+    # displaced by the r9 additions into the RELATIONAL parity list.
     "cosine_topk_bruteforce",
     "dedup_keep_list",
-    "distinct_agg",
     "event_transition_matrix",
     "exact_dedup_docs",
     "kafka_envelope_roundtrip",
@@ -86,17 +91,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "near_dup_clusters",
     "ngram_jaccard_dedup",
     "pipeline_enriched_agg",
-    "profile_columns",
     "q10_returned_items",
     "q14_promo_share",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_star_join_volume",
     "q6_forecast_revenue",
-    "rollup_agg",
     "salted_hot_key_agg",
     "semi_anti_join_cohorts",
-    "set_ops_users",
     "simhash_near_dup",
     "top_k_per_group",
     # -- streaming sentinel (most sensitive to fixture/timestamp drift)
