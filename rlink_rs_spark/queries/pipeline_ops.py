@@ -29,9 +29,7 @@ _DECON_MIN_SHARED = 2
 _EVAL_MOD, _EVAL_RES = 97, 3  # deterministic pseudo-benchmark subset
 
 
-@register(
-    "benchmark_decontamination",
-    f"""
+_DECON_ORACLE = f"""
     WITH sh AS (
       SELECT DISTINCT doc_id, unnest({shingles_sql(_DECON_K)}) AS shingle FROM documents
     ),
@@ -41,7 +39,12 @@ _EVAL_MOD, _EVAL_RES = 97, 3  # deterministic pseudo-benchmark subset
     FROM c JOIN e ON c.shingle = e.shingle
     GROUP BY c.corpus_id, e.eval_id
     HAVING COUNT(*) >= {_DECON_MIN_SHARED}
-    """,
+    """
+
+
+@register(
+    "benchmark_decontamination",
+    _DECON_ORACLE,
     "Train/eval contamination check: corpus documents sharing >= "
     f"{_DECON_MIN_SHARED} distinct word {_DECON_K}-grams with any benchmark "
     "document (here a deterministic doc_id % 97 == 3 pseudo-benchmark "
@@ -887,3 +890,65 @@ def streaming_intake_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return read_clean(spark, work_dir).unionByName(read_dlq(spark, work_dir))
+
+
+@register(
+    "streaming_decontamination",
+    _DECON_ORACLE,  # shared: the eval side stands, the corpus side streams
+    "STREAMING contamination screen: the eval-set shingle postings stand "
+    "(eval suites are KBs) while corpus documents arrive as a stream -- "
+    "each micro-batch shingles ITS OWN docs, broadcast-joins the standing "
+    "eval postings, and appends its complete (corpus, eval, shared) "
+    "pairs as an epoch delta (docs are epoch-disjoint, so pair counts "
+    "finish within their epoch: O(batch) per epoch, corpus never "
+    "re-shingles). The drained union equals the batch check (shared "
+    "oracle) -- contamination is caught AT INGEST, not in a later sweep.",
+)
+def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the corpus side in 4 chunks through the generic delta sink
+    (streaming/deltas.py); the eval index is built once before the
+    stream starts and broadcast per epoch."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.deltas import delta_sink, read_deltas
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == _EVAL_RES
+    eval_sh = (
+        with_shingles(docs.where(is_eval), k=_DECON_K)
+        .select(F.col("doc_id").alias("eval_id"), "shingle")
+    )
+
+    def screen(batch_df: DataFrame) -> DataFrame:
+        corp_sh = with_shingles(
+            batch_df.where(F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) != _EVAL_RES),
+            k=_DECON_K,
+        ).select(F.col("doc_id").alias("corpus_id"), "shingle")
+        return (
+            corp_sh.join(F.broadcast(eval_sh), "shingle")
+            .groupBy("corpus_id", "eval_id")
+            .agg(F.count("*").cast("bigint").alias("shared_ngrams"))
+            .where(F.col("shared_ngrams") >= _DECON_MIN_SHARED)
+        )
+
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        order_col="doc_id",
+    )
+    state_dir = tempfile.mkdtemp(prefix="rlink_decon_")
+    q = delta_sink(
+        src.select("doc_id", "text"),
+        transform=screen,
+        state_dir=state_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_decon_ck_"),
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_decontamination did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_deltas(
+        spark, state_dir, "corpus_id bigint, eval_id bigint, shared_ngrams bigint"
+    )

@@ -1252,3 +1252,20 @@ def test_cdc_schema_evolution_never_rewrites_v1_buckets(spark, sf_dir):
     wide = read_snapshot(spark, work_dir, 1 << 62, schema=_SNAP_SCHEMA_V2)
     assert wide.where(F.col("rev") == 1).count() > 0
     assert wide.where(F.col("rev").isNull() & (F.col("version") == 1)).count() > 0
+
+
+def test_streaming_decontamination_equals_batch(spark, sf_dir):
+    """Contamination caught at ingest must equal the batch sweep: each
+    corpus doc's pair counts complete within its epoch (docs are
+    epoch-disjoint), so the drained union is the full check."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    got = {
+        tuple(r)
+        for r in REGISTRY["streaming_decontamination"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in REGISTRY["benchmark_decontamination"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
