@@ -155,9 +155,7 @@ def repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CTX_LEN = 256  # training context length in (whitespace) tokens
 
 
-@register(
-    "pack_sequences",
-    f"""
+_PACK_ORACLE = f"""
     WITH sized AS (
       SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
       FROM documents
@@ -172,7 +170,12 @@ _CTX_LEN = 256  # training context length in (whitespace) tokens
     SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS total_tokens
     FROM packed GROUP BY lang, bin
-    """,
+    """
+
+
+@register(
+    "pack_sequences",
+    _PACK_ORACLE,
     "Greedy concat-and-chop sequence packing: documents stream in doc_id "
     f"order per language, each assigned to training-context bin floor(start_"
     f"offset / {_CTX_LEN}) from a running token cumsum -- the step that "
@@ -952,3 +955,46 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_deltas(
         spark, state_dir, "corpus_id bigint, eval_id bigint, shared_ngrams bigint"
     )
+
+
+@register(
+    "streaming_pack_sequences",
+    _PACK_ORACLE,  # shared: carried-total + within-batch prefix = global cumsum
+    "STREAMING sequence packing: documents arrive in doc_id order and "
+    "each micro-batch assigns its docs to training-context bins from ONE "
+    "carried running token total per language (state O(#langs), constant "
+    "in stream length) plus the same distributed within-batch prefix sum "
+    "the batch twin uses -- so bins fill across epoch boundaries exactly "
+    "as the batch pack fills them, and the drained (lang, bin) aggregate "
+    "hash-matches the shared oracle.",
+)
+def streaming_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay documents in 4 doc_id-ordered chunks through the carrier
+    sink (streaming/packing.py): deltas first, per-lang totals last as
+    the epoch's commit record."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.packing import (
+        read_packed_bins,
+        streaming_pack_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        order_col="doc_id",
+    )
+    work_dir = tempfile.mkdtemp(prefix="rlink_pack_")
+    q = streaming_pack_sink(
+        src.select("doc_id", "lang", "text"),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_pack_ck_"),
+        ctx_len=_CTX_LEN,
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming_pack_sequences did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_packed_bins(spark, work_dir)

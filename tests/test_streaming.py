@@ -1269,3 +1269,49 @@ def test_streaming_decontamination_equals_batch(spark, sf_dir):
         for r in REGISTRY["benchmark_decontamination"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_streaming_pack_sequences_crash_resume_and_bounded_state(spark, sf_dir):
+    """Kill the packing stream mid-replay and resume: the drained bins
+    must equal the batch pack row-for-row (bins fill across epoch
+    boundaries exactly as the global cumsum fills them), and the carried
+    state must never exceed one row per language."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.pipeline_ops import _CTX_LEN
+    from rlink_rs_spark.streaming.packing import read_packed_bins, streaming_pack_sink
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    staged = stage_stream_dir(sf_dir, "documents", chunks=4, order_col="doc_id")
+    work_dir = tempfile.mkdtemp(prefix="rlink_pack_test_")
+    ck = tempfile.mkdtemp(prefix="rlink_pack_test_ck_")
+
+    def start():
+        src = stream_from_staged(
+            spark, staged, sf_dir, "documents", max_files_per_trigger=1
+        )
+        return streaming_pack_sink(
+            src.select("doc_id", "lang", "text"),
+            work_dir=work_dir,
+            checkpoint=ck,
+            ctx_len=_CTX_LEN,
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    assert q2.awaitTermination(240), "resumed packing stream timed out"
+
+    n_langs = load_table(spark, sf_dir, "documents").select("lang").distinct().count()
+    state_dir = os.path.join(work_dir, "state")
+    for d in os.listdir(state_dir):
+        n = spark.read.parquet(os.path.join(state_dir, d)).count()
+        assert n <= n_langs, (d, n)
+
+    got = {tuple(r) for r in read_packed_bins(spark, work_dir).collect()}
+    want = {tuple(r) for r in REGISTRY["pack_sequences"].fn(spark, sf_dir).collect()}
+    assert got == want and got
