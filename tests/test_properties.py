@@ -348,3 +348,62 @@ def test_kmv_merge_is_exact_property(values, cuts, k):
         count += len(ch)
     assert sorted(kept) == whole_hashes
     assert count == whole_count
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    commits=st.lists(
+        st.tuples(
+            st.integers(min_value=-1, max_value=12),          # epoch id
+            st.sets(st.integers(min_value=0, max_value=7)),   # buckets written
+            st.booleans(),                                    # committed (_SUCCESS)?
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    before_epoch=st.integers(min_value=0, max_value=14),
+    retain=st.integers(min_value=0, max_value=4),
+)
+def test_cdc_bucket_resolution_and_gc_safety(tmp_path_factory, commits, before_epoch, retain):
+    """Pure-filesystem property of the CDC snapshot protocol
+    (streaming/cdc.py): _bucket_versions resolves each bucket to its
+    newest COMMITTED epoch < N regardless of write/torn history, and a
+    GC pass with any retention can never delete the version that a
+    subsequent in-window resolution would return."""
+    import os
+    import shutil
+
+    from rlink_rs_spark.streaming.cdc import _bucket_versions, _gc_superseded
+
+    snap = str(tmp_path_factory.mktemp("snap"))
+    try:
+        for eid, buckets, committed in commits:
+            edir = os.path.join(snap, f"batch_id={eid}")
+            for b in buckets:
+                os.makedirs(os.path.join(edir, f"bucket={b}"), exist_ok=True)
+            os.makedirs(edir, exist_ok=True)
+            if committed:
+                open(os.path.join(edir, "_SUCCESS"), "w").close()
+
+        def expected(n):
+            out = {}
+            for eid, buckets, committed in sorted(commits, reverse=True):
+                if committed and eid < n:
+                    for b in buckets:
+                        out.setdefault(
+                            b, os.path.join(snap, f"batch_id={eid}", f"bucket={b}")
+                        )
+            return out
+
+        assert _bucket_versions(snap, before_epoch) == expected(before_epoch)
+
+        # GC as epoch `before_epoch` would run it, with retention
+        _gc_superseded(snap, before_epoch - retain)
+        # every in-retention-window resolution is unchanged
+        for n in range(max(0, before_epoch - retain), before_epoch + 1):
+            got = _bucket_versions(snap, n)
+            want = expected(n)
+            assert got == want, (n, got, want)
+    finally:
+        shutil.rmtree(snap, ignore_errors=True)
