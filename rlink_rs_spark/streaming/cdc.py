@@ -177,6 +177,51 @@ def _gc_superseded(snap_dir: str, before_epoch: int) -> None:
                 shutil.rmtree(p, ignore_errors=True)
 
 
+def apply_merge_epoch(
+    spark: SparkSession,
+    work_dir: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    evolve_rev_from: int | None = None,
+) -> None:
+    """Apply one epoch's derived changefeed to the bucketed snapshot --
+    the deterministic core both the streaming handler and direct unit
+    tests drive. Touched buckets that end the epoch EMPTY (every row
+    deleted, nothing upserted) are still materialized as empty bucket
+    dirs: partitionBy skips empty partitions, and an absent dir would
+    make readers fall back to the stale pre-delete version."""
+    changes = derive_cdc_changes(batch_df).withColumn(
+        "bucket", _bucket(F.col("doc_id"))
+    )
+    # bounded collect: <= N_BUCKETS rows by construction
+    touched = {r[0] for r in changes.select("bucket").distinct().collect()}
+    if not touched:
+        return
+    wide = evolve_rev_from is not None and epoch_id >= evolve_rev_from
+    current = read_snapshot(
+        spark, work_dir, epoch_id, buckets=touched,
+        schema=_SNAP_SCHEMA_V2 if wide else _SNAP_SCHEMA,
+    )
+    untouched = current.join(
+        F.broadcast(changes.select("doc_id").distinct()), "doc_id", "left_anti"
+    )
+    upserts = changes.where(F.col("op") != "D").select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        "lang", "source", "n_chars",
+        F.lit(1).cast("int").alias("version"),
+    )
+    if wide:
+        upserts = upserts.withColumn("rev", F.lit(1).cast("int"))
+    merged = untouched.unionByName(upserts).withColumn(
+        "bucket", _bucket(F.col("doc_id"))
+    )
+    edir = os.path.join(work_dir, "snap", f"batch_id={epoch_id}")
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(edir)
+    for b in touched:
+        os.makedirs(os.path.join(edir, f"bucket={b}"), exist_ok=True)
+
+
 def streaming_merge_sink(
     doc_stream: DataFrame,
     work_dir: str,
@@ -205,34 +250,8 @@ def streaming_merge_sink(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         _gc_superseded(os.path.join(work_dir, "snap"), epoch_id - retain)
-        changes = derive_cdc_changes(batch_df).withColumn(
-            "bucket", _bucket(F.col("doc_id"))
-        )
-        # bounded collect: <= N_BUCKETS rows by construction
-        touched = {r[0] for r in changes.select("bucket").distinct().collect()}
-        if not touched:
-            return
-        wide = evolve_rev_from is not None and epoch_id >= evolve_rev_from
-        current = read_snapshot(
-            spark, work_dir, epoch_id, buckets=touched,
-            schema=_SNAP_SCHEMA_V2 if wide else _SNAP_SCHEMA,
-        )
-        untouched = current.join(
-            F.broadcast(changes.select("doc_id").distinct()), "doc_id", "left_anti"
-        )
-        upserts = changes.where(F.col("op") != "D").select(
-            "doc_id",
-            F.md5("text").alias("content_md5"),
-            "lang", "source", "n_chars",
-            F.lit(1).cast("int").alias("version"),
-        )
-        if wide:
-            upserts = upserts.withColumn("rev", F.lit(1).cast("int"))
-        merged = untouched.unionByName(upserts).withColumn(
-            "bucket", _bucket(F.col("doc_id"))
-        )
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(work_dir, "snap", f"batch_id={epoch_id}")
+        apply_merge_epoch(
+            spark, work_dir, batch_df, epoch_id, evolve_rev_from=evolve_rev_from
         )
 
     return (

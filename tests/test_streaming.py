@@ -1315,3 +1315,30 @@ def test_streaming_pack_sequences_crash_resume_and_bounded_state(spark, sf_dir):
     got = {tuple(r) for r in read_packed_bins(spark, work_dir).collect()}
     want = {tuple(r) for r in REGISTRY["pack_sequences"].fn(spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_cdc_merge_emptied_bucket_does_not_resurrect_deleted_rows(spark, sf_dir):
+    """Edge the fixture never hits: a change batch that deletes EVERY row
+    of a bucket (and upserts nothing into it) must leave an explicit
+    empty bucket version -- partitionBy skips empty partitions, and an
+    absent dir would resolve readers to the stale pre-delete version,
+    resurrecting deleted rows."""
+    from rlink_rs_spark.streaming.cdc import (
+        apply_merge_epoch,
+        read_merged_snapshot,
+        write_base_snapshot,
+    )
+
+    # doc_id=13 hashes to a bucket (0) no other corpus id shares; 13%13==0
+    # so its change event is a delete, emptying the bucket. doc_ids 1 and 2
+    # sit in other buckets and produce no change events at all.
+    docs = spark.createDataFrame(
+        [(13, "gone", "en", "s", 4), (1, "keep1", "en", "s", 5), (2, "keep2", "de", "s", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_empty_")
+    write_base_snapshot(docs, work_dir)
+    apply_merge_epoch(spark, work_dir, docs, epoch_id=0)
+
+    got = {(r.doc_id, r.version) for r in read_merged_snapshot(spark, work_dir).collect()}
+    assert got == {(1, 0), (2, 0)}, got
