@@ -94,6 +94,7 @@ def streaming_index_add_sink(
     state_dir: str,
     checkpoint: str,
     dims: int,
+    compact_every: int = 8,
 ):
     """The WRITE side of online vector serving: new embeddings arrive as a
     stream and are ADDED to the standing IVF index. The codebook (trained
@@ -101,39 +102,28 @@ def streaming_index_add_sink(
     assignment over ITS OWN vectors only and appends the resulting
     inverted-file delta as `<state>/batch_id=N` -- no read of prior state
     at all, so per-epoch cost is O(batch) at any index size. Assignments
-    are immutable per vector, so deltas never rewrite; production folds
-    delta dirs into the cell-partitioned base periodically (the exercised
-    LSM compaction in streaming/dedup.py). Overwrite-per-epoch makes
-    crash replays byte-identical: exactly-once."""
+    are immutable per vector, so deltas never rewrite; delta dirs fold
+    into a base every `compact_every` epochs (the shared LSM compaction
+    in streaming/deltas.py; cell-partitioned in production).
+    Overwrite-per-epoch makes crash replays byte-identical:
+    exactly-once."""
     from rlink_rs_spark.operators.similarity import ivf_assign
+    from rlink_rs_spark.streaming.deltas import delta_sink
 
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        delta = ivf_assign(batch_df, codebook, dims)
-        delta.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch_id={epoch_id}")
-        )
-
-    return (
-        emb_stream.writeStream.outputMode("append")
-        .foreachBatch(handle)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return delta_sink(
+        emb_stream,
+        lambda batch: ivf_assign(batch, codebook, dims),
+        state_dir,
+        checkpoint,
+        schema=_INVERTED_SCHEMA,
+        compact_every=compact_every,
     )
 
 
 def read_inverted_file(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Union of all committed (_SUCCESS) epoch deltas -- the full inverted
-    file. Vectors are disjoint across epochs, so the union is the index."""
-    paths = []
-    if os.path.isdir(state_dir):
-        for d in sorted(os.listdir(state_dir)):
-            if d.startswith("batch_id=") and os.path.exists(
-                os.path.join(state_dir, d, "_SUCCESS")
-            ):
-                paths.append(os.path.join(state_dir, d))
-    if not paths:
-        return spark.createDataFrame([], _INVERTED_SCHEMA)
-    return spark.read.schema(_INVERTED_SCHEMA).parquet(*paths)
+    """The full inverted file: newest committed base + committed deltas
+    above it. Vectors are disjoint across epochs, so that union is the
+    index."""
+    from rlink_rs_spark.streaming.deltas import read_deltas
+
+    return read_deltas(spark, state_dir, _INVERTED_SCHEMA)

@@ -102,92 +102,18 @@ _OUT_SCHEMA_Q = (
 )
 
 
-def _epoch_dirs(root: str, before_epoch: int, after_epoch: int = -1) -> list[str]:
-    """COMMITTED (_SUCCESS present) delta dirs for epochs in
-    (after_epoch, before_epoch) -- a retried epoch must not see its own
-    partial writes, and readers must skip dirs a crash left torn."""
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for d in sorted(os.listdir(root)):
-        if not d.startswith("batch_id="):
-            continue
-        i = int(d.split("=", 1)[1])
-        if after_epoch < i < before_epoch and os.path.exists(
-            os.path.join(root, d, "_SUCCESS")
-        ):
-            out.append(os.path.join(root, d))
-    return out
-
-
-def _newest_base(root: str) -> tuple[str | None, int]:
-    """Newest committed compaction base under `root` as (path, upto);
-    (None, -1) when no fold has happened yet."""
-    if not os.path.isdir(root):
-        return None, -1
-    best, best_upto = None, -1
-    for d in os.listdir(root):
-        if d.startswith("base_upto=") and os.path.exists(
-            os.path.join(root, d, "_SUCCESS")
-        ):
-            upto = int(d.split("=", 1)[1])
-            if upto > best_upto:
-                best, best_upto = os.path.join(root, d), upto
-    return best, best_upto
-
-
-def _state_inputs(root: str, before_epoch: int) -> list[str]:
-    """Newest committed base (if any) + committed deltas above its
-    watermark and below `before_epoch` -- together exactly the state of
-    all committed epochs < before_epoch, fold or no fold."""
-    base, upto = _newest_base(root)
-    dirs = _epoch_dirs(root, before_epoch, after_epoch=upto)
-    return ([base] if base is not None else []) + dirs
-
-
-def _read_state(spark: SparkSession, root: str, schema: str, before_epoch: int) -> DataFrame:
-    dirs = _state_inputs(root, before_epoch)
-    if not dirs:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*dirs)
-
-
-def _gc_folded(root: str) -> None:
-    """Drop delta dirs covered by the newest committed base, plus
-    superseded bases -- the deferred half of a fold, run at the START of
-    a later epoch so the folding epoch's crash window never deletes the
-    only copy of any state."""
-    import shutil
-
-    base, upto = _newest_base(root)
-    if base is None:
-        return
-    for d in os.listdir(root):
-        p = os.path.join(root, d)
-        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) <= upto:
-            shutil.rmtree(p, ignore_errors=True)
-        elif d.startswith("base_upto=") and p != base:
-            shutil.rmtree(p, ignore_errors=True)
-
-
-def _compact(
-    spark: SparkSession, root: str, schema: str, before_epoch: int, compact_every: int
-) -> None:
-    """Fold base + committed deltas below `before_epoch` into a new
-    `base_upto=<max delta>` dir once the delta count reaches
-    `compact_every`. Deterministic: the output is keyed by the max folded
-    epoch and its content is the union of all state <= that epoch, so a
-    replayed fold overwrites byte-identical data. Old dirs are NOT removed
-    here (see _gc_folded)."""
-    deltas = _epoch_dirs(root, before_epoch, after_epoch=_newest_base(root)[1])
-    if len(deltas) < compact_every:
-        return
-    upto = max(int(os.path.basename(d).split("=", 1)[1]) for d in deltas)
-    base, _ = _newest_base(root)
-    inputs = ([base] if base is not None else []) + deltas
-    spark.read.schema(schema).parquet(*inputs).write.mode("overwrite").parquet(
-        os.path.join(root, f"base_upto={upto}")
-    )
+# The LSM fold machinery this module pioneered now lives in
+# streaming/deltas.py (shared by every append-only delta sink); the
+# private aliases keep this module's protocol vocabulary and existing
+# test imports stable.
+from rlink_rs_spark.streaming.deltas import (  # noqa: E402
+    compact as _compact,
+    epoch_dirs as _epoch_dirs,
+    gc_folded as _gc_folded,
+    newest_base as _newest_base,
+    read_state as _read_state,
+    state_inputs as _state_inputs,
+)
 
 
 def streaming_incremental_dedup_sink(

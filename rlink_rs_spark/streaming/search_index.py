@@ -10,11 +10,11 @@ committed deltas IS the index. Per-epoch overwrite commits make crash
 replays byte-identical: exactly-once.
 
 Corpus-level statistics (df, doc-length totals) are derived from the
-drained index at query time here; at 100 TB production folds the delta
-dirs into a term-partitioned base periodically (the exercised LSM
-compaction in streaming/dedup.py) and maintains df/totals as mergeable
-carriers (the streaming/rollup.py fold) so scoring never rescans the
-posting table.
+drained index at query time here; the delta dirs fold into a base
+periodically (the shared LSM compaction in streaming/deltas.py, on by
+default here with compact_every=8), and at 100 TB production
+additionally maintains df/totals as mergeable carriers (the
+streaming/rollup.py fold) so scoring never rescans the posting table.
 
 Reference parity: the reference has no search surface; this extends the
 repo's BM25 operator (queries/search.py, SURVEY §2 extras) with the
@@ -23,43 +23,36 @@ continuous-ingest shape a production search index runs.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+
+from rlink_rs_spark.streaming.deltas import delta_sink, read_deltas
 
 _TF_SCHEMA = "doc_id bigint, term string, tf bigint"
 
 
-def streaming_bm25_index_sink(doc_stream: DataFrame, state_dir: str, checkpoint: str):
-    """foreachBatch sink appending per-epoch (doc_id, term, tf) deltas.
-    Returns the started StreamingQuery."""
+def streaming_bm25_index_sink(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    compact_every: int = 8,
+    crash_after_fold_at: int | None = None,
+):
+    """foreachBatch sink appending per-epoch (doc_id, term, tf) deltas,
+    folded into a base every `compact_every` epochs. Returns the started
+    StreamingQuery."""
     from rlink_rs_spark.queries.search import corpus_tf
 
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        corpus_tf(batch_df).write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch_id={epoch_id}")
-        )
-
-    return (
-        doc_stream.writeStream.outputMode("append")
-        .foreachBatch(handle)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return delta_sink(
+        doc_stream,
+        corpus_tf,
+        state_dir,
+        checkpoint,
+        schema=_TF_SCHEMA,
+        compact_every=compact_every,
+        crash_after_fold_at=crash_after_fold_at,
     )
 
 
 def read_posting_table(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Union of all committed (_SUCCESS) epoch deltas -- the full index."""
-    paths = []
-    if os.path.isdir(state_dir):
-        for d in sorted(os.listdir(state_dir)):
-            if d.startswith("batch_id=") and os.path.exists(
-                os.path.join(state_dir, d, "_SUCCESS")
-            ):
-                paths.append(os.path.join(state_dir, d))
-    if not paths:
-        return spark.createDataFrame([], _TF_SCHEMA)
-    return spark.read.schema(_TF_SCHEMA).parquet(*paths)
+    """The full index: newest committed base + committed deltas above it."""
+    return read_deltas(spark, state_dir, _TF_SCHEMA)

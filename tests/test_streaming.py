@@ -1342,3 +1342,78 @@ def test_cdc_merge_emptied_bucket_does_not_resurrect_deleted_rows(spark, sf_dir)
 
     got = {(r.doc_id, r.version) for r in read_merged_snapshot(spark, work_dir).collect()}
     assert got == {(1, 0), (2, 0)}, got
+
+
+def test_delta_sink_compaction_crash_resume(spark, sf_dir):
+    """The shared LSM fold (streaming/deltas.py) behind every append-only
+    index sink: drive the BM25 posting index over 6 doc_id-ordered chunks
+    with compact_every=2 and a crash injected right after epoch 3's fold
+    committed its base (folded delta dirs still on disk -- the
+    double-count hazard window). The resumed run must GC them, finish the
+    stream, and drain a posting table row-identical to one batch
+    corpus_tf pass; the final state dir must hold ONE base plus fewer
+    than compact_every deltas -- not O(epochs) dirs."""
+    import os
+
+    from rlink_rs_spark.queries.search import corpus_tf
+    from rlink_rs_spark.streaming.deltas import newest_base
+    from rlink_rs_spark.streaming.search_index import (
+        read_posting_table,
+        streaming_bm25_index_sink,
+    )
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+    from rlink_rs_spark.tables import load_table
+
+    staged = stage_stream_dir(sf_dir, "documents", chunks=6, order_col="doc_id")
+    state_dir = tempfile.mkdtemp(prefix="rlink_delta_compact_")
+    ckpt = tempfile.mkdtemp(prefix="rlink_delta_compact_ck_")
+
+    def run():
+        src = stream_from_staged(spark, staged, sf_dir, "documents", 1)
+        return streaming_bm25_index_sink(
+            src.select("doc_id", "text"),
+            state_dir=state_dir,
+            checkpoint=ckpt,
+            compact_every=2,
+            crash_after_fold_at=3,
+        )
+
+    q = run()
+    with pytest.raises(Exception):
+        q.awaitTermination(600)
+    # the injected crash left a committed base AND its folded deltas on disk
+    _, upto = newest_base(state_dir)
+    assert upto >= 3
+    assert any(d.startswith("batch_id=") for d in os.listdir(state_dir))
+
+    q2 = run()
+    assert q2.awaitTermination(600)
+
+    got = {tuple(r) for r in read_posting_table(spark, state_dir).collect()}
+    want = {
+        tuple(r)
+        for r in corpus_tf(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        ).collect()
+    }
+    assert got == want and got
+    # GC of a fold is deferred to the next epoch's start, so a fold in the
+    # final epoch leaves its covered dirs behind; run the deferred pass the
+    # way epoch 6 would, then state must be exactly one base plus fewer
+    # than compact_every deltas above it -- not O(epochs) dirs.
+    from rlink_rs_spark.streaming.deltas import gc_folded
+
+    gc_folded(state_dir)
+    base, upto = newest_base(state_dir)
+    assert base is not None
+    bases = [d for d in os.listdir(state_dir) if d.startswith("base_upto=")]
+    assert len(bases) == 1, bases
+    live = [
+        d
+        for d in os.listdir(state_dir)
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) > upto
+    ]
+    assert len(live) < 2, live
+    # post-GC read still equals the batch pass (nothing live was dropped)
+    again = {tuple(r) for r in read_posting_table(spark, state_dir).collect()}
+    assert again == want
