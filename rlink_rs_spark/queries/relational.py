@@ -1931,3 +1931,138 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return read_snapshot(spark, work_dir, 1 << 62, schema=_SNAP_SCHEMA_V2)
+
+
+# --- declarative data-quality constraint suite ------------------------------
+
+_EVENT_TYPES = "('click', 'signup', 'purchase', 'error', 'view')"
+
+_CONSTRAINT_ORACLE = f"""
+WITH report AS (
+  SELECT 'orders' AS table_name, 'unique_o_orderkey' AS constraint_name,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'complete_o_custkey',
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'orders', 'positive_o_totalprice',
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem', 'quantity_in_1_50',
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'discount_in_0_1',
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem', 'ref_l_orderkey_in_orders',
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l WHERE NOT EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'customer', 'unique_c_custkey',
+         CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'customer', 'nonneg_c_acctbal',
+         CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'events', 'event_type_in_set',
+         CAST(SUM(CASE WHEN event_type NOT IN {_EVENT_TYPES}
+                        OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'events', 'complete_user_id',
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+)
+SELECT table_name, constraint_name, violations,
+       violations = 0 AS passed
+FROM report
+"""
+
+
+@register(
+    "constraint_check_report",
+    _CONSTRAINT_ORACLE,
+    "Declarative data-quality constraint suite (the Deequ/expectations "
+    "shape): uniqueness, completeness, range, set-membership, and "
+    "referential-integrity checks over four tables, one violations row "
+    "per constraint with a passed verdict. All of a table's row-local "
+    "checks evaluate in ONE aggregate pass over it.",
+)
+def constraint_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: each table is scanned ONCE for all its row-local
+    constraints (conditional counts fused into a single map-side-combined
+    aggregate); uniqueness adds the per-table count-distinct exchange and
+    referential integrity one anti-join shuffle co-partitioned on the
+    key -- the irreducible cost of those checks. The report itself is a
+    few dozen rows assembled by stack() on the 1-row aggregates, never a
+    corpus shuffle. The fixture intentionally exercises both verdicts:
+    TPC-H account balances go negative (nonneg_c_acctbal FAILS) while the
+    key constraints hold."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+
+    def viol(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    o = orders.agg(
+        (F.count("*") - F.count_distinct("o_orderkey")).cast("bigint").alias("u"),
+        viol(F.col("o_custkey").isNull()).alias("c"),
+        viol(F.col("o_totalprice") <= 0).alias("p"),
+    ).selectExpr(
+        "stack(3, 'unique_o_orderkey', u, 'complete_o_custkey', c, "
+        "'positive_o_totalprice', p) AS (constraint_name, violations)"
+    ).select(F.lit("orders").alias("table_name"), "constraint_name", "violations")
+
+    li = lineitem.agg(
+        viol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("q"),
+        viol((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("d"),
+    ).selectExpr(
+        "stack(2, 'quantity_in_1_50', q, 'discount_in_0_1', d) "
+        "AS (constraint_name, violations)"
+    ).select(F.lit("lineitem").alias("table_name"), "constraint_name", "violations")
+
+    ref = (
+        lineitem.join(
+            orders.select("o_orderkey"),
+            lineitem["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("violations"))
+        .select(
+            F.lit("lineitem").alias("table_name"),
+            F.lit("ref_l_orderkey_in_orders").alias("constraint_name"),
+            "violations",
+        )
+    )
+
+    cu = customer.agg(
+        (F.count("*") - F.count_distinct("c_custkey")).cast("bigint").alias("u"),
+        viol(F.col("c_acctbal") < 0).alias("n"),
+    ).selectExpr(
+        "stack(2, 'unique_c_custkey', u, 'nonneg_c_acctbal', n) "
+        "AS (constraint_name, violations)"
+    ).select(F.lit("customer").alias("table_name"), "constraint_name", "violations")
+
+    ev = events.agg(
+        viol(
+            ~F.col("event_type").isin("click", "signup", "purchase", "error", "view")
+            | F.col("event_type").isNull()
+        ).alias("s"),
+        viol(F.col("user_id").isNull()).alias("c"),
+    ).selectExpr(
+        "stack(2, 'event_type_in_set', s, 'complete_user_id', c) "
+        "AS (constraint_name, violations)"
+    ).select(F.lit("events").alias("table_name"), "constraint_name", "violations")
+
+    report = o.unionByName(li).unionByName(ref).unionByName(cu).unionByName(ev)
+    return report.withColumn("passed", F.col("violations") == 0)

@@ -136,19 +136,29 @@ def corpus_tf(docs: DataFrame) -> DataFrame:
     )
 
 
-def bm25_score_tf(spark: SparkSession, tf: DataFrame) -> DataFrame:
-    """Score the fixed benchmark query set against a (doc_id, term, tf)
+def bm25_score_tf(
+    spark: SparkSession,
+    tf: DataFrame,
+    qterms: DataFrame | None = None,
+    k: int = BM25_TOP_K,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Score a (query_id, term) query table against a (doc_id, term, tf)
     index table -- shared verbatim by the batch query (tf from one corpus
-    pass) and the streaming index twin (tf drained from epoch deltas)."""
+    pass), the streaming index twin (tf drained from epoch deltas), and
+    the hybrid RRF retriever (qterms mined from exemplar docs, with the
+    exemplar itself excluded). qterms=None scores the fixed benchmark
+    query set."""
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     totals = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("dl_sum"),
     )
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
-        "query_id string, term string",
-    )
+    if qterms is None:
+        qterms = spark.createDataFrame(
+            [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+            "query_id string, term string",
+        )
     dfc = (
         tf.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("term")
@@ -161,6 +171,8 @@ def bm25_score_tf(spark: SparkSession, tf: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .withColumn("c", F.expr(_BM25_CONTRIB))
     )
+    if exclude_self:
+        contrib = contrib.where(F.col("doc_id") != F.col("query_id"))
     scored = contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c").cast("bigint").alias("score_micro")
     )
@@ -169,7 +181,7 @@ def bm25_score_tf(spark: SparkSession, tf: DataFrame) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= BM25_TOP_K)
+        .where(F.col("rank") <= k)
         .select(
             "query_id",
             "rank",
@@ -328,3 +340,161 @@ def streaming_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     tf = read_posting_table(spark, state_dir).cache()
     return bm25_score_tf(spark, tf)
+
+
+# --- hybrid retrieval: lexical + vector with reciprocal-rank fusion --------
+
+# Query-by-exemplar: doc_id and vec_id share an id space in the fixtures
+# (TESTDATA.md), so each exemplar contributes BOTH a lexical query (its
+# top-M distinctive terms, more-like-this style) and a vector query (its
+# embedding row). Cormack/Clarke/Buettcher reciprocal-rank fusion
+# (SIGIR'09): score(d) = sum over lists of 1/(K + rank_d), K=60.
+HYBRID_QUERY_DOCS = [0, 1, 2]
+_HY_MLT_TERMS = 8  # exemplar terms kept: top-M by (tf DESC, term ASC)
+_HY_LIST_N = 20    # depth of each ranked list entering the fusion
+_HY_TOP_K = 10
+_HY_RRF_K = 60
+
+_HY_IDS = ", ".join(str(i) for i in HYBRID_QUERY_DOCS)
+_HY_COS = None  # assembled lazily below to keep import order obvious
+
+from rlink_rs_spark.operators.similarity import cosine_expr  # noqa: E402
+
+_HY_COS = cosine_expr("sa.embedding", "sb.embedding", 64, base=1)
+
+# RRF points in integer micro-units: 1e6/(60+rank) is never an exact .5
+# for rank 1..20 (2e6 has no odd quotient by 61..80), so HALF_UP vs
+# banker's rounding cannot diverge between engines -- the fused score is
+# BIGINT-exact.
+_HY_PTS = f"CAST(ROUND(1000000.0 / ({_HY_RRF_K} + rank)) AS BIGINT)"
+
+_HYBRID_ORACLE = f"""
+WITH tokens AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents)
+  WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tokens GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS dl_sum
+  FROM dl
+),
+qterms AS (
+  SELECT query_id, term FROM (
+    SELECT doc_id AS query_id, term,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tf DESC, term) AS r
+    FROM tf WHERE doc_id IN ({_HY_IDS})
+  ) WHERE r <= {_HY_MLT_TERMS}
+),
+dfc AS (
+  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM tf t
+  WHERE t.term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY t.term
+),
+contrib AS (
+  SELECT q.query_id, t.doc_id, {_BM25_CONTRIB} AS c
+  FROM tf t
+  JOIN qterms q ON q.term = t.term AND t.doc_id <> q.query_id
+  JOIN dfc ON dfc.term = t.term
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN totals
+),
+lex AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_micro DESC, doc_id) AS rank
+  FROM (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+        FROM contrib GROUP BY query_id, doc_id)
+),
+vscored AS (
+  SELECT sa.vec_id AS query_id, sb.vec_id AS doc_id, {_HY_COS} AS cosine
+  FROM embeddings sa JOIN embeddings sb ON sa.vec_id <> sb.vec_id
+  WHERE sa.vec_id IN ({_HY_IDS})
+),
+vec AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM vscored
+),
+hits AS (
+  SELECT query_id, doc_id, {_HY_PTS} AS pts FROM lex WHERE rank <= {_HY_LIST_N}
+  UNION ALL
+  SELECT query_id, doc_id, {_HY_PTS} AS pts FROM vec WHERE rank <= {_HY_LIST_N}
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(SUM(pts) AS BIGINT) AS rrf_micro
+  FROM hits GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, rrf_micro
+FROM (SELECT query_id, doc_id, rrf_micro,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_micro DESC, doc_id) AS INT) AS rank
+      FROM fused)
+WHERE rank <= {_HY_TOP_K}
+"""
+
+
+@register(
+    "hybrid_search_rrf",
+    _HYBRID_ORACLE,
+    "Hybrid retrieval by exemplar document: a lexical BM25 more-like-this "
+    "list (exemplar's top-8 terms by tf) and a vector cosine list (the "
+    "exemplar's embedding) are fused with reciprocal-rank fusion "
+    "(1/(60+rank), integer micro-points). The two-stage "
+    "retrieve-then-fuse shape every RAG/data-selection stack runs; "
+    "composes the repo's BM25 and ANN primitives.",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: both retrievers are the proven scale plans -- the
+    corpus shuffles once into (doc, term, tf) for BM25 (query side all
+    broadcast), and the vector list broadcasts 3 query rows against the
+    embeddings scan. Fusion then runs on <= 2 * list_n * n_queries rows
+    (candidates only, never the corpus): a union, one tiny groupBy, and a
+    per-query rank window. RRF points are integer micro-units so the
+    fused ordering is BIGINT-exact across engines."""
+    from rlink_rs_spark.operators import similarity as sim_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tf = corpus_tf(docs).cache()
+    wq = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    qterms = (
+        tf.where(F.col("doc_id").isin(HYBRID_QUERY_DOCS))
+        .withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= _HY_MLT_TERMS)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    lex = bm25_score_tf(spark, tf, qterms=qterms, k=_HY_LIST_N, exclude_self=True)
+    vec = sim_ops.cosine_topk(
+        emb, emb.where(F.col("vec_id").isin(HYBRID_QUERY_DOCS)), dims=64, k=_HY_LIST_N
+    )
+    pts = F.expr(_HY_PTS)
+    hits = lex.select(
+        F.col("query_id").cast("bigint").alias("query_id"), "doc_id", pts.alias("pts")
+    ).unionByName(
+        vec.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            pts.alias("pts"),
+        )
+    )
+    fused = hits.groupBy("query_id", "doc_id").agg(
+        F.sum("pts").cast("bigint").alias("rrf_micro")
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .where(F.col("rank") <= _HY_TOP_K)
+        .select("query_id", "rank", "doc_id", "rrf_micro")
+    )

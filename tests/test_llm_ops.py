@@ -74,6 +74,8 @@ ORACLED = [
     # displaced from the driver window by the r9 rotation (r8-driver-green)
     "phrase_search_positional",
     "approx_distinct_users",
+    # new in r9, not in the window (fusion of two listed retrievers)
+    "hybrid_search_rrf",
 ]
 
 

@@ -63,6 +63,8 @@ RELATIONAL = [
     "cms_heavy_hitters",
     # displaced from the driver window by the r9 rotation (r8-driver-green)
     "daily_trend_ols",
+    # new in r9, not in the window
+    "constraint_check_report",
 ]
 
 
@@ -465,3 +467,21 @@ def test_temporal_join_exactly_one_version_per_fact(spark, sf_dir):
     n_orders = load_table(spark, sf_dir, "orders").count()
     assert joined.count() == n_orders
     assert joined.select("o_orderkey").distinct().count() == n_orders
+
+
+def test_constraint_report_flags_real_violations(spark, sf_dir):
+    """Non-vacuity guard for the constraint suite: the fixture's key and
+    referential constraints genuinely hold, while TPC-H-shaped account
+    balances go negative -- so the report must contain BOTH verdicts
+    (a suite that can only say 'passed' proves nothing)."""
+    from rlink_rs_spark.queries import REGISTRY
+
+    rows = {
+        (r.table_name, r.constraint_name): (r.violations, r.passed)
+        for r in REGISTRY["constraint_check_report"].fn(spark, sf_dir).collect()
+    }
+    assert len(rows) == 10
+    assert rows[("orders", "unique_o_orderkey")] == (0, True)
+    assert rows[("lineitem", "ref_l_orderkey_in_orders")] == (0, True)
+    violations, passed = rows[("customer", "nonneg_c_acctbal")]
+    assert violations > 0 and not passed

@@ -83,6 +83,9 @@ NLJ_ALLOWED = {
     "temperature_resample_weights",
     "semantic_dedup",
     "source_mix_report",
+    "hybrid_search_rrf",  # 3-row exemplar query set broadcast NLJ (the
+    #                       cosine_topk_bruteforce vector leg) + the listed
+    #                       1-row bm25 corpus-totals cross on the lexical leg
 }
 
 JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)")
