@@ -221,6 +221,35 @@ def semantic_dedup(
     )
 
 
+_RECALL_CONTRACT_COS = 0.9  # the documented near-dup recall point
+
+
+def scaled_lsh_params(
+    n_vec: int,
+    base_bands: int = 4,
+    base_ppb: int = 6,
+    target_occupancy: int = 32,
+) -> tuple[int, int]:
+    """Corpus-size-scaled banding for cosine_near_dup_pairs: deepen each
+    band until expected bucket occupancy is ~target_occupancy (within-bucket
+    pair work is occupancy-quadratic, so a FIXED config makes total
+    candidates grow as n^2/2^ppb -- the sf1 witness measured exactly that
+    creep), then widen the band count so recall at the documented contract
+    point (cosine >= 0.9) matches the base config's ~86%. Candidates then
+    grow ~n * occupancy * bands: linear in n up to the slow logarithmic
+    band growth. At or below the base scale returns the base config
+    unchanged, keeping the static SQL oracle exact at the gate scales."""
+    import math
+
+    ppb = max(base_ppb, math.ceil(math.log2(max(1, n_vec) / target_occupancy)))
+    if ppb == base_ppb:
+        return base_bands, base_ppb
+    p = 1.0 - math.acos(_RECALL_CONTRACT_COS) / math.pi
+    target = 1.0 - (1.0 - p**base_ppb) ** base_bands
+    bands = math.ceil(math.log(1.0 - target) / math.log(1.0 - p**ppb))
+    return max(base_bands, bands), ppb
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     dims: int,
@@ -240,26 +269,63 @@ def cosine_near_dup_pairs(
     Norms are precomputed once per vector (3x fewer chain evals per pair);
     the DuckDB twin precomputes identically, so bits still match."""
     all_planes = hyperplanes(bands * planes_per_band, dims)
-    # One wide projection computes the full (bands*ppb)-bit sketch; per-band
-    # buckets are then tiny bit-shift expressions. Keeping the 64-dim sum
-    # chains OUT of the explode keeps the generated consume method under the
-    # JVM's 64KB bytecode limit (inlining them there failed codegen and fell
-    # back to interpreted eval).
-    mask = (1 << planes_per_band) - 1
-    sketched = vectors.select(
-        F.col(id_col), F.expr(bucket_expr(vec_col, all_planes, base=0)).alias("__sketch")
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright("__sketch", b * planes_per_band)
-                .bitwiseAND(F.lit(mask))
-                .alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
+    # Sum chains stay OUT of the explode either way: inlining them there
+    # blew the JVM's 64KB generated-consume limit and fell back to
+    # interpreted eval.
+    if bands * planes_per_band <= 63:
+        # One wide projection computes the full (bands*ppb)-bit sketch in a
+        # single BIGINT; per-band buckets are tiny bit-shift expressions.
+        mask = (1 << planes_per_band) - 1
+        sketched = vectors.select(
+            F.col(id_col),
+            F.expr(bucket_expr(vec_col, all_planes, base=0)).alias("__sketch"),
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("__sketch", b * planes_per_band)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        # Occupancy-scaled configs overflow one BIGINT sketch, and a
+        # hundred-odd 64-term codegen chains cost more to compile and
+        # evaluate than the buckets are worth -- the projection is exactly
+        # a GEMM, so compute all band buckets in one Arrow-batched numpy
+        # matmul (same planes, same bit order; sign-of-float64-dot can
+        # differ from the balanced chain only on exact-zero knife edges,
+        # which this approximate scale path tolerates by design).
+        import numpy as np
+        import pandas as pd
+
+        planes_mat = np.array(all_planes, dtype=np.float64)
+        pows = (1 << np.arange(planes_per_band)).astype(np.int64)
+        n_bands, ppb = bands, planes_per_band
+        id_type = vectors.schema[id_col].dataType.simpleString()
+
+        def sketch_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(list(pdf["__v"]), dtype=np.float64)
+                bits = (m @ planes_mat.T) > 0
+                buckets = np.stack(
+                    [bits[:, b * ppb : (b + 1) * ppb] @ pows for b in range(n_bands)],
+                    axis=1,
+                )
+                yield pd.DataFrame({id_col: pdf["__id"], "__bk": list(buckets)})
+
+        sketched = vectors.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        ).mapInPandas(sketch_batches, f"{id_col} {id_type}, __bk array<bigint>")
+        band_structs = F.transform(
+            F.col("__bk"),
+            lambda bucket, i: F.struct(i.alias("band"), bucket.alias("bucket")),
+        )
     banded = sketched.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
         id_col, "bb.band", "bb.bucket"
     )

@@ -120,9 +120,35 @@ SELECT * FROM (
     "sort-merge).",
 )
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding scales with the corpus (scaled_lsh_params: ~32
+    vectors/bucket/band, band count re-widened to hold the cosine>=0.9
+    recall contract) -- with the FIXED 4x6 config the within-bucket pair
+    join grows as n^2/64; the r9 sf1 witness measured 1.3x vs linear and
+    the largest absolute row (87.8 s) before this guard. At the
+    oracle-gate scales (<=2048 vectors) the config stays 4x6, so the
+    static banded SQL oracle remains exact; larger corpora diverge
+    intentionally (pytest-witnessed recall + candidate-volume bounds)."""
+    import math
+    import os
+    import warnings
+
+    import pyarrow.parquet as pq
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    bands, ppb = sim_ops.scaled_lsh_params(
+        n_vec, base_bands=_ND_BANDS, base_ppb=_ND_PPB
+    )
+    if (bands, ppb) != (_ND_BANDS, _ND_PPB):
+        warnings.warn(
+            f"embedding_cosine_near_dup: {n_vec} vectors -> {bands} bands x "
+            f"{ppb} planes; the registered oracle SQL assumes the "
+            f"{_ND_BANDS}x{_ND_PPB} banding and is NOT exact at this scale "
+            "(scale-safe path, pytest-witnessed).",
+            stacklevel=2,
+        )
     return sim_ops.cosine_near_dup_pairs(
-        emb, dims=_DIMS, threshold=_ND_THR, bands=_ND_BANDS, planes_per_band=_ND_PPB
+        emb, dims=_DIMS, threshold=_ND_THR, bands=bands, planes_per_band=ppb
     )
 
 

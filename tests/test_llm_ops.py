@@ -1264,3 +1264,69 @@ def test_stream_score_fold_matches_batch_scorer(spark, sf_dir):
         .collect()
     }
     assert stream == batch and stream
+
+
+def test_scaled_lsh_near_dup_recall_and_candidate_bound(spark):
+    """The occupancy-scaled banding behind embedding_cosine_near_dup's
+    scale path (scaled_lsh_params): gate scales keep the 4x6 config (the
+    static SQL oracle stays exact), sf1-sized corpora deepen bands past
+    one BIGINT sketch (the split-sketch projection), recall at the
+    documented cosine>=0.9 contract survives the re-widened band count,
+    and candidate volume drops to a fraction of the fixed config's --
+    the de-quadratic claim, counted from the SAME deterministic planes."""
+    import numpy as np
+
+    from rlink_rs_spark.operators import similarity as s
+
+    # gate scales: config unchanged -> registered oracle exact there
+    assert s.scaled_lsh_params(500) == (4, 6)
+    assert s.scaled_lsh_params(2000) == (4, 6)
+    # the sf1 corpus deepens past 63 bits -> exercises the split path
+    bands_sf1, ppb_sf1 = s.scaled_lsh_params(20000)
+    assert ppb_sf1 > 6 and bands_sf1 * ppb_sf1 > 63
+
+    rng = np.random.default_rng(7)
+    dims, n_base, n_dup = 16, 4000, 200
+    base = rng.normal(size=(n_base, dims))
+    # perturbations sized to land planted pairs around the 0.9 contract
+    dup = base[:n_dup] + rng.normal(scale=0.3, size=(n_dup, dims))
+    vecs = np.vstack([base, dup])
+    n = len(vecs)
+
+    sb, sp = s.scaled_lsh_params(n, target_occupancy=8)
+    assert sp > 6 and sb * sp > 63
+
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cosm = normed @ normed.T
+    ia, ib = np.triu_indices(n, 1)
+    hit = cosm[ia, ib] >= 0.9
+    truth = {(int(a), int(b)) for a, b in zip(ia[hit], ib[hit])}
+    assert len(truth) >= 100  # the plant landed
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in s.cosine_near_dup_pairs(
+            df, dims=dims, threshold=0.9, bands=sb, planes_per_band=sp
+        ).collect()
+    }
+    # precision: exact verify inside the operator (float-order tolerance)
+    assert all(cosm[a, b] >= 0.9 - 1e-9 for a, b in got)
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.75, recall
+
+    # candidate volume from the same md5-derived planes, counted in numpy
+    def cand_count(bands_, ppb_):
+        planes = np.array(s.hyperplanes(bands_ * ppb_, dims), dtype=float)
+        bits = (vecs @ planes.T) > 0
+        total = 0
+        for b in range(bands_):
+            key = bits[:, b * ppb_ : (b + 1) * ppb_] @ (1 << np.arange(ppb_))
+            _, counts = np.unique(key, return_counts=True)
+            total += int((counts * (counts - 1) // 2).sum())
+        return total
+
+    assert cand_count(sb, sp) < 0.3 * cand_count(4, 6)
