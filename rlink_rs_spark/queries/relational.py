@@ -1468,6 +1468,100 @@ def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, work_dir, before_epoch=2)
 
 
+_VDIFF_ORACLE = f"""
+WITH old_snap AS ({_merge_oracle(_TIME_TRAVEL_PRED)}),
+new_snap AS ({_merge_oracle()})
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'insert'
+            WHEN n.doc_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.content_md5 AS old_md5, n.content_md5 AS new_md5,
+       o.n_chars AS old_n_chars, n.n_chars AS new_n_chars
+FROM old_snap o FULL JOIN new_snap n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.content_md5 <> n.content_md5
+"""
+
+
+@register(
+    "cdc_version_diff",
+    _VDIFF_ORACLE,
+    "Version diff over the CDC-merged snapshot (the Delta CDF "
+    "table_changes shape): every row inserted, deleted, or updated "
+    "between the as-of-epoch-1 state and the fully-merged state, "
+    "classified, with old/new content digests. Reads ONLY the buckets "
+    "whose resolved version differs between the two bounds.",
+)
+def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same 4-chunk replay as cdc_time_travel (retain=8 keeps both
+    versions in the GC window), then a full-outer join of the two as-of
+    reads restricted to changed_buckets(1->final): a bucket resolving to
+    the same committed file at both bounds cannot contain differing rows,
+    so the diff never reads the untouched fraction -- at 100 TB the cost
+    is O(changed buckets), the same file-level pruning contract real CDF
+    readers get from the transaction log. Within the pruned set the join
+    is bucket-co-partitioned on doc_id."""
+    import tempfile
+
+    from rlink_rs_spark.streaming.cdc import (
+        changed_buckets,
+        read_snapshot,
+        streaming_merge_sink,
+        write_base_snapshot,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_vd_")
+    write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
+    src = file_stream(
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        order_col="doc_id",
+    )
+    q = streaming_merge_sink(
+        src.select("doc_id", "text", "lang", "source", "n_chars"),
+        work_dir=work_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_cdc_vd_ck_"),
+        retain=8,
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("cdc_version_diff did not drain in 600s")
+    finally:
+        if q.isActive:
+            q.stop()
+    pruned = changed_buckets(work_dir, 2, 1 << 62)
+    old = read_snapshot(spark, work_dir, before_epoch=2, buckets=pruned)
+    new = read_snapshot(spark, work_dir, before_epoch=1 << 62, buckets=pruned)
+    o = old.select(
+        F.col("doc_id").alias("o_id"),
+        F.col("content_md5").alias("old_md5"),
+        F.col("n_chars").alias("old_n_chars"),
+    )
+    n = new.select(
+        F.col("doc_id").alias("n_id"),
+        F.col("content_md5").alias("new_md5"),
+        F.col("n_chars").alias("new_n_chars"),
+    )
+    j = o.join(n, o["o_id"] == n["n_id"], "full_outer")
+    return (
+        j.where(
+            F.col("o_id").isNull()
+            | F.col("n_id").isNull()
+            | (F.col("old_md5") != F.col("new_md5"))
+        )
+        .select(
+            F.coalesce("o_id", "n_id").alias("doc_id"),
+            F.when(F.col("o_id").isNull(), "insert")
+            .when(F.col("n_id").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            "old_md5",
+            "new_md5",
+            "old_n_chars",
+            "new_n_chars",
+        )
+    )
+
+
 # --- key-skew diagnostics ----------------------------------------------------
 
 _SKEW_TOP_K = 10

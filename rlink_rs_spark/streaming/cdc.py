@@ -129,6 +129,17 @@ def _bucket_versions(snap_dir: str, before_epoch: int) -> dict[int, str]:
     return out
 
 
+def changed_buckets(work_dir: str, from_epoch: int, to_epoch: int) -> set[int]:
+    """Buckets whose resolved newest committed version differs between two
+    as-of bounds -- the file-level pruning set for a version diff: a bucket
+    resolving to the SAME committed file at both bounds cannot contain
+    differing rows, so a diff reads only this set (at 100 TB that is the
+    touched fraction of the table, not the table)."""
+    a = _bucket_versions(os.path.join(work_dir, "snap"), from_epoch)
+    b = _bucket_versions(os.path.join(work_dir, "snap"), to_epoch)
+    return {k for k in set(a) | set(b) if a.get(k) != b.get(k)}
+
+
 def read_snapshot(
     spark: SparkSession,
     work_dir: str,

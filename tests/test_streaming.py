@@ -1417,3 +1417,39 @@ def test_delta_sink_compaction_crash_resume(spark, sf_dir):
     # post-GC read still equals the batch pass (nothing live was dropped)
     again = {tuple(r) for r in read_posting_table(spark, state_dir).collect()}
     assert again == want
+
+
+def test_cdc_version_diff_prunes_to_changed_buckets(spark, sf_dir):
+    """changed_buckets is the version-diff read set: after an epoch whose
+    change events touch exactly one bucket, the diff between pre- and
+    post-epoch bounds must name only that bucket -- reading it alone is
+    complete (a bucket resolving to the same file at both bounds cannot
+    differ), which is the whole file-level-pruning claim cdc_version_diff
+    rides at 100 TB."""
+    from rlink_rs_spark.streaming.cdc import (
+        N_BUCKETS,
+        _bucket_versions,
+        apply_merge_epoch,
+        changed_buckets,
+        write_base_snapshot,
+    )
+
+    # ids 1..50 spread over all buckets; only doc_id=14 (14%7==0, 14%13!=0)
+    # emits a change event in the applied batch -- an update confined to
+    # its own hash bucket. (50%50==0 would insert, so stop at 49.)
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 3) for i in range(1, 50)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_prune_")
+    write_base_snapshot(docs, work_dir)
+    base_buckets = set(_bucket_versions(os.path.join(work_dir, "snap"), 1).keys())
+    assert len(base_buckets) == N_BUCKETS  # the corpus really spans all buckets
+
+    batch = docs.where("doc_id = 14")
+    apply_merge_epoch(spark, work_dir, batch, epoch_id=1)
+
+    pruned = changed_buckets(work_dir, 1, 1 << 62)
+    assert len(pruned) == 1, pruned
+    # and the diff bound that saw no epoch boundary names nothing
+    assert changed_buckets(work_dir, 1, 1) == set()
