@@ -72,11 +72,13 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 def _fake_decode(payload: bytes, dim: int) -> list[float]:
     """Deterministic fake feature vector: md5-expanded bytes -> [0,1) floats.
-    Stands in for a real decoder + encoder forward pass."""
+    Stands in for a real decoder + encoder forward pass. The counter suffix
+    is printable (':0', ':1', ...) so a SQL oracle can mirror the expansion
+    with plain string md5."""
     out: list[float] = []
     counter = 0
     while len(out) < dim:
-        h = hashlib.md5(payload + counter.to_bytes(4, "big")).digest()
+        h = hashlib.md5(payload + f":{counter}".encode()).digest()
         out.extend(b / 256.0 for b in h)  # [0, 1): 255 -> 0.996..., never 1.0
         counter += 1
     return out[:dim]

@@ -368,8 +368,10 @@ _HY_COS = cosine_expr("sa.embedding", "sb.embedding", 64, base=1)
 # BIGINT-exact.
 _HY_PTS = f"CAST(ROUND(1000000.0 / ({_HY_RRF_K} + rank)) AS BIGINT)"
 
-_HYBRID_ORACLE = f"""
-WITH tokens AS (
+# Lexical leg + fusion tail are shared verbatim by the batch oracle and
+# the streaming twin's (whose vector leg is the IVF probe instead of the
+# exact scan).
+_HY_LEX_CTES = f"""tokens AS (
   SELECT doc_id, term
   FROM (SELECT doc_id,
                unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
@@ -415,19 +417,9 @@ lex AS (
                             ORDER BY score_micro DESC, doc_id) AS rank
   FROM (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
         FROM contrib GROUP BY query_id, doc_id)
-),
-vscored AS (
-  SELECT sa.vec_id AS query_id, sb.vec_id AS doc_id, {_HY_COS} AS cosine
-  FROM embeddings sa JOIN embeddings sb ON sa.vec_id <> sb.vec_id
-  WHERE sa.vec_id IN ({_HY_IDS})
-),
-vec AS (
-  SELECT query_id, doc_id,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, doc_id ASC) AS rank
-  FROM vscored
-),
-hits AS (
+)"""
+
+_HY_FUSE_TAIL = f"""hits AS (
   SELECT query_id, doc_id, {_HY_PTS} AS pts FROM lex WHERE rank <= {_HY_LIST_N}
   UNION ALL
   SELECT query_id, doc_id, {_HY_PTS} AS pts FROM vec WHERE rank <= {_HY_LIST_N}
@@ -443,6 +435,21 @@ FROM (SELECT query_id, doc_id, rrf_micro,
       FROM fused)
 WHERE rank <= {_HY_TOP_K}
 """
+
+_HYBRID_ORACLE = f"""
+WITH {_HY_LEX_CTES},
+vscored AS (
+  SELECT sa.vec_id AS query_id, sb.vec_id AS doc_id, {_HY_COS} AS cosine
+  FROM embeddings sa JOIN embeddings sb ON sa.vec_id <> sb.vec_id
+  WHERE sa.vec_id IN ({_HY_IDS})
+),
+vec AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM vscored
+),
+{_HY_FUSE_TAIL}"""
 
 
 @register(
@@ -479,6 +486,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = sim_ops.cosine_topk(
         emb, emb.where(F.col("vec_id").isin(HYBRID_QUERY_DOCS)), dims=64, k=_HY_LIST_N
     )
+    return _rrf_fuse(lex, vec)
+
+
+def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of a (query_id, doc_id, rank) lexical list
+    and a (query_id, neighbor_id, rank) vector list, shared by the batch
+    and streaming hybrid retrievers. Candidates only -- never the corpus:
+    a union of <= 2 * list_n rows per query, one tiny groupBy, and a
+    per-query rank window."""
     pts = F.expr(_HY_PTS)
     hits = lex.select(
         F.col("query_id").cast("bigint").alias("query_id"), "doc_id", pts.alias("pts")
@@ -498,3 +514,164 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _HY_TOP_K)
         .select("query_id", "rank", "doc_id", "rrf_micro")
     )
+
+
+# --- streaming hybrid retrieval: serve from two stream-maintained indexes ---
+
+from rlink_rs_spark.queries.similarity import (  # noqa: E402
+    _COS_DUCK,
+    _IVF_ASSIGN_COS,
+    _IVF_CELLS,
+    _IVF_ITERS,
+    _IVF_PROBE,
+    _ivf_kmeans_ctes,
+)
+
+_STREAM_HYBRID_ORACLE = f"""
+WITH {_ivf_kmeans_ctes(_IVF_ITERS)},
+assign_scored AS (
+  SELECT v.vec_id AS vid, c.cell_id, {_IVF_ASSIGN_COS} AS cs
+  FROM embeddings v CROSS JOIN cents c
+),
+assign_ranked AS (
+  SELECT vid, cell_id,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+  FROM assign_scored
+),
+iassign AS (SELECT vid AS neighbor_id, cell_id FROM assign_ranked WHERE rn = 1),
+iprobes AS (SELECT vid AS query_id, cell_id FROM assign_ranked
+            WHERE rn <= {_IVF_PROBE} AND vid IN ({_HY_IDS})),
+icands AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM iprobes JOIN iassign USING (cell_id)
+  WHERE query_id <> neighbor_id
+),
+ivscored AS (
+  SELECT query_id, neighbor_id AS doc_id, {_COS_DUCK} AS cosine
+  FROM icands JOIN embeddings sa ON sa.vec_id = query_id
+              JOIN embeddings sb ON sb.vec_id = neighbor_id
+),
+vec AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM ivscored
+),
+{_HY_LEX_CTES},
+{_HY_FUSE_TAIL}"""
+
+
+@register(
+    "streaming_hybrid_search",
+    _STREAM_HYBRID_ORACLE,
+    "Hybrid retrieval SERVED FROM TWO STREAM-MAINTAINED INDEXES: the BM25 "
+    "posting table and the IVF inverted file are both built by online "
+    "index-maintenance sinks (documents and embeddings arriving as "
+    "concurrent streams), then the exemplar queries run a lexical "
+    "more-like-this against the drained posting table and an IVF probe "
+    "against the drained inverted file, fused with reciprocal-rank "
+    "fusion. The full retrieval stack -- continuous ingest on the write "
+    "side, candidates-only serving on the read side.",
+)
+def streaming_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both index sinks run CONCURRENTLY (independent checkpoints and
+    state dirs -- write-side parallelism is free because the indexes
+    share nothing). Serving never scans a corpus: the lexical leg's
+    query side is broadcast against the posting table, the vector leg
+    reads only probed cells of the inverted file, and fusion sees at
+    most 2 * list_n candidates per query. Per-epoch index cost is
+    O(batch) at any index size (the delta-sink contract proven by the
+    two index-maintenance queries this composes)."""
+    import tempfile
+
+    from rlink_rs_spark.operators import similarity as sim_ops
+    from rlink_rs_spark.queries.similarity import (
+        _artifact_dir,
+        _DIMS,
+        _embeddings_fingerprint,
+    )
+    from rlink_rs_spark.streaming.ann import (
+        read_inverted_file,
+        streaming_index_add_sink,
+    )
+    from rlink_rs_spark.streaming.search_index import (
+        read_posting_table,
+        streaming_bm25_index_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    bm_state = tempfile.mkdtemp(prefix="rlink_hyb_bm25_")
+    q_bm = streaming_bm25_index_sink(
+        file_stream(
+            spark, sf_dir, "documents", max_files_per_trigger=1, chunks=3,
+            order_col="doc_id",
+        ).select("doc_id", "text"),
+        state_dir=bm_state,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_hyb_bm25_ck_"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = sim_ops.load_or_train_ivf_codebook(
+        spark,
+        emb,
+        dims=_DIMS,
+        cache_dir=_artifact_dir("ivf_codebooks"),
+        fingerprint=_embeddings_fingerprint(sf_dir),
+        n_cells=_IVF_CELLS,
+        iters=_IVF_ITERS,
+    )
+    ivf_state = tempfile.mkdtemp(prefix="rlink_hyb_ivf_")
+    q_ivf = streaming_index_add_sink(
+        file_stream(
+            spark, sf_dir, "embeddings", max_files_per_trigger=1, chunks=3,
+            order_col="vec_id",
+        ).select("vec_id", "embedding"),
+        codebook=codebook,
+        state_dir=ivf_state,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_hyb_ivf_ck_"),
+        dims=_DIMS,
+    )
+    for q, leg in ((q_bm, "bm25"), (q_ivf, "ivf")):
+        try:
+            if not q.awaitTermination(600):
+                raise TimeoutError(f"streaming_hybrid_search {leg} leg did not drain")
+        finally:
+            if q.isActive:
+                q.stop()
+
+    return serve_hybrid(
+        spark,
+        read_posting_table(spark, bm_state).cache(),
+        emb,
+        codebook,
+        read_inverted_file(spark, ivf_state),
+    )
+
+
+def serve_hybrid(spark, tf, emb, codebook, assignment):
+    """The read side of hybrid retrieval, index-agnostic: score the
+    exemplar more-like-this terms against ANY (doc_id, term, tf) posting
+    table and probe ANY (vid, cell_id) inverted file -- shared by the
+    stream-maintained path and its batch-built pytest twin, so the
+    streamed-equals-batch witness exercises exactly the serving code."""
+    from rlink_rs_spark.operators import similarity as sim_ops
+    from rlink_rs_spark.queries.similarity import _DIMS
+
+    wq = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    qterms = (
+        tf.where(F.col("doc_id").isin(HYBRID_QUERY_DOCS))
+        .withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") <= _HY_MLT_TERMS)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    lex = bm25_score_tf(spark, tf, qterms=qterms, k=_HY_LIST_N, exclude_self=True)
+    vec = sim_ops.cosine_topk_ivf(
+        emb,
+        emb.where(F.col("vec_id").isin(HYBRID_QUERY_DOCS)),
+        dims=_DIMS,
+        k=_HY_LIST_N,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        codebook=codebook,
+        assignment=assignment,
+    )
+    return _rrf_fuse(lex, vec)

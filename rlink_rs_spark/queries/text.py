@@ -363,6 +363,129 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stub decoder is md5-expansion (operators/multimodal._fake_decode), so
+# DuckDB can mirror it bit-for-bit: byte i of md5(payload || ':0') over 256
+# -- k/256 is exact in float32 (power-of-2 denominator), so the FLOAT
+# component column hash-matches across engines.
+_MM_FEAT_ORACLE = """
+WITH digests AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         md5(text) AS content_hash,
+         text IS NOT NULL AS decode_ok,
+         md5(text || ':0') AS d0
+  FROM documents
+)
+SELECT media_id, n_bytes, content_hash, decode_ok,
+       CAST(i AS INT) AS dim_idx,
+       CAST(CAST(('0x' || substr(d0, 2 * i + 1, 2)) AS INT) / 256.0 AS FLOAT)
+         AS component
+FROM digests, unnest(generate_series(0, 15)) AS t(i)
+"""
+
+
+@register(
+    "multimodal_extract_features",
+    _MM_FEAT_ORACLE,
+    "The REAL multimodal decode+embed path (operators/multimodal."
+    "extract_features): opaque binary payloads cross the Arrow boundary "
+    "once through mapInPandas, the (stubbed, deterministic) decoder "
+    "emits a 16-dim feature vector per payload, and the vector is "
+    "exploded to scalar (media_id, dim_idx, component) rows. n_bytes "
+    "and content_hash stay JVM-side (computed before the Python hop).",
+)
+def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: payloads stream through the Python stage one Arrow
+    batch at a time (peak memory = one batch, never one partition), no
+    shuffle anywhere -- decode parallelizes per input split exactly like
+    a real encoder forward pass. Only the decode crosses the boundary;
+    everything computable JVM-side is."""
+    from rlink_rs_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_as_media(docs), dim=16)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_hash",
+        "decode_ok",
+        F.posexplode("feature").alias("dim_idx", "component"),
+    )
+
+
+_MM_FRAME_ORACLE = """
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+       CAST(f * 1000 AS INT) AS offset_ms
+FROM (SELECT doc_id,
+             GREATEST(1, CAST(FLOOR((n_chars * 40) / 1000.0) AS INT)) AS nf
+      FROM documents),
+     unnest(generate_series(0, nf - 1)) AS t(f)
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    _MM_FRAME_ORACLE,
+    "Video frame-sampling plumbing (operators/multimodal.frame_sample): "
+    "one output row per sampled timestamp from the typed metadata's "
+    "duration (fixture: 40 ms per character), entirely JVM-side "
+    "(sequence + explode) -- a real decoder attaches frame payloads at "
+    "these offsets; the row fan-out and offsets are the Spark-side "
+    "contract either way.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample(media, every_ms=1000)
+
+
+_MM_RESIZE_ORACLE = """
+SELECT doc_id AS media_id, md5(text) AS content_md5,
+       CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+       text IS NOT NULL AS resized
+FROM documents
+"""
+
+
+@register(
+    "multimodal_resize_pipeline",
+    _MM_RESIZE_ORACLE,
+    "Image-resize plumbing (operators/multimodal.resize): payloads pass "
+    "through the Arrow-batched resize stage with meta.width/height "
+    "rewritten to the 224x224 target; the pixel transform is the "
+    "documented stub seam (payload unchanged, proven by the content "
+    "digest), everything around it -- schema, struct rewrite, batch "
+    "shape -- is the real path a PIL/opencv decoder plugs into.",
+)
+def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.multimodal import documents_as_media, resize
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = resize(documents_as_media(docs), target_width=224, target_height=224)
+    return out.select(
+        "media_id",
+        F.md5("payload").alias("content_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        "resized",
+    )
+
+
 _PIPE_QUALITY_MIN = 0.5
 
 _PIPE_ORACLE = f"""

@@ -76,6 +76,10 @@ ORACLED = [
     "approx_distinct_users",
     # new in r9, not in the window (fusion of two listed retrievers)
     "hybrid_search_rrf",
+    # new in r9, not in the window (the multimodal operator suite)
+    "multimodal_extract_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_pipeline",
 ]
 
 

@@ -65,6 +65,7 @@ RELATIONAL = [
     "daily_trend_ols",
     # new in r9, not in the window
     "constraint_check_report",
+    "cdc_version_diff",
 ]
 
 

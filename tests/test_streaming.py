@@ -1453,3 +1453,50 @@ def test_cdc_version_diff_prunes_to_changed_buckets(spark, sf_dir):
     assert len(pruned) == 1, pruned
     # and the diff bound that saw no epoch boundary names nothing
     assert changed_buckets(work_dir, 1, 1) == set()
+
+
+def test_streaming_hybrid_search_equals_batch_served(spark, sf_dir):
+    """Hybrid serving is index-agnostic: the RRF result over the
+    STREAM-maintained BM25 posting table and IVF inverted file must be
+    row-identical to the same serving code over batch-built twins of
+    both indexes -- continuous maintenance changes nothing the reader
+    can observe (the delta-sink exactly-once contract, composed)."""
+    from rlink_rs_spark.operators import similarity as sim_ops
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.search import corpus_tf, serve_hybrid
+    from rlink_rs_spark.queries.similarity import (
+        _artifact_dir,
+        _embeddings_fingerprint,
+        _DIMS,
+        _IVF_CELLS,
+        _IVF_ITERS,
+    )
+    from rlink_rs_spark.tables import load_table
+
+    streamed = {
+        tuple(r)
+        for r in REGISTRY["streaming_hybrid_search"].fn(spark, sf_dir).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = sim_ops.load_or_train_ivf_codebook(
+        spark,
+        emb,
+        dims=_DIMS,
+        cache_dir=_artifact_dir("ivf_codebooks"),
+        fingerprint=_embeddings_fingerprint(sf_dir),
+        n_cells=_IVF_CELLS,
+        iters=_IVF_ITERS,
+    )
+    batch = {
+        tuple(r)
+        for r in serve_hybrid(
+            spark,
+            corpus_tf(docs.select("doc_id", "text")).cache(),
+            emb,
+            codebook,
+            sim_ops.ivf_assign(emb, codebook, _DIMS),
+        ).collect()
+    }
+    assert streamed == batch and streamed
