@@ -1500,3 +1500,24 @@ def test_streaming_hybrid_search_equals_batch_served(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch and streamed
+
+
+def test_streaming_constraint_monitor_equals_batch(spark, sf_dir):
+    """Violation counts are sum-mergeable, so the monitor's fold over
+    per-epoch deltas must equal the batch constraint pass over the whole
+    table -- same expressions, same verdicts, epoch boundaries invisible."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.relational import _events_constraint_rows
+    from rlink_rs_spark.tables import load_table
+
+    streamed = {
+        tuple(r)
+        for r in REGISTRY["streaming_constraint_monitor"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in _events_constraint_rows(load_table(spark, sf_dir, "events"))
+        .withColumn("passed", F.col("violations") == 0)
+        .collect()
+    }
+    assert streamed == batch and streamed
