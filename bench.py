@@ -3,8 +3,16 @@
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is fully materialized via a noop sink (no driver collect, no
-result-size bias). One warmup action first so JVM/codegen startup isn't
-billed to the first query.
+result-size bias). Queries run in CHUNKS of $SPARK_GRAFT_BENCH_CHUNK
+(default 40), each chunk in a FRESH Python process (its own JVM): with
+170+ queries in one JVM, accumulated driver state (broadcast blocks
+awaiting the context cleaner, metaspace/codegen classes, streaming state
+providers) made a query's timing depend on its POSITION in the session --
+the r9 sf1 leg measured late-registry sub-second queries 3-6x slower
+in-session than in a fresh JVM, drowning real plan signal. Per-chunk
+processes bound that accumulation at a known size; each chunk warms its
+own queries at $SPARK_GRAFT_WARMUP_DIR first so JIT/codegen of the wide
+expression chains isn't billed to the first timed run.
 """
 
 from __future__ import annotations
@@ -12,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -58,52 +67,83 @@ def fixture_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else None
-
+def run_chunk(names: list[str], sf_dir: str, warm_dir: str, out_path: str) -> None:
+    """Child-process body: warm then time the given queries in this fresh
+    JVM, writing {"timings", "warmup_failures"} JSON to out_path."""
     spark = get_spark("bench")
-    # Warmup: run every benched query once at the smallest SF before timing.
-    # The plans are identical, so this compiles the same whole-stage-codegen
-    # methods (the wide similarity/minhash chains take seconds of JIT on
-    # first execution) against ~1% of the data -- per-query timings then
-    # measure the plan, not whichever query happened to run first.
-    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     load_table(spark, sf_dir, "events").count()
     warmup_failures: list[str] = []
     if warm_dir and os.path.isdir(warm_dir):
-        for name, q in REGISTRY.items():
-            if not q.bench:
-                continue
+        for name in names:
             try:
-                q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+                REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             except Exception:
                 # best-effort, but NOT silent: a systematically broken warmup
                 # (missing warm-dir table, stale registry name) would quietly
                 # revert timings to the cold-JIT numbers warmup exists to fix
                 warmup_failures.append(name)
+    timings: dict[str, float] = {}
+    for name in names:
+        # Drop caches left behind by EARLIER queries (several legitimately
+        # .cache() their own intermediates). A query's OWN caches still
+        # build inside its measured window.
+        spark.catalog.clearCache()
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    with open(out_path, "w") as f:
+        json.dump({"timings": timings, "warmup_failures": warmup_failures}, f)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    names = [n for n, q in REGISTRY.items() if q.bench]
+    chunk_size = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "40")))
+    timings: dict[str, float] = {}
+    warmup_failures: list[str] = []
+    import tempfile
+
+    for i in range(0, len(names), chunk_size):
+        chunk = names[i : i + chunk_size]
+        fd, out_path = tempfile.mkstemp(prefix="bench_chunk_", suffix=".json")
+        os.close(fd)
+        try:
+            rc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--chunk",
+                    ",".join(chunk),
+                    "--chunk-out",
+                    out_path,
+                ],
+            ).returncode
+            if rc != 0:
+                raise RuntimeError(
+                    f"bench chunk rc={rc} ({chunk[0]}..{chunk[-1]})"
+                )
+            with open(out_path) as f:
+                part = json.load(f)
+        finally:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+        timings.update(part["timings"])
+        warmup_failures.extend(part["warmup_failures"])
+
     if warmup_failures:
         print(
             f"WARNING: warmup failed for {len(warmup_failures)} queries "
             f"(cold-JIT timings likely): {', '.join(warmup_failures)}",
             file=sys.stderr,
         )
-
-    timings: dict[str, float] = {}
-    for name, q in REGISTRY.items():
-        if not q.bench:
-            continue
-        # Drop caches left behind by EARLIER queries (several legitimately
-        # .cache() their own intermediates): with 150+ queries in one JVM,
-        # accumulated foreign cache blocks turn into executor-memory/GC
-        # pressure that stalls late queries at the larger SFs (observed in
-        # the r8 sf1 leg: tfidf_lang_terms 79 s mid-run vs 10 s isolated).
-        # A query's OWN caches still build inside its measured window.
-        spark.catalog.clearCache()
-        t0 = time.time()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     families: dict[str, float] = {}
@@ -127,6 +167,7 @@ def main() -> None:
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "warmup_failures": warmup_failures,
         "not_benched": NOT_BENCHED,
+        "chunk_size": chunk_size,
     }
     line = json.dumps(result)
     # The driver captures a bounded stdout tail; with 78 queries the single
@@ -139,4 +180,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--chunk":
+        run_chunk(
+            sys.argv[2].split(","),
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"),
+            sys.argv[4],
+        )
+    else:
+        main()

@@ -586,9 +586,11 @@ def test_committed_sf1_witness_is_clean():
     with open(path) as f:
         witness = json.load(f)
     assert witness["queries_over_2x_linear"] == []
+    # Same constant-dominated floor as the tool: a sub-2s sf1 row measures
+    # harness overhead, not the plan, so its ratio carries no scale signal.
     over = {
         name: row["vs_linear"]
         for name, row in witness["queries"].items()
-        if row["vs_linear"] > 2.0
+        if row["vs_linear"] > 2.0 and row["sf1_sec"] >= 2.0
     }
     assert not over, f"committed witness has super-linear rows: {over}"

@@ -21,6 +21,15 @@ caught at witness-refresh time, not by a judge. The new witness is still
 written (for inspection); a failing run must not be committed.
 tests/test_coverage_gaps.py::test_committed_sf1_witness_is_clean holds
 the committed artifact to the same absolute bar in CI.
+
+CONSTANT-DOMINATED FLOOR (r9): both rules apply only to rows whose sf1
+leg takes >= 2 s. A sub-2s timing at 10x data measures JVM/planner/
+commit overhead, not the plan -- the r9 pair showed sub-second rows
+swinging 3-6x purely from bench-session position (fixed by bench.py's
+per-chunk fresh processes) and environment drift, tripping the gate
+with zero scale signal. A genuinely super-linear plan cannot stay under
+2 s as data grows; it crosses the floor at the size where the ratio
+means something and gets gated there.
 """
 
 from __future__ import annotations
@@ -53,7 +62,13 @@ def main() -> None:
             "vs_linear": vs_linear,
         }
         ratios.append(vs_linear)
-        if vs_linear > 2.0:
+        # Gate floor: a query whose sf1 leg finishes under 2 s is
+        # CONSTANT-dominated (JVM/planner/commit overhead, not data) --
+        # its ratio measures the harness, so neither gate rule applies.
+        # A real super-linear plan at these corpus sizes cannot hide
+        # under 2 s; if it scales badly it crosses the floor and gets
+        # gated at the size where the signal is real.
+        if t_big >= 2.0 and vs_linear > 2.0:
             over2.append(name)
 
     out = {
@@ -80,7 +95,12 @@ def main() -> None:
             prev = json.load(f).get("queries", {})
         for name, row in queries.items():
             p = prev.get(name, {}).get("vs_linear")
-            if p is not None and p > 0 and row["vs_linear"] > 1.5 * p:
+            if (
+                p is not None
+                and p > 0
+                and row["sf1_sec"] >= 2.0  # same constant-dominated floor
+                and row["vs_linear"] > 1.5 * p
+            ):
                 regressions.append(
                     f"{name}: vs_linear {p} -> {row['vs_linear']} (> 1.5x previous)"
                 )
