@@ -4,7 +4,7 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is fully materialized via a noop sink (no driver collect, no
 result-size bias). Queries run in CHUNKS of $SPARK_GRAFT_BENCH_CHUNK
-(default 40), each chunk in a FRESH Python process (its own JVM): with
+(default 20), each chunk in a FRESH Python process (its own JVM): with
 170+ queries in one JVM, accumulated driver state (broadcast blocks
 awaiting the context cleaner, metaspace/codegen classes, streaming state
 providers) made a query's timing depend on its POSITION in the session --
@@ -104,7 +104,7 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     names = [n for n, q in REGISTRY.items() if q.bench]
-    chunk_size = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "40")))
+    chunk_size = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "20")))
     timings: dict[str, float] = {}
     warmup_failures: list[str] = []
     import tempfile
