@@ -41,8 +41,21 @@ import sys
 
 
 def main() -> None:
-    small_path, big_path = sys.argv[1], sys.argv[2]
-    note = sys.argv[3] if len(sys.argv) > 3 else ""
+    args = [a for a in sys.argv[1:] if not a.startswith("--rebaseline")]
+    rebaseline = ""
+    for a in sys.argv[1:]:
+        if a.startswith("--rebaseline="):
+            # Skips ONLY the vs-previous degradation rule for this one
+            # refresh, with the reason recorded in the witness itself.
+            # Legitimate only when the previous witness's numbers are no
+            # longer comparable (bench methodology change, fixture
+            # regeneration) -- the absolute 2x-linear rule still applies,
+            # and the next refresh compares like-for-like against this one.
+            rebaseline = a.split("=", 1)[1]
+            if not rebaseline:
+                sys.exit("--rebaseline requires a reason: --rebaseline=<why>")
+    small_path, big_path = args[0], args[1]
+    note = args[2] if len(args) > 2 else ""
     with open(small_path) as f:
         small = json.load(f)
     with open(big_path) as f:
@@ -90,7 +103,9 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_sf1.json"
     )
     regressions = []
-    if os.path.exists(dest):
+    if rebaseline:
+        out["rebaselined"] = rebaseline
+    if os.path.exists(dest) and not rebaseline:
         with open(dest) as f:
             prev = json.load(f).get("queries", {})
         for name, row in queries.items():
