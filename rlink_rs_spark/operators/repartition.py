@@ -42,3 +42,20 @@ def salted(df: DataFrame, key_col: str, salt_buckets: int) -> DataFrame:
 
 def broadcast_side(df: DataFrame) -> Column | DataFrame:
     return F.broadcast(df)
+
+
+def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Round-robin the input up to cluster parallelism when the SCAN gave
+    fewer partitions -- the guard for CPU-bound stages (char-bigram
+    scoring, n-gram hashing, codebook assignment) reading few-row-group
+    files: one parquet row group caps scan parallelism at ~1 task no
+    matter how large the file, leaving 31 of 32 cores idle through the
+    most expensive map in the plan. On a 100 TB layout (thousands of
+    files/row groups) the scan is naturally parallel, the check fails,
+    and this is a no-op -- the shuffle is only paid where it buys
+    parallelism."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(target * min_ratio)):
+        return df
+    return df.repartition(target)

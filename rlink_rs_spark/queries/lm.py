@@ -114,9 +114,16 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lut_pairs = [(r.bg, r.lp) for r in lut.collect()]  # <=784 rows, bounded
     pre_pairs = [(r.pre, r.lp) for r in pre_lut.collect()]  # <=28 rows
-    normed = docs.select(
-        "doc_id", "lang", normalize_expr("text").alias("norm")
-    ).where(F.length("norm") >= 2)
+    from rlink_rs_spark.operators.repartition import fan_out
+
+    # The per-char scoring fold is the most expensive map in the plan;
+    # a one-row-group fixture file caps the scan at ~2 tasks, so fan the
+    # rows out to cluster parallelism first (no-op on multi-file layouts).
+    normed = fan_out(
+        docs.select("doc_id", "lang", normalize_expr("text").alias("norm")).where(
+            F.length("norm") >= 2
+        )
+    )
     n_bigrams, sum_lp = score_stream_columns(lut_pairs, pre_pairs)
     # persist the 4-narrow-column score table before ranking:
     # repartitionByRange SAMPLES its child to pick boundaries, so an

@@ -634,8 +634,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer micro-nat log-ratios inside the LUT make the float log_weight
     column bit-identical across engines."""
     from rlink_rs_spark.operators.lm import bigram_rows
+    from rlink_rs_spark.operators.repartition import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # normalize+explode+hash is the most expensive map in the plan; fan the
+    # one-row-group fixture scan out to cluster parallelism first (no-op on
+    # multi-file layouts).
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # the exploded feature frame feeds raw counts, target counts, AND the
     # scoring join -- cache so the normalize+explode pass runs once
     big = bigram_rows(docs).select(

@@ -134,7 +134,11 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from rlink_rs_spark.operators.repartition import fan_out
+
+    # sketch projection + pair verify are CPU-bound; a one-row-group scan
+    # caps them at ~2 tasks (no-op on multi-file layouts)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     n_vec = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
     bands, ppb = sim_ops.scaled_lsh_params(
         n_vec, base_bands=_ND_BANDS, base_ppb=_ND_PPB
@@ -363,7 +367,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from rlink_rs_spark.operators.repartition import fan_out
+
+    # assignment chains + within-cell pair verify are CPU-bound; a
+    # one-row-group scan caps them at ~2 tasks (no-op on multi-file layouts)
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     # Row count from parquet footer metadata (driver-local, no eager Spark
     # job at plan-construction time -- ADVICE r6).
     n_vec = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows

@@ -375,6 +375,7 @@ WITH digests AS (
          text IS NOT NULL AS decode_ok,
          md5(text || ':0') AS d0
   FROM documents
+  WHERE text IS NOT NULL  -- posexplode of a NULL feature drops the row
 )
 SELECT media_id, n_bytes, content_hash, decode_ok,
        CAST(i AS INT) AS dim_idx,
