@@ -10,9 +10,19 @@ Hudi) rely on, expressed as a directory protocol:
     <work>/snap/batch_id=-1/bucket=B/...   the base snapshot (all buckets)
     <work>/snap/batch_id=N/bucket=B/...    buckets rewritten by epoch N
 
-The CURRENT version of bucket B is its newest committed (``_SUCCESS``)
-``batch_id`` dir; reading the snapshot is one union over the per-bucket
-newest versions, O(1) dirs per bucket regardless of stream length.
+The CURRENT version of bucket B is its newest committed ``batch_id``
+dir; reading the snapshot is one union over the per-bucket newest
+versions, O(1) dirs per bucket regardless of stream length.
+
+Committed means the dir carries OUR ``_COMMITTED`` sentinel, written
+only after the epoch's FULL directory state exists -- the parquet files
+AND the empty placeholder dirs for touched buckets the epoch emptied.
+Spark's ``_SUCCESS`` cannot be the commit record here: it lands when the
+parquet job finishes, BEFORE the placeholder ``makedirs`` loop, so a
+crash in that window would leave a committed-looking epoch whose emptied
+buckets silently resolve to their stale pre-delete version (deleted-row
+resurrection, ADVICE r9). With the sentinel, a torn epoch is invisible
+as a unit and checkpoint replay rewrites it byte-identically.
 
 Epoch protocol (same as streaming/dedup.py / rollup.py / sketches.py):
 epoch N reads per-bucket state from committed epochs with id < N and
@@ -46,6 +56,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_BUCKETS = 8
+
+# Epoch commit sentinel: present only once the epoch dir is COMPLETE
+# (parquet + empty-bucket placeholders). See module docstring.
+COMMIT_MARKER = "_COMMITTED"
+
+
+def _mark_committed(epoch_dir: str) -> None:
+    with open(os.path.join(epoch_dir, COMMIT_MARKER), "w"):
+        pass
 
 _SNAP_SCHEMA = (
     "doc_id bigint, content_md5 string, lang string, source string, "
@@ -101,15 +120,17 @@ def write_base_snapshot(docs: DataFrame, work_dir: str) -> None:
         "lang", "source", "n_chars",
         F.lit(0).cast("int").alias("version"),
     ).withColumn("bucket", _bucket(F.col("doc_id")))
-    snap.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(work_dir, "snap", "batch_id=-1")
-    )
+    base_dir = os.path.join(work_dir, "snap", "batch_id=-1")
+    snap.write.mode("overwrite").partitionBy("bucket").parquet(base_dir)
+    _mark_committed(base_dir)
 
 
 def _bucket_versions(snap_dir: str, before_epoch: int) -> dict[int, str]:
     """{bucket: path of its newest committed version among epochs < N}.
-    Committed = the epoch dir carries Spark's _SUCCESS marker; a torn
-    crash-epoch is invisible to both replaying writers and readers."""
+    Committed = the epoch dir carries OUR _COMMITTED sentinel (written
+    after parquet AND empty-bucket placeholders; Spark's _SUCCESS alone
+    is a torn epoch); a crash-epoch is invisible to both replaying
+    writers and readers as a unit."""
     out: dict[int, str] = {}
     if not os.path.isdir(snap_dir):
         return out
@@ -118,7 +139,7 @@ def _bucket_versions(snap_dir: str, before_epoch: int) -> dict[int, str]:
         if d.startswith("batch_id="):
             i = int(d.split("=", 1)[1])
             if i < before_epoch and os.path.exists(
-                os.path.join(snap_dir, d, "_SUCCESS")
+                os.path.join(snap_dir, d, COMMIT_MARKER)
             ):
                 epochs.append(i)
     for eid in sorted(epochs, reverse=True):
@@ -178,8 +199,9 @@ def _gc_superseded(snap_dir: str, before_epoch: int) -> None:
         if int(d.split("=", 1)[1]) >= before_epoch:
             continue
         edir = os.path.join(snap_dir, d)
-        if not os.path.exists(os.path.join(edir, "_SUCCESS")):
-            # torn crash-epoch: nothing can read it, drop it wholesale
+        if not os.path.exists(os.path.join(edir, COMMIT_MARKER)):
+            # torn crash-epoch (even if Spark's _SUCCESS landed, the
+            # placeholder loop didn't): nothing can read it, drop it
             shutil.rmtree(edir, ignore_errors=True)
             continue
         for sub in os.listdir(edir):
@@ -231,6 +253,10 @@ def apply_merge_epoch(
     merged.write.mode("overwrite").partitionBy("bucket").parquet(edir)
     for b in touched:
         os.makedirs(os.path.join(edir, f"bucket={b}"), exist_ok=True)
+    # Commit LAST: only now are the parquet files and the empty-bucket
+    # placeholders all present. A crash anywhere above leaves the epoch
+    # sentinel-less -> invisible as a unit -> replay rewrites it.
+    _mark_committed(edir)
 
 
 def streaming_merge_sink(

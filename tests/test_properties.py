@@ -356,7 +356,7 @@ def test_kmv_merge_is_exact_property(values, cuts, k):
         st.tuples(
             st.integers(min_value=-1, max_value=12),          # epoch id
             st.sets(st.integers(min_value=0, max_value=7)),   # buckets written
-            st.booleans(),                                    # committed (_SUCCESS)?
+            st.booleans(),                                    # committed (_COMMITTED)?
         ),
         min_size=1,
         max_size=12,
@@ -374,7 +374,11 @@ def test_cdc_bucket_resolution_and_gc_safety(tmp_path_factory, commits, before_e
     import os
     import shutil
 
-    from rlink_rs_spark.streaming.cdc import _bucket_versions, _gc_superseded
+    from rlink_rs_spark.streaming.cdc import (
+        COMMIT_MARKER,
+        _bucket_versions,
+        _gc_superseded,
+    )
 
     snap = str(tmp_path_factory.mktemp("snap"))
     try:
@@ -384,7 +388,7 @@ def test_cdc_bucket_resolution_and_gc_safety(tmp_path_factory, commits, before_e
                 os.makedirs(os.path.join(edir, f"bucket={b}"), exist_ok=True)
             os.makedirs(edir, exist_ok=True)
             if committed:
-                open(os.path.join(edir, "_SUCCESS"), "w").close()
+                open(os.path.join(edir, COMMIT_MARKER), "w").close()
 
         def expected(n):
             out = {}

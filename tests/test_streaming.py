@@ -1003,12 +1003,13 @@ def test_streaming_cdc_merge_crash_resume_and_bucket_pruning(spark, sf_dir):
     snapshot must equal the batch MERGE row-for-row (per-epoch overwrite
     idempotence), every committed epoch dir must contain EXACTLY the
     buckets its chunk's change keys hash to (the file-level pruning the
-    design rides on), and torn (no-_SUCCESS) epochs must be invisible."""
+    design rides on), and torn (no-_COMMITTED) epochs must be invisible."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from rlink_rs_spark.queries import REGISTRY
     from rlink_rs_spark.streaming.cdc import (
+        COMMIT_MARKER,
         N_BUCKETS,
         derive_cdc_changes,
         read_merged_snapshot,
@@ -1068,7 +1069,7 @@ def test_streaming_cdc_merge_crash_resume_and_bucket_pruning(spark, sf_dir):
             .collect()
         }
         edir = os.path.join(snap_dir, f"batch_id={i}")
-        assert os.path.exists(os.path.join(edir, "_SUCCESS")), edir
+        assert os.path.exists(os.path.join(edir, COMMIT_MARKER)), edir
         present[i] = {
             int(d.split("=", 1)[1])
             for d in os.listdir(edir)
@@ -1089,7 +1090,7 @@ def test_streaming_cdc_merge_crash_resume_and_bucket_pruning(spark, sf_dir):
     assert acked and all(len(v) == 1 for v in acked.values()), acked
     assert set(acked) == set(range(N_BUCKETS))
 
-    # a torn epoch (no _SUCCESS) must be invisible to the drain reader
+    # a torn epoch (no _COMMITTED) must be invisible to the drain reader
     before = {tuple(r) for r in read_merged_snapshot(spark, work_dir).collect()}
     torn = os.path.join(snap_dir, "batch_id=99", "bucket=0")
     os.makedirs(torn)
@@ -1342,6 +1343,59 @@ def test_cdc_merge_emptied_bucket_does_not_resurrect_deleted_rows(spark, sf_dir)
 
     got = {(r.doc_id, r.version) for r in read_merged_snapshot(spark, work_dir).collect()}
     assert got == {(1, 0), (2, 0)}, got
+
+
+def test_cdc_epoch_commit_survives_crash_before_placeholders(spark, sf_dir):
+    """ADVICE r9 (medium): apply_merge_epoch's parquet job lands Spark's
+    _SUCCESS BEFORE the empty-bucket placeholder makedirs loop. A crash in
+    that window must NOT leave a half-visible epoch where non-emptied
+    buckets resolve to the new version while the emptied bucket resolves
+    to its stale pre-delete version (deleted-row resurrection). With the
+    _COMMITTED sentinel the torn epoch is invisible AS A UNIT (a drain
+    sees exactly the consistent pre-epoch state) and replay commits it."""
+    import shutil
+
+    from rlink_rs_spark.streaming.cdc import (
+        COMMIT_MARKER,
+        apply_merge_epoch,
+        read_merged_snapshot,
+        write_base_snapshot,
+    )
+
+    # doc_id=13: sole occupant of its bucket, 13%13==0 -> delete empties it.
+    # doc_id=14: 14%7==0 -> update, a different bucket ALSO touched by the
+    # same epoch (the half-visible hazard needs >=2 touched buckets).
+    docs = spark.createDataFrame(
+        [(13, "gone", "en", "s", 4), (14, "upd", "en", "s", 5), (2, "keep", "de", "s", 5)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_crashwin_")
+    write_base_snapshot(docs, work_dir)
+    base = {(r.doc_id, r.version) for r in read_merged_snapshot(spark, work_dir).collect()}
+    assert base == {(13, 0), (14, 0), (2, 0)}
+
+    # simulate the crash: run the full epoch, then strip what the crash
+    # window would not yet have written -- the sentinel and the emptied
+    # bucket's placeholder dir (Spark's _SUCCESS stays, that's the bug)
+    apply_merge_epoch(spark, work_dir, docs, epoch_id=0)
+    edir = os.path.join(work_dir, "snap", "batch_id=0")
+    os.remove(os.path.join(edir, COMMIT_MARKER))
+    for d in os.listdir(edir):
+        full = os.path.join(edir, d)
+        if d.startswith("bucket=") and os.path.isdir(full) and not os.listdir(full):
+            shutil.rmtree(full)
+    assert os.path.exists(os.path.join(edir, "_SUCCESS"))  # the trap is armed
+
+    # unresumed drain: the torn epoch is invisible, state is exactly the
+    # consistent pre-epoch snapshot -- no resurrection, no half-merge
+    torn = {(r.doc_id, r.version) for r in read_merged_snapshot(spark, work_dir).collect()}
+    assert torn == base, torn
+
+    # checkpoint replay re-runs the epoch (deterministic, overwrite) and
+    # commits it; now the delete and the update are both visible
+    apply_merge_epoch(spark, work_dir, docs, epoch_id=0)
+    healed = {(r.doc_id, r.version) for r in read_merged_snapshot(spark, work_dir).collect()}
+    assert healed == {(14, 1), (2, 0)}, healed
 
 
 def test_delta_sink_compaction_crash_resume(spark, sf_dir):
