@@ -1577,6 +1577,45 @@ def cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_optimize_compaction",
+    _MERGE_ORACLE,
+    "Delta-style OPTIMIZE over the CDC-merged snapshot: buckets whose "
+    "current version accumulated small per-epoch part-files are "
+    "rewritten -- rows unchanged -- as single-file versions under a "
+    "synthetic commit epoch; the post-OPTIMIZE read equals the batch "
+    "MERGE (shared oracle) and every as-of bound still resolves the "
+    "original version chain. The table-maintenance op real lakehouse "
+    "tables need once files pile up.",
+)
+def cdc_optimize_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run OPTIMIZE (streaming/cdc.py optimize_snapshot) against a copy of
+    the shared snapshot artifact (the shared dir stays pristine for the
+    time-travel/diff readers), then read the merged result through the
+    ordinary resolution path -- proving reader equivalence by the same
+    oracle hash the MERGE stream answers to. The copy is O(snapshot
+    metadata) at fixture scale; in production OPTIMIZE rewrites in place
+    between stream epochs and commits via the same sentinel protocol
+    (crash-mid-OPTIMIZE invisibility is pytest-pinned)."""
+    import os
+    import shutil
+    import tempfile
+
+    from rlink_rs_spark.streaming.cdc import (
+        optimize_snapshot,
+        read_merged_snapshot,
+    )
+
+    src_dir = _cdc_snapshot_artifact(spark, sf_dir, retain=8)
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_opt_")
+    shutil.copytree(
+        os.path.join(src_dir, "snap"), os.path.join(work_dir, "snap")
+    )
+    stats = optimize_snapshot(spark, work_dir, max_files_per_bucket=1)
+    assert stats["files_after"] <= stats["files_before"]
+    return read_merged_snapshot(spark, work_dir)
+
+
 # --- key-skew diagnostics ----------------------------------------------------
 
 _SKEW_TOP_K = 10

@@ -303,3 +303,79 @@ def streaming_merge_sink(
 def read_merged_snapshot(spark: SparkSession, work_dir: str) -> DataFrame:
     """Drain: the per-bucket newest committed versions across all epochs."""
     return read_snapshot(spark, work_dir, 1 << 62)
+
+
+def _live_file_counts(work_dir: str) -> dict[int, int]:
+    """{bucket: parquet part-file count of its CURRENT resolved version}.
+    A bounded listdir over <= N_BUCKETS dirs -- the same metadata scan a
+    transaction log would answer from its manifest."""
+    vers = _bucket_versions(os.path.join(work_dir, "snap"), 1 << 62)
+    return {
+        b: sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+        for b, p in vers.items()
+    }
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    work_dir: str,
+    max_files_per_bucket: int = 1,
+    schema: str = _SNAP_SCHEMA,
+) -> dict[str, int]:
+    """Delta-style OPTIMIZE (bin-packing small-file compaction) for the
+    bucketed copy-on-write snapshot: every bucket whose CURRENT version
+    holds more parquet part-files than ``max_files_per_bucket`` is
+    rewritten -- rows unchanged -- as a single file under a fresh synthetic
+    epoch ``batch_id=<max committed id + 1>``. Readers resolve to it
+    through the ordinary newest-committed rule; nothing about the read
+    path knows OPTIMIZE exists.
+
+    Time travel is preserved: the optimize epoch id is GREATER than every
+    data epoch, so any as-of read bounded at or below the last data epoch
+    still resolves the original version chain. GC is deliberately NOT run
+    here -- retention policy stays with the stream's epoch handler.
+
+    Crash-safe by the same sentinel protocol as data epochs: the rewrite
+    commits via _COMMITTED last, so a crash mid-OPTIMIZE leaves a torn,
+    invisible dir and a retry recomputes the same id idempotently
+    (mode=overwrite). Concurrent writers are excluded by construction --
+    OPTIMIZE runs where maintenance jobs run in real lakehouses, between
+    stream epochs (foreachBatch handlers are serial).
+
+    At 100 TB: cost is O(rows in fat buckets), file-count discovery is a
+    manifest-sized listdir, and untouched buckets are never read. Returns
+    {"compacted_buckets": k, "files_before": m, "files_after": n}.
+
+    Reference parity: the reference has no table-maintenance surface at
+    all (clickhouse_sink.rs:27-102 relies on ClickHouse's own merges);
+    this is the maintenance half a snapshot store needs once it owns its
+    files."""
+    counts = _live_file_counts(work_dir)
+    fat = {b for b, c in counts.items() if c > max_files_per_bucket}
+    before = sum(counts.values())
+    if not fat:
+        return {"compacted_buckets": 0, "files_before": before, "files_after": before}
+    snap_dir = os.path.join(work_dir, "snap")
+    committed = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(snap_dir)
+        if d.startswith("batch_id=")
+        and os.path.exists(os.path.join(snap_dir, d, COMMIT_MARKER))
+    ]
+    opt_id = max(committed) + 1
+    rows = read_snapshot(spark, work_dir, 1 << 62, buckets=fat, schema=schema)
+    # one shuffle partition per fat bucket -> exactly one output file each
+    compacted = rows.withColumn("bucket", _bucket(F.col("doc_id"))).repartition(
+        len(fat), "bucket"
+    )
+    edir = os.path.join(snap_dir, f"batch_id={opt_id}")
+    compacted.write.mode("overwrite").partitionBy("bucket").parquet(edir)
+    for b in fat:  # a fat bucket is never empty, but keep the invariant total
+        os.makedirs(os.path.join(edir, f"bucket={b}"), exist_ok=True)
+    _mark_committed(edir)
+    after_counts = _live_file_counts(work_dir)
+    return {
+        "compacted_buckets": len(fat),
+        "files_before": before,
+        "files_after": sum(after_counts.values()),
+    }

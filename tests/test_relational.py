@@ -66,6 +66,8 @@ RELATIONAL = [
     # new in r9, not in the window
     "constraint_check_report",
     "cdc_version_diff",
+    # new in r10
+    "cdc_optimize_compaction",
 ]
 
 

@@ -1398,6 +1398,67 @@ def test_cdc_epoch_commit_survives_crash_before_placeholders(spark, sf_dir):
     assert healed == {(14, 1), (2, 0)}, healed
 
 
+def test_cdc_optimize_compaction_equivalence_and_crash(spark, sf_dir):
+    """OPTIMIZE (streaming/cdc.py optimize_snapshot): compacts every fat
+    bucket's current version to one file, changes NOTHING any reader can
+    observe (merged read row-identical, as-of reads resolve the original
+    chain), and a crash mid-OPTIMIZE (torn, sentinel-less dir) is
+    invisible; the retry recomputes the same synthetic epoch id."""
+    import shutil
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.streaming.cdc import (
+        COMMIT_MARKER,
+        _live_file_counts,
+        optimize_snapshot,
+        read_merged_snapshot,
+        read_snapshot,
+    )
+    from rlink_rs_spark.queries.relational import _cdc_snapshot_artifact
+
+    src_dir = _cdc_snapshot_artifact(spark, sf_dir, retain=8)
+    work_dir = tempfile.mkdtemp(prefix="rlink_cdc_opt_test_")
+    shutil.copytree(os.path.join(src_dir, "snap"), os.path.join(work_dir, "snap"))
+
+    before_files = _live_file_counts(work_dir)
+    assert any(c > 1 for c in before_files.values()), before_files  # fat exists
+    want_merged = {tuple(r) for r in read_merged_snapshot(spark, work_dir).collect()}
+    want_asof = {tuple(r) for r in read_snapshot(spark, work_dir, before_epoch=2).collect()}
+
+    # crash mid-OPTIMIZE: run it, then strip the sentinel -- the torn
+    # synthetic epoch must be invisible to every reader
+    stats = optimize_snapshot(spark, work_dir, max_files_per_bucket=1)
+    assert stats["compacted_buckets"] > 0
+    snap_dir = os.path.join(work_dir, "snap")
+    opt_dirs = [
+        d for d in os.listdir(snap_dir)
+        if d.startswith("batch_id=") and int(d.split("=", 1)[1]) >= 4
+    ]
+    assert len(opt_dirs) == 1, opt_dirs
+    os.remove(os.path.join(snap_dir, opt_dirs[0], COMMIT_MARKER))
+    torn = {tuple(r) for r in read_merged_snapshot(spark, work_dir).collect()}
+    assert torn == want_merged
+    assert _live_file_counts(work_dir) == before_files  # still the old chain
+
+    # retry commits; merged read identical, every bucket now single-file
+    stats2 = optimize_snapshot(spark, work_dir, max_files_per_bucket=1)
+    assert stats2["compacted_buckets"] == stats["compacted_buckets"]
+    after_files = _live_file_counts(work_dir)
+    assert all(c == 1 for c in after_files.values()), after_files
+    assert sum(after_files.values()) < sum(before_files.values())
+    got_merged = {tuple(r) for r in read_merged_snapshot(spark, work_dir).collect()}
+    assert got_merged == want_merged and got_merged
+
+    # time travel unaffected: the optimize epoch id exceeds every data
+    # epoch, so the as-of-epoch-1 bound resolves the original versions
+    got_asof = {tuple(r) for r in read_snapshot(spark, work_dir, before_epoch=2).collect()}
+    assert got_asof == want_asof
+
+    # and the registered query agrees with its oracle's shape end-to-end
+    reg = {tuple(r) for r in REGISTRY["cdc_optimize_compaction"].fn(spark, sf_dir).collect()}
+    assert reg == want_merged
+
+
 def test_delta_sink_compaction_crash_resume(spark, sf_dir):
     """The shared LSM fold (streaming/deltas.py) behind every append-only
     index sink: drive the BM25 posting index over 6 doc_id-ordered chunks
