@@ -828,6 +828,7 @@ from rlink_rs_spark.streaming.dlq import (  # noqa: E402
 
 _DLQ_CASE = f"""CASE
   WHEN n_chars < {_DLQ_MIN_CHARS} THEN 'too_short'
+  WHEN lang IS NULL THEN 'lang_missing'
   WHEN lang NOT IN {repr(tuple(_DLQ_LANGS))} THEN 'lang_unsupported'
   WHEN source IN {repr(tuple(_DLQ_BLOCKED))} THEN 'source_blocked'
 END"""

@@ -4,11 +4,17 @@ routed to EITHER the clean sink or the quarantine (DLQ) sink with a
 reason code, never both, never neither.
 
 Both sinks commit per epoch (`<sink>/batch_id=N`, overwrite semantics)
-inside ONE foreachBatch handler, so a crash between the two writes is
-healed by replay: the re-run epoch overwrites both dirs byte-identically
-(classification is deterministic), restoring the disjoint-and-complete
-invariant -- exactly-once across a MULTI-sink epoch, one step past the
-single-sink epoch protocol the other streaming modules use.
+inside ONE foreachBatch handler, and the epoch becomes VISIBLE only via
+a single shared commit marker (`commits/epoch=N`) touched after the
+SECOND write -- so a drain reader can never observe a mid-epoch state
+where the DLQ rows landed but the clean rows didn't (ADVICE r9: the
+per-sink _SUCCESS markers commit independently, violating the
+disjoint-and-complete invariant in the window between the writes or
+after an unresumed crash). A crash anywhere before the marker leaves
+the whole epoch invisible; replay overwrites both dirs byte-identically
+(classification is deterministic) and re-marks -- exactly-once across a
+MULTI-sink epoch, one step past the single-sink epoch protocol the
+other streaming modules use.
 
 At 100 TB: classification is row-local expressions plus one broadcast
 of the (tiny, config-sized) source blocklist -- the corpus never
@@ -38,10 +44,15 @@ _ROUTED_SCHEMA = (
 
 
 def classify_intake(docs: DataFrame) -> DataFrame:
-    """First-match-wins reason codes (too_short > lang_unsupported >
-    source_blocked; NULL = clean). The blocklist joins as a broadcast
-    dim -- the plan shape a config-driven blocklist has in production --
-    while the other rules are row-local expressions."""
+    """First-match-wins reason codes (too_short > lang_missing >
+    lang_unsupported > source_blocked; NULL = clean). The blocklist joins
+    as a broadcast dim -- the plan shape a config-driven blocklist has in
+    production -- while the other rules are row-local expressions.
+
+    lang IS NULL is an EXPLICIT quarantine reason: without the branch it
+    would fall through the isin() check (NULL comparison -> no match) and
+    land in the clean sink, a surprising policy for a quarantine gate
+    (ADVICE r9). The oracle carries the same branch."""
     spark = docs.sparkSession
     block = spark.createDataFrame(
         [(s,) for s in BLOCKED_SOURCES], "source string"
@@ -51,6 +62,7 @@ def classify_intake(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id", "lang", "source", "n_chars",
             F.when(F.col("n_chars") < MIN_CHARS, F.lit("too_short"))
+            .when(F.col("lang").isNull(), F.lit("lang_missing"))
             .when(~F.col("lang").isin(*ALLOWED_LANGS), F.lit("lang_unsupported"))
             .when(F.col("blocked"), F.lit("source_blocked"))
             .alias("reason"),
@@ -61,18 +73,22 @@ def classify_intake(docs: DataFrame) -> DataFrame:
 
 def streaming_dlq_sink(doc_stream: DataFrame, work_dir: str, checkpoint: str):
     """foreachBatch handler writing the epoch's clean rows and DLQ rows to
-    their own per-epoch dirs. Returns the started StreamingQuery."""
+    their own per-epoch dirs, made visible ATOMICALLY by one shared
+    commit marker after the second write. Returns the StreamingQuery."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         routed = classify_intake(batch_df)
-        # DLQ first, clean second: a crash between the writes leaves the
-        # torn clean dir _SUCCESS-less and replay overwrites both.
         routed.where(F.col("quarantined")).write.mode("overwrite").parquet(
             os.path.join(work_dir, "dlq", f"batch_id={epoch_id}")
         )
         routed.where(~F.col("quarantined")).write.mode("overwrite").parquet(
             os.path.join(work_dir, "clean", f"batch_id={epoch_id}")
         )
+        # The epoch's single commit point: only now may a reader see
+        # EITHER sink's batch_id=N. Crash before this -> both invisible.
+        os.makedirs(os.path.join(work_dir, "commits"), exist_ok=True)
+        with open(os.path.join(work_dir, "commits", f"epoch={epoch_id}"), "w"):
+            pass
 
     return (
         doc_stream.writeStream.outputMode("append")
@@ -83,12 +99,17 @@ def streaming_dlq_sink(doc_stream: DataFrame, work_dir: str, checkpoint: str):
     )
 
 
-def _read_epochs(spark: SparkSession, root: str) -> DataFrame:
+def _read_epochs(spark: SparkSession, work_dir: str, sink: str) -> DataFrame:
+    """Read one sink's committed epochs. Committed = the SHARED per-epoch
+    marker exists (both sinks' writes finished), not the sink's own
+    _SUCCESS -- a torn epoch is invisible from both sinks at once."""
+    root = os.path.join(work_dir, sink)
+    commits = os.path.join(work_dir, "commits")
     paths = []
     if os.path.isdir(root):
         for d in sorted(os.listdir(root)):
             if d.startswith("batch_id=") and os.path.exists(
-                os.path.join(root, d, "_SUCCESS")
+                os.path.join(commits, f"epoch={d.split('=', 1)[1]}")
             ):
                 paths.append(os.path.join(root, d))
     if not paths:
@@ -97,8 +118,8 @@ def _read_epochs(spark: SparkSession, root: str) -> DataFrame:
 
 
 def read_clean(spark: SparkSession, work_dir: str) -> DataFrame:
-    return _read_epochs(spark, os.path.join(work_dir, "clean"))
+    return _read_epochs(spark, work_dir, "clean")
 
 
 def read_dlq(spark: SparkSession, work_dir: str) -> DataFrame:
-    return _read_epochs(spark, os.path.join(work_dir, "dlq"))
+    return _read_epochs(spark, work_dir, "dlq")

@@ -1175,7 +1175,7 @@ def test_streaming_intake_dlq_crash_resume_two_sink_invariants(spark, sf_dir):
     assert clean.where(F.col("quarantined")).count() == 0
     assert dlq.where(~F.col("quarantined")).count() == 0
     assert {r.reason for r in dlq.select("reason").distinct().collect()} <= {
-        "too_short", "lang_unsupported", "source_blocked"
+        "too_short", "lang_missing", "lang_unsupported", "source_blocked"
     }
 
     got = {tuple(r) for r in clean.unionByName(dlq).collect()}
@@ -1183,6 +1183,58 @@ def test_streaming_intake_dlq_crash_resume_two_sink_invariants(spark, sf_dir):
         tuple(r) for r in REGISTRY["intake_dlq_routing"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_dlq_epoch_atomic_across_both_sinks_and_null_lang_policy(spark):
+    """ADVICE r9: (a) a drain between the two sink writes (or after an
+    unresumed crash that tore the clean write) must NOT show an epoch's
+    DLQ rows without its clean rows -- both sinks become visible only via
+    the shared commit marker; (b) lang IS NULL quarantines explicitly as
+    'lang_missing' instead of falling through NOT-IN to the clean sink."""
+    import shutil
+
+    from rlink_rs_spark.streaming.dlq import (
+        classify_intake,
+        read_clean,
+        read_dlq,
+        streaming_dlq_sink,
+    )
+
+    # (b) the policy, row-level
+    docs = spark.createDataFrame(
+        [(1, None, "src1", 500), (2, "en", "src1", 500), (3, "xx", "src1", 500)],
+        "doc_id bigint, lang string, source string, n_chars bigint",
+    )
+    routed = {(r.doc_id, r.reason) for r in classify_intake(docs).collect()}
+    assert routed == {(1, "lang_missing"), (2, None), (3, "lang_unsupported")}
+
+    # (a) drive one epoch through the real sink, then simulate the torn
+    # mid-epoch state: keep the DLQ dir, delete the clean dir AND the
+    # commit marker (the crash happened between the writes)
+    src_dir = tempfile.mkdtemp(prefix="rlink_dlq_atomic_src_")
+    docs.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        "doc_id bigint, lang string, source string, n_chars bigint"
+    ).parquet(src_dir)
+    work_dir = tempfile.mkdtemp(prefix="rlink_dlq_atomic_")
+    q = streaming_dlq_sink(
+        stream, work_dir, tempfile.mkdtemp(prefix="rlink_dlq_atomic_ck_")
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    assert read_clean(spark, work_dir).count() == 1
+    assert read_dlq(spark, work_dir).count() == 2
+
+    shutil.rmtree(os.path.join(work_dir, "clean"))
+    commits = os.path.join(work_dir, "commits")
+    for f in os.listdir(commits):
+        os.remove(os.path.join(commits, f))
+    # torn epoch: BOTH sinks read empty -- never quarantined-without-clean
+    assert read_dlq(spark, work_dir).count() == 0
+    assert read_clean(spark, work_dir).count() == 0
 
 
 def test_streaming_bm25_index_add_equals_batch(spark, sf_dir):
