@@ -594,3 +594,34 @@ def test_committed_sf1_witness_is_clean():
         if row["vs_linear"] > 2.0 and row["sf1_sec"] >= 2.0
     }
     assert not over, f"committed witness has super-linear rows: {over}"
+
+
+def test_oracle_gated_fixtures_keep_static_lsh_banding():
+    """ADVICE r9: embedding_cosine_near_dup intentionally diverges from
+    its static 4x6-banded SQL oracle once the corpus outgrows the
+    occupancy-scaled banding threshold, guarded at runtime only by a
+    warning. This machine-checks the standing assumption instead: every
+    fixture the oracle gate can run against (sf0.001 local iteration,
+    sf0.01 the driver's scale) must still resolve to the static params --
+    if the driver's fixtures ever regrow past the threshold, this fails
+    with a clear scale-path signal rather than a confusing hash
+    mismatch in the correctness gate."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rlink_rs_spark.operators.similarity import scaled_lsh_params
+    from rlink_rs_spark.queries.similarity import _ND_BANDS, _ND_PPB
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(path):
+            continue
+        n_vec = pq.ParquetFile(path).metadata.num_rows
+        got = scaled_lsh_params(n_vec, base_bands=_ND_BANDS, base_ppb=_ND_PPB)
+        assert got == (_ND_BANDS, _ND_PPB), (
+            f"{sf_dir}: {n_vec} vectors scale banding to {got}; the "
+            "registered static oracle is no longer exact at an "
+            "oracle-gated scale -- register a scale-aware oracle or "
+            "exemption before the driver hits this"
+        )

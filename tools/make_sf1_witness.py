@@ -54,6 +54,11 @@ def main() -> None:
             rebaseline = a.split("=", 1)[1]
             if not rebaseline:
                 sys.exit("--rebaseline requires a reason: --rebaseline=<why>")
+        elif a == "--rebaseline":
+            # A bare flag would be stripped from the positionals above but
+            # silently leave full vs-previous gating ON -- the opposite of
+            # what the caller asked for (ADVICE r9). Reject it.
+            sys.exit("--rebaseline requires a reason: --rebaseline=<why>")
     small_path, big_path = args[0], args[1]
     note = args[2] if len(args) > 2 else ""
     with open(small_path) as f:
