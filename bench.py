@@ -3,16 +3,36 @@
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is fully materialized via a noop sink (no driver collect, no
-result-size bias). Queries run in CHUNKS of $SPARK_GRAFT_BENCH_CHUNK
-(default 20), each chunk in a FRESH Python process (its own JVM): with
-170+ queries in one JVM, accumulated driver state (broadcast blocks
-awaiting the context cleaner, metaspace/codegen classes, streaming state
-providers) made a query's timing depend on its POSITION in the session --
-the r9 sf1 leg measured late-registry sub-second queries 3-6x slower
-in-session than in a fresh JVM, drowning real plan signal. Per-chunk
-processes bound that accumulation at a known size; each chunk warms its
-own queries at $SPARK_GRAFT_WARMUP_DIR first so JIT/codegen of the wide
-expression chains isn't billed to the first timed run.
+result-size bias). Queries run in fixed hash CHUNKS, each chunk in a
+FRESH Python process (its own JVM): with 170+ queries in one JVM,
+accumulated driver state (broadcast blocks awaiting the context cleaner,
+metaspace/codegen classes, streaming state providers) made a query's
+timing depend on its POSITION in the session -- the r9 sf1 leg measured
+late-registry sub-second queries 3-6x slower in-session than in a fresh
+JVM, drowning real plan signal. Per-chunk processes bound that
+accumulation at a known size; each chunk warms its own queries at
+$SPARK_GRAFT_WARMUP_DIR first so JIT/codegen of the wide expression
+chains isn't billed to the first timed run.
+
+Chunk membership is DETERMINISTIC (VERDICT r9 #3): crc32(name) picks one
+of $SPARK_GRAFT_BENCH_BUCKETS (default 16) fixed buckets, names sorted
+within each. The r9 harness sliced chunks by registry order, which the
+per-round driver-window rotation reshuffles -- so a query's JVM
+chunk-mates (and therefore its JIT/code-cache neighborhood) changed
+every round, and two same-round runs disagreed up to 3.3x on the text
+family. Hash bucketing pins both membership and order across rounds and
+registry growth (a new query lands in its own bucket without moving
+anyone else).
+
+Before any timed chunk, one PREWARM process runs the artifact-building
+queries (ARTIFACT_PREWARM) once against sf_dir: fingerprint-keyed
+artifacts (LM LUT, LSH band index, IVF/PQ codebooks, CDC snapshot)
+train once per corpus content, and the driver regenerates fixtures
+every round -- without the prewarm leg, whichever query first touched a
+cold artifact was billed its one-time training cost (the r9 sf1 witness
+charged lm_perplexity_filter ~10x-scale LUT training inside its timed
+run, reading 1.32x vs linear for a 0.68x plan). Timed numbers are warm
+serving numbers, matching the train-once deployment contract.
 """
 
 from __future__ import annotations
@@ -30,6 +50,20 @@ from rlink_rs_spark.queries import REGISTRY
 from rlink_rs_spark.session import get_spark
 from rlink_rs_spark.tables import load_table
 
+
+# Queries whose first run per corpus content trains a fingerprint-keyed
+# artifact (see module docstring). Run once untimed before the chunks so
+# every timed number is a warm-serving number. Keep in sync with the
+# load_or_* call sites; test_bench_prewarm_covers_artifact_builders pins it.
+ARTIFACT_PREWARM = [
+    "lm_perplexity_filter",      # artifacts/lm_lut (<fp>_full key)
+    "streaming_quality_gate",    # artifacts/lm_lut (<fp> key, %4!=0 subset)
+    "incremental_batch_dedup",   # artifacts/lsh_band_index
+    "cosine_topk_ivf",           # artifacts/ivf_codebooks + ivf_inverted
+    "cosine_topk_pq",            # artifacts/pq_codebooks (<fp> key)
+    "cosine_topk_ivfpq",         # artifacts/pq_codebooks (residual key)
+    "cdc_time_travel",           # artifacts/cdc_snapshots (retain=8 replay)
+]
 
 # Queries registered with bench=False, with the reason visible in the bench
 # artifact itself (the judge reads BENCH_r{N}.json, not the registry source).
@@ -65,6 +99,29 @@ def fixture_fingerprint(sf_dir: str) -> str:
             for chunk in iter(lambda: f.read(1 << 20), b""):
                 h.update(chunk)
     return h.hexdigest()
+
+
+def bench_chunks(names: list[str], n_buckets: int) -> list[list[str]]:
+    """Deterministic chunking: crc32(name) % n_buckets, sorted within each
+    bucket -- membership and order are invariant to registry order (which
+    the driver-window rotation reshuffles every round) and stable under
+    registry growth, so per-query timings compare across rounds."""
+    import zlib
+
+    buckets: list[list[str]] = [[] for _ in range(n_buckets)]
+    for name in names:
+        buckets[zlib.crc32(name.encode()) % n_buckets].append(name)
+    return [sorted(b) for b in buckets if b]
+
+
+def run_prewarm(names: list[str], sf_dir: str) -> None:
+    """Child-process body: build every fingerprint-keyed artifact for
+    sf_dir by running the artifact-building queries once, untimed."""
+    spark = get_spark("bench-prewarm")
+    for name in names:
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
 
 def run_chunk(names: list[str], sf_dir: str, warm_dir: str, out_path: str) -> None:
@@ -104,13 +161,29 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     names = [n for n, q in REGISTRY.items() if q.bench]
-    chunk_size = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "20")))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - set(names)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not benched: {sorted(unknown)}")
+        names = [n for n in names if n in wanted]
+    n_buckets = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "16")))
     timings: dict[str, float] = {}
     warmup_failures: list[str] = []
     import tempfile
 
-    for i in range(0, len(names), chunk_size):
-        chunk = names[i : i + chunk_size]
+    # always the full list (even under _ONLY): artifacts are shared across
+    # queries, so a filtered run still needs every builder warm
+    prewarm = [] if os.environ.get("SPARK_GRAFT_BENCH_SKIP_PREWARM") else list(ARTIFACT_PREWARM)
+    if prewarm:
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--prewarm", ",".join(prewarm)],
+        ).returncode
+        if rc != 0:
+            raise RuntimeError(f"artifact prewarm rc={rc}")
+
+    for chunk in bench_chunks(names, n_buckets):
         fd, out_path = tempfile.mkstemp(prefix="bench_chunk_", suffix=".json")
         os.close(fd)
         try:
@@ -167,7 +240,8 @@ def main() -> None:
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "warmup_failures": warmup_failures,
         "not_benched": NOT_BENCHED,
-        "chunk_size": chunk_size,
+        "n_buckets": n_buckets,
+        "prewarmed": prewarm,
     }
     line = json.dumps(result)
     # The driver captures a bounded stdout tail; with 78 queries the single
@@ -186,6 +260,11 @@ if __name__ == "__main__":
             os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
             os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001"),
             sys.argv[4],
+        )
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--prewarm":
+        run_prewarm(
+            sys.argv[2].split(","),
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         )
     else:
         main()

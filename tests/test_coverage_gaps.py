@@ -625,3 +625,43 @@ def test_oracle_gated_fixtures_keep_static_lsh_banding():
             "oracle-gated scale -- register a scale-aware oracle or "
             "exemption before the driver hits this"
         )
+
+
+def test_bench_prewarm_covers_artifact_builders():
+    """bench.py's ARTIFACT_PREWARM must stay resolvable (every name
+    registered and benched) and must cover every committed artifact cache
+    family -- a renamed query or a new load_or_* cache added without a
+    prewarm entry would silently put one-time training costs back into
+    whichever timed query first touches the cold artifact."""
+    from bench import ARTIFACT_PREWARM
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    assert ARTIFACT_PREWARM
+    for name in ARTIFACT_PREWARM:
+        assert name in REGISTRY, name
+        assert REGISTRY[name].bench, f"{name} is bench=False; prewarm noops"
+    # one prewarm entry per cache family (comment in bench.py maps them)
+    families = {"lm_lut", "lsh_band_index", "ivf_codebooks", "pq_codebooks",
+                "cdc_snapshots"}
+    import inspect
+
+    src = inspect.getsource(__import__("bench"))
+    for fam in families:
+        assert fam in src, f"artifact family {fam} not mapped in ARTIFACT_PREWARM"
+
+
+def test_bench_chunking_is_deterministic_and_total():
+    """Hash chunking must partition the benched registry (every benched
+    query in exactly one chunk) and be independent of registry order --
+    the property that makes per-query timings comparable across rounds."""
+    from bench import bench_chunks
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    names = [n for n, q in REGISTRY.items() if q.bench]
+    chunks = bench_chunks(names, 16)
+    flat = [n for c in chunks for n in c]
+    assert sorted(flat) == sorted(names)
+    # order-independence: a reshuffled registry yields identical chunks
+    assert bench_chunks(list(reversed(names)), 16) == chunks
