@@ -114,9 +114,60 @@ def bench_chunks(names: list[str], n_buckets: int) -> list[list[str]]:
     return [sorted(b) for b in buckets if b]
 
 
+def sweep_stale_artifacts(sf_dir: str) -> list[str]:
+    """Delete artifact-cache entries keyed by a fingerprint no CURRENT
+    fixture produces. The driver regenerates /root/testdata every round,
+    so last round's fingerprint-keyed caches can never be hit again --
+    without a sweep the committed artifacts/ tree grows by one dead
+    generation per round. An entry is live if any 16-hex token in its
+    name matches the documents/embeddings fingerprint of one of the
+    standard fixture dirs (or sf_dir). Returns the swept paths."""
+    import hashlib
+    import re
+    import shutil
+
+    def fp(path: str) -> str | None:
+        if not os.path.exists(path):
+            return None
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()[:16]
+
+    dirs = {sf_dir} | {
+        f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")
+    }
+    live = {
+        f
+        for d in dirs
+        for f in (
+            fp(os.path.join(d, "documents.parquet")),
+            fp(os.path.join(d, "embeddings.parquet")),
+        )
+        if f
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    swept = []
+    for cache in sorted(os.listdir(os.path.join(repo, "artifacts"))):
+        cdir = os.path.join(repo, "artifacts", cache)
+        if not os.path.isdir(cdir):
+            continue
+        for entry in sorted(os.listdir(cdir)):
+            tokens = re.findall(r"[0-9a-f]{16}", entry)
+            if tokens and not any(t in live for t in tokens):
+                shutil.rmtree(os.path.join(cdir, entry), ignore_errors=True)
+                swept.append(os.path.join(cache, entry))
+    return swept
+
+
 def run_prewarm(names: list[str], sf_dir: str) -> None:
-    """Child-process body: build every fingerprint-keyed artifact for
-    sf_dir by running the artifact-building queries once, untimed."""
+    """Child-process body: sweep dead-fingerprint cache entries, then
+    build every fingerprint-keyed artifact for sf_dir by running the
+    artifact-building queries once, untimed."""
+    swept = sweep_stale_artifacts(sf_dir)
+    if swept:
+        print(f"prewarm: swept {len(swept)} stale artifact entries", file=sys.stderr)
     spark = get_spark("bench-prewarm")
     for name in names:
         REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
