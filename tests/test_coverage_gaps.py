@@ -665,3 +665,25 @@ def test_bench_chunking_is_deterministic_and_total():
     assert sorted(flat) == sorted(names)
     # order-independence: a reshuffled registry yields identical chunks
     assert bench_chunks(list(reversed(names)), 16) == chunks
+
+
+def test_fan_out_uses_file_metadata_and_noops_on_parallel_layouts(spark, tmp_path):
+    """fan_out's guard (VERDICT r9 minor): the scan-parallelism probe must
+    come from file metadata for file sources (no per-call RDD-conversion
+    analysis pass on a 100 TB table), fan a one-file/one-row-group layout
+    up to cluster parallelism, and NO-OP (return the same DataFrame) on a
+    layout whose file count already saturates the floor."""
+    from rlink_rs_spark.operators.repartition import fan_out
+
+    few = str(tmp_path / "few")
+    spark.range(1000).coalesce(1).write.mode("overwrite").parquet(few)
+    df1 = spark.read.parquet(few)
+    fanned = fan_out(df1)
+    assert fanned is not df1
+    assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    many = str(tmp_path / "many")
+    n = spark.sparkContext.defaultParallelism
+    spark.range(100000).repartition(n).write.mode("overwrite").parquet(many)
+    df2 = spark.read.parquet(many)
+    assert fan_out(df2) is df2  # metadata probe alone proves it parallel
