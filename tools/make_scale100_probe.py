@@ -1,0 +1,57 @@
+"""Compose SCALE100.json -- the 100x scale probe (VERDICT r9 #6).
+
+Usage:
+  python tools/make_scaled_data.py /root/testdata/sf0.1 /tmp/sf10 100
+  SPARK_GRAFT_SF_DIR=/tmp/sf10 SPARK_GRAFT_BENCH_ONLY=<top10,...> python bench.py
+  python tools/make_scale100_probe.py <sf0.1_min.json> <sf10_results.json> "<note>"
+
+vs_linear for a query = (sf10_sec / sf0.1_sec) / 100. The 10x witness
+(BENCH_sf1.json) is where per-round regression gating lives; this probe
+answers the coarser design question -- do the most expensive plans'
+cost curves stay linear-or-better across TWO orders of magnitude, where
+any surviving super-linear term (candidate-volume growth, state
+accumulation, skew collapse) must dominate. Rows >= 2x linear are
+failures to file, not gate-trippable noise: at 100x, constant overheads
+are amortized away entirely, so the sf10 leg IS the plan.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    small_path, big_path = sys.argv[1], sys.argv[2]
+    note = sys.argv[3] if len(sys.argv) > 3 else ""
+    with open(small_path) as f:
+        small = json.load(f)
+    with open(big_path) as f:
+        big = json.load(f)
+    queries = {}
+    over2 = []
+    for name, t_big in big["queries"].items():
+        t_small = small["queries"].get(name)
+        if not t_small:
+            continue
+        vs = round((t_big / t_small) / 100.0, 3)
+        queries[name] = {"sf0.1_sec": t_small, "sf10_sec": t_big, "vs_linear": vs}
+        if vs > 2.0:
+            over2.append(name)
+    out = {
+        "note": note,
+        "scale_factor": 100,
+        "queries": queries,
+        "queries_over_2x_linear": sorted(over2),
+        "loadavg_sf10": big.get("loadavg"),
+        "fixture_md5_sf10": big.get("fixture_md5"),
+    }
+    with open("SCALE100.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+    if over2:
+        sys.exit(f"SUPER-LINEAR AT 100x: {sorted(over2)}")
+
+
+if __name__ == "__main__":
+    main()
