@@ -132,6 +132,68 @@ def ivf_assign(
     )
 
 
+# Above this many centroids, argmax assignment switches from codegen sum
+# chains to the Arrow/numpy GEMM path: chain cost is O(n * cells * dims)
+# of generated-expression work and becomes the dominant super-linear term
+# once cells scale with the corpus (SemDeDup's occupancy contract). The
+# r10 100x probe measured semantic_dedup at 2.22x vs linear on the chain
+# path (1600 cells, 200k vectors); GEMM runs the same FLOPs at BLAS speed.
+GEMM_ASSIGN_MIN_CELLS = 64
+
+
+def gemm_assign(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment (vid, cell_id, ccos) by one numpy GEMM per Arrow
+    batch -- the scale path of ivf_assign, same argmax and the same
+    (cosine DESC, cell_id ASC) tie-break: centroid rows are sorted by
+    cell_id and np.argmax returns the FIRST maximum. Scores differ from
+    the chain path only by float summation order (~1e-15); callers that
+    need bit-equality to the SQL oracles keep the chain path (the gate
+    scales do -- their codebooks stay under GEMM_ASSIGN_MIN_CELLS).
+
+    SIZE CONTRACT: the codebook is collected and broadcast ((cells x d)
+    float64s -- 1M cells x 64 dims = 512 MB is the practical ceiling; far
+    past that, real deployments route assignment through a coarse
+    quantizer first, the FAISS IVF-HNSW shape). All-zero vectors score
+    0.0 everywhere (norms clamped to 1), matching cosine_topk_gemm."""
+    import numpy as np
+    import pandas as pd
+
+    rows = codebook.select("cell_id", "cv").collect()  # bounded: cells rows
+    rows.sort(key=lambda r: r[0])
+    cell_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    cm = np.array([r[1] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    bc = vectors.sparkSession.sparkContext.broadcast((cell_ids, cm / cn))
+
+    def assign_batches(batches):
+        cids, cmn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vid"].to_numpy(dtype=np.int64)
+            vm = np.array(list(pdf["v"]), dtype=np.float64)
+            vn = np.linalg.norm(vm, axis=1, keepdims=True)
+            vn[vn == 0] = 1.0
+            scores = (vm / vn) @ cmn.T  # (batch x cells)
+            best = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": ids,
+                    "cell_id": cids[best],
+                    "ccos": scores[np.arange(len(ids)), best],
+                }
+            )
+
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    return v.mapInPandas(assign_batches, "vid long, cell_id long, ccos double")
+
+
 def load_or_build_ivf_assignment(
     vectors: DataFrame,
     codebook: DataFrame,
@@ -140,13 +202,17 @@ def load_or_build_ivf_assignment(
     key: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_cells: int | None = None,
 ) -> DataFrame:
     """The INVERTED FILE itself, persisted: (vid, cell_id, ccos) is a
     deterministic function of (data, codebook), so like the codebook it is
     an artifact -- build once when the corpus is indexed, then every probe
     run reads cell membership instead of re-scoring the whole corpus
     against the centroids. The caller's key must encode the codebook's
-    config (n_cells, iters) plus the data fingerprint.
+    config (n_cells, iters) plus the data fingerprint. Passing ``n_cells``
+    above GEMM_ASSIGN_MIN_CELLS routes the build through gemm_assign
+    (the occupancy-scaled large-codebook case, where the chain cost is
+    the dominant super-linear term -- r10 100x probe).
 
     At 100 TB this is the difference between an index SCAN per query batch
     and an index BUILD per query batch; production would additionally
@@ -155,7 +221,10 @@ def load_or_build_ivf_assignment(
     path = os.path.join(cache_dir, key)
     if os.path.exists(os.path.join(path, "_SUCCESS")):  # committed write only
         return spark.read.parquet(path)
-    assign = ivf_assign(vectors, codebook, dims, id_col=id_col, vec_col=vec_col)
+    if n_cells is not None and n_cells > GEMM_ASSIGN_MIN_CELLS:
+        assign = gemm_assign(vectors, codebook, id_col=id_col, vec_col=vec_col)
+    else:
+        assign = ivf_assign(vectors, codebook, dims, id_col=id_col, vec_col=vec_col)
     assign.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -386,7 +455,19 @@ def train_ivf_codebook(
 
     At 100 TB: train on a hash-sampled subset (the FAISS recipe), then
     broadcast the finished codebook -- each iteration here is one broadcast
-    join + one map-side-combined shuffle over n_cells groups."""
+    join + one map-side-combined shuffle over n_cells groups.
+
+    Above GEMM_ASSIGN_MIN_CELLS the per-iteration argmax runs through
+    gemm_assign instead of the codegen chains: with occupancy-scaled
+    codebooks (cells ~ n/125, the SemDeDup contract) the chain work is
+    O(n * cells * dims) of generated expressions per iteration -- the
+    super-linear term the r10 100x probe caught (semantic_dedup 2.22x vs
+    linear). Centroid recomputation stays the exact integer power sum
+    either way, so the trained codebook differs from the chain path only
+    where a ~1e-15 scoring tie flips a boundary vector -- and the gate
+    scales (16 cells) never take this branch, keeping the unrolled SQL
+    oracles bit-exact."""
+    use_gemm = n_cells > GEMM_ASSIGN_MIN_CELLS
     cents = vectors.where(F.col(id_col) < n_cells).select(
         F.col(id_col).cast("long").alias("cell_id"), F.col(vec_col).alias("cv")
     )
@@ -404,12 +485,19 @@ def train_ivf_codebook(
     quantized = vecs.select("vid", iv.alias("iv"))
     sum_aliases = [f"s{d}" for d in range(dims)]
     for _ in range(iters):
-        scored = vecs.join(F.broadcast(cents)).select("vid", "cell_id", cos_vc.alias("c"))
-        assign = (
-            scored.groupBy("vid")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("cell_id")).alias("negc"))).alias("m"))
-            .select("vid", (-F.col("m.negc")).cast("long").alias("cell_id"))
-        )
+        if use_gemm:
+            assign = gemm_assign(
+                vectors, cents, id_col=id_col, vec_col=vec_col
+            ).select("vid", "cell_id")
+        else:
+            scored = vecs.join(F.broadcast(cents)).select(
+                "vid", "cell_id", cos_vc.alias("c")
+            )
+            assign = (
+                scored.groupBy("vid")
+                .agg(F.max(F.struct(F.col("c"), (-F.col("cell_id")).alias("negc"))).alias("m"))
+                .select("vid", (-F.col("m.negc")).cast("long").alias("cell_id"))
+            )
         sums = (
             assign.join(quantized, "vid")
             .groupBy("cell_id")

@@ -406,6 +406,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dims=_DIMS,
             cache_dir=_artifact_dir("ivf_inverted"),
             key=f"c{cells}_i{_IVF_ITERS}_{fp}",
+            n_cells=cells,  # > GEMM_ASSIGN_MIN_CELLS routes build via GEMM
         )
     return sim_ops.semantic_dedup(
         emb, codebook, dims=_DIMS, threshold=_SEM_THR, assignment=assignment

@@ -687,3 +687,43 @@ def test_fan_out_uses_file_metadata_and_noops_on_parallel_layouts(spark, tmp_pat
     spark.range(100000).repartition(n).write.mode("overwrite").parquet(many)
     df2 = spark.read.parquet(many)
     assert fan_out(df2) is df2  # metadata probe alone proves it parallel
+
+
+def test_gemm_assign_matches_chain_assignment(spark, sf_dir, monkeypatch):
+    """The GEMM scale path for cell assignment (r10 100x probe fix: chain
+    argmax is O(n*cells*dims) of codegen work and was semantic_dedup's
+    2.22x-vs-linear term) must agree with the bit-parity chain path:
+    identical (vid, cell_id) on real data (no exact score ties) and ccos
+    within float-reassociation distance; and a large-codebook k-means
+    train must produce the same codebook through either per-iteration
+    assignment (centroid sums are exact integer arithmetic given equal
+    assignments)."""
+    from rlink_rs_spark.operators import similarity as sim_ops
+    from rlink_rs_spark.queries.similarity import _DIMS, _IVF_CELLS, _IVF_ITERS, _ivf_artifacts
+    from rlink_rs_spark.tables import load_table
+
+    emb, codebook, _ = _ivf_artifacts(spark, sf_dir)
+    chain = {
+        r.vid: (r.cell_id, r.ccos)
+        for r in sim_ops.ivf_assign(emb, codebook, _DIMS).collect()
+    }
+    gemm = {
+        r.vid: (r.cell_id, r.ccos)
+        for r in sim_ops.gemm_assign(emb, codebook).collect()
+    }
+    assert set(chain) == set(gemm)
+    assert all(chain[v][0] == gemm[v][0] for v in chain)  # same argmax cell
+    assert max(abs(chain[v][1] - gemm[v][1]) for v in chain) < 1e-9
+
+    # large-codebook train: gemm iterations vs chain iterations, same result
+    n_cells = sim_ops.GEMM_ASSIGN_MIN_CELLS + 8
+    cb_gemm = {
+        r.cell_id: tuple(r.cv)
+        for r in sim_ops.train_ivf_codebook(emb, _DIMS, n_cells=n_cells, iters=1).collect()
+    }
+    monkeypatch.setattr(sim_ops, "GEMM_ASSIGN_MIN_CELLS", 1 << 30)  # force chain
+    cb_chain = {
+        r.cell_id: tuple(r.cv)
+        for r in sim_ops.train_ivf_codebook(emb, _DIMS, n_cells=n_cells, iters=1).collect()
+    }
+    assert cb_gemm == cb_chain
