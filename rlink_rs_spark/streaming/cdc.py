@@ -342,6 +342,16 @@ def optimize_snapshot(
     OPTIMIZE runs where maintenance jobs run in real lakehouses, between
     stream epochs (foreachBatch handlers are serial).
 
+    SCOPE CONSTRAINT: run only on a DRAINED snapshot (or a copy, as the
+    registry query does). The synthetic epoch id lives in the same
+    integer version sequence Spark's checkpoint assigns to data epochs,
+    so a stream RESUMED after an in-place OPTIMIZE would eventually
+    reuse the id (overwriting the compacted version while reading it)
+    or commit below it (its changes shadowed by the higher optimize id).
+    Supporting optimize-between-live-epochs needs a transaction log that
+    assigns logical versions at commit time -- the Delta/Iceberg design
+    -- which this directory protocol deliberately does not replicate.
+
     At 100 TB: cost is O(rows in fat buckets), file-count discovery is a
     manifest-sized listdir, and untouched buckets are never read. Returns
     {"compacted_buckets": k, "files_before": m, "files_after": n}.
