@@ -71,21 +71,46 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
         files = df.inputFiles()
         paths = [urlparse(f).path for f in files if f.startswith("file:")]
         if files and len(paths) == len(files) and all(os.path.exists(p) for p in paths):
-            # local files: splits = sum(ceil(size / maxPartitionBytes)),
-            # the same arithmetic Spark's split planner applies -- an
-            # authoritative stand-in for the scan partition count
-            max_pb = int(
-                str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b")
+            # local files: replicate Spark's split planner (FilePartition
+            # bin-packing, ADVICE r10): maxSplitBytes = min(maxPartitionBytes,
+            # max(openCostInBytes, (totalBytes + openCost*nFiles)/parallelism)),
+            # pieces packed into bins of that capacity. ceil(total/maxSplit)
+            # is a LOWER bound on the greedy bin count (each bin holds at
+            # most maxSplitBytes of cost), so est >= floor proves the scan
+            # is parallel enough; the many-tiny-files layout that fooled the
+            # old per-file-ceil sum now estimates low and repartitions.
+            max_pb = _parse_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
             )
-            est = sum(max(1, -(-os.path.getsize(p) // max_pb)) for p in paths)
+            open_cost = _parse_bytes(
+                spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+            )
+            total = sum(os.path.getsize(p) for p in paths) + open_cost * len(paths)
+            max_split = min(max_pb, max(open_cost, total // max(1, target)))
+            est = max(1, -(-total // max(1, max_split)))
             return df if est >= floor else df.repartition(target)
-        if files and len(files) >= floor:
-            # remote files: >=1 split per file, lower bound proves parallel
-            return df
     except Exception:
         pass
-    # non-file source, unstatable URIs, or an inconclusive lower bound:
-    # the costlier RDD-conversion probe stays the authority
+    # non-file source, unstatable/remote URIs (file COUNT alone is not a
+    # partition lower bound -- small files pack together): the costlier
+    # RDD-conversion probe stays the authority
     if df.rdd.getNumPartitions() >= floor:
         return df
     return df.repartition(target)
+
+
+def _parse_bytes(v: object) -> int:
+    """Parse a Spark byte-size conf value: bare bytes ('134217728'),
+    JVM-echoed bytes ('134217728b'), or unit-suffixed ('128MB', '1g') --
+    the doc-style forms the old int(str.rstrip('b')) silently choked on
+    (ADVICE r10), reverting every fan_out call to the RDD probe."""
+    s = str(v).strip().lower()
+    units = {
+        "": 1, "b": 1,
+        "k": 1 << 10, "kb": 1 << 10,
+        "m": 1 << 20, "mb": 1 << 20,
+        "g": 1 << 30, "gb": 1 << 30,
+        "t": 1 << 40, "tb": 1 << 40,
+    }
+    num = s.rstrip("kmgtb")
+    return int(float(num) * units[s[len(num):]])

@@ -1431,9 +1431,16 @@ def _cdc_snapshot_artifact(
     (corpus content, retention) into a fingerprint-keyed artifact dir;
     both read-path queries then resolve bucket versions against it. A
     _STREAM_DONE sentinel marks a fully-drained build -- a crash mid-build
-    leaves no sentinel and the next caller clears and rebuilds. Stale
-    fingerprints (regenerated fixtures) are swept on build so the cache
-    holds one snapshot per (retain, corpus)."""
+    leaves no sentinel and the next caller clears and rebuilds. Sweeping
+    here is TORN-BUILD ONLY (the current key): sweeping every r{retain}_*
+    sibling made the cache hold one snapshot per retain total, so
+    bench.py's sf0.001 warmup evicted the prewarmed sf0.1 artifact and
+    every timed CDC query paid a full 4-chunk replay inside its measured
+    window (ADVICE r10, cdc_time_travel 5.4s vs version_diff 0.5s on the
+    same warm path). Dead-fingerprint entries from regenerated fixtures
+    are garbage-collected by bench.sweep_stale_artifacts' liveness pass,
+    which keeps any entry whose 16-hex token matches a current fixture --
+    warmup-dir and sf-dir snapshots coexist."""
     import os
     import shutil
     import tempfile
@@ -1454,9 +1461,8 @@ def _cdc_snapshot_artifact(
     if os.path.exists(os.path.join(work_dir, "_STREAM_DONE")):
         return work_dir
     os.makedirs(cache_root, exist_ok=True)
-    for d in os.listdir(cache_root):  # sweep stale/torn builds for this retain
-        if d.startswith(f"r{retain}_"):
-            shutil.rmtree(os.path.join(cache_root, d), ignore_errors=True)
+    if os.path.exists(work_dir):  # torn build (no sentinel): clear and rebuild
+        shutil.rmtree(work_dir, ignore_errors=True)
     write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
     src = file_stream(
         spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,

@@ -43,7 +43,9 @@ def main() -> None:
     out["leg_totals"] = [a["value"], b["value"]]
     out["max_spread"] = max(spread.values()) if spread else None
     fams: dict[str, float] = {}
-    sys.path.insert(0, __file__.rsplit("/", 2)[0])
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import query_family
 
     for name, t in queries.items():
