@@ -340,6 +340,42 @@ def verify_jaccard(
     )
 
 
+def postings_pair_counts(
+    shingled: DataFrame, id_col: str = "doc_id", key_col: str = "shingle"
+) -> DataFrame:
+    """Exact co-occurrence counts per UNDIRECTED doc pair from a postings
+    table: (id_a, id_b, common) with id_a < id_b, common = number of keys
+    both docs share. The r10 100x probe read the naive postings SELF-JOIN
+    at 0.852x vs linear for containment (VERDICT r10 #3) -- the closest
+    row to super-linear -- because it shuffles the postings twice, streams
+    every pair in BOTH orders through the join, and ships sum(df^2) pair
+    rows into the aggregate. This formulation folds each posting list into
+    one sorted array (one postings shuffle), explodes only the i<j
+    combinations (half the pair rows), and aggregates half the distinct
+    keys; the intersection count is symmetric, so directed consumers
+    derive both directions from one row.
+
+    Hot keys: a key with document frequency d folds into a d-element array
+    and emits d(d-1)/2 rows from one task. The fixtures' hottest shingle is
+    df=25 (measured r11); a 100 TB corpus with stopword-like shingles
+    should drop ultra-hot keys (they carry no dedup signal) before calling
+    this -- the same posting-list cap every production similarity-join
+    (PPJoin / Bayardo all-pairs) applies."""
+    pair_expr = (
+        "flatten(transform(ids, x -> "
+        "transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    return (
+        shingled.groupBy(key_col)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+
+
 def ngram_jaccard_pairs(
     shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.6
 ) -> DataFrame:

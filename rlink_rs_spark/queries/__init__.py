@@ -35,70 +35,69 @@ from rlink_rs_spark.queries import search  # noqa: E402,F401
 # Exactly 50 entries; test_registry enforces the count and resolution.
 _DRIVER_WINDOW_PRIORITY = [
     "flagship_sliding_window_agg",
-    # -- r10 rotation (VERDICT r9 item 1): the 10 queries that have NEVER
-    # had a driver row (all green under the judge's r9 gate-replica run;
-    # a driver row is the only missing proof). cosine_topk_gemm stays
-    # out: rows-only by design, nothing for the driver to hash.
-    "constraint_check_report",
-    "hybrid_search_rrf",
-    "streaming_hybrid_search",
-    "cdc_version_diff",
-    "multimodal_extract_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_pipeline",
-    "streaming_constraint_monitor",
-    "streaming_decontamination",
-    "streaming_pack_sequences",
-    # -- new in r10: OPTIMIZE small-file compaction over the CDC snapshot
-    "cdc_optimize_compaction",
-    # -- changed in r10, so a fresh driver row re-proves the new code:
-    # the CDC family (atomic _COMMITTED epoch sentinel + shared snapshot
-    # artifact), the DLQ twins (atomic two-sink epoch marker +
-    # lang_missing reason branch)
-    "streaming_cdc_merge",
+    # -- changed in r11, so a fresh driver row proves the new code: the
+    # containment rewrite (undirected postings_pair_counts + direction
+    # expansion, VERDICT r10 #3) and the CDC family whose shared-artifact
+    # cache keying changed (torn-build-only sweep, ADVICE r10 high).
+    "ngram_containment_pairs",
     "cdc_time_travel",
-    "cdc_schema_evolution",
-    "intake_dlq_routing",
-    "streaming_intake_dlq",
-    # -- the 32 stalest queries: last driver row r4/r5 (fixtures
-    # regenerate each round; fresh rows re-prove them on current data).
+    "cdc_version_diff",
+    "streaming_cdc_merge",
+    "cdc_optimize_compaction",
+    # -- r11 rotation (VERDICT r10 #6): the r5/r6-stale block -- last
+    # driver row 5+ rounds old; the judge's r10 sweep re-proved them all
+    # green at sf0.01, but a driver row is the contract. cosine_topk_gemm
+    # stays out: rows-only by design, nothing for the driver to hash.
     # streaming_enrichment_join remains the one r4 entry left out
-    # (streaming-exempt, replayed by tests/test_streaming.py). The r9
-    # window's displaced members all sit in pytest parity lists.
-    "avg_agg",
-    "cube_agg",
-    "distinct_agg",
-    "pivot_agg",
-    "profile_columns",
-    "rollup_agg",
-    "set_ops_users",
-    "asof_join_latest_click",
-    "broadcast_enrichment_join",
-    "cosine_topk_ivf",
-    "cosine_topk_lsh",
-    "doc_fingerprint",
-    "embedding_cosine_near_dup",
-    "exact_median",
-    "flat_map_filter_transform",
-    "hash_sample_docs",
-    "lang_id_heuristic",
-    "multi_key_window_agg",
-    "multimodal_binary_features",
-    "pct_output_decode",
-    "pct_window_agg",
-    "python_datasource_scan",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q18_large_volume_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "quality_score_docs",
-    "range_window_filter",
-    # -- streaming sentinel (most sensitive to fixture/timestamp drift)
-    "streaming_flagship_agg",
+    # (streaming-exempt, replayed by tests/test_streaming.py). Every
+    # displaced r10-window member sits in a pytest parity list
+    # (checked before this rotation; test_every_oracled_query_has_a_
+    # local_witness enforces it structurally).
+    "tumbling_window_agg",
+    "window_offset_agg",
+    "union_connect",
+    "sessionization",
+    "streaming_pct_agg",
+    "stream_stream_interval_join",
+    "stream_stream_outer_join",
+    "stream_join_then_window_agg",
+    "streaming_three_stream_connect",
+    "streaming_dedup_events",
+    "streaming_session_window_agg",
+    "session_window_agg",
+    "text_stats_tokens",
+    "token_count_bpe",
+    "rolling_hash_fingerprint",
+    "train_test_split",
+    "vocab_top_terms",
+    "redact_numbers_props",
+    "stratified_sample_docs",
+    "stats_agg",
+    "weekday_agg",
+    "value_histogram",
+    "moving_average_7d",
+    "zorder_layout_stats",
+    "grouping_sets_agg",
+    "cosine_topk_sq",
+    "cosine_topk_pq",
+    "corpus_prep_pipeline",
+    "bpe_train_merges",
+    "source_mix_report",
+    "q16_supplier_part_counts",
+    "q19_bracket_revenue",
+    "q22_dormant_customers",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "benchmark_decontamination",
+    "repetition_quality_signals",
+    "temperature_resample_weights",
+    "trade_graph_triangles",
+    "timeseries_gap_fill",
+    # -- next-stalest (r8) fill to exactly 50
+    "value_band_join",
 ]
 
 
