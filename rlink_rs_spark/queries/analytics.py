@@ -12,6 +12,7 @@ from pyspark.sql.window import Window
 
 from rlink_rs_spark.queries.base import register
 from rlink_rs_spark.tables import load_table
+from rlink_rs_spark.streaming.runner import drain_timeout
 
 # --- funnel ------------------------------------------------------------------
 
@@ -756,7 +757,7 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="rlink_rollup_ck_"),
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_daily_rollup did not drain in 600s")
     finally:
         if q.isActive:

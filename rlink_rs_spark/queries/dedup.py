@@ -472,7 +472,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_incremental_dedup did not drain in 600s")
     finally:
         if q.isActive:
@@ -486,6 +486,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 import dataclasses as _dc  # noqa: E402
 
 from rlink_rs_spark.queries.base import REGISTRY as _REG  # noqa: E402
+from rlink_rs_spark.streaming.runner import drain_timeout
 
 _REG["streaming_incremental_dedup"] = _dc.replace(
     _REG["streaming_incremental_dedup"], oracle=_REG["incremental_batch_dedup"].oracle

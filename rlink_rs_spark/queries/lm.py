@@ -272,7 +272,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_quality_gate did not drain in 600s")
     finally:
         if q.isActive:
@@ -285,6 +285,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 import dataclasses as _dc  # noqa: E402
 
 from rlink_rs_spark.queries.base import REGISTRY as _LM_REG  # noqa: E402
+from rlink_rs_spark.streaming.runner import drain_timeout
 
 
 @register(
@@ -374,7 +375,7 @@ def streaming_intake_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_fn=score_fn,
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_intake_pipeline did not drain in 600s")
     finally:
         if q.isActive:

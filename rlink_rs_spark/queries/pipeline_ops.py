@@ -21,6 +21,7 @@ from rlink_rs_spark.operators.dedup import (
 )
 from rlink_rs_spark.queries.base import register
 from rlink_rs_spark.tables import load_table
+from rlink_rs_spark.streaming.runner import drain_timeout
 
 # --- benchmark decontamination ----------------------------------------------
 
@@ -892,7 +893,7 @@ def streaming_intake_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="rlink_dlq_ck_"),
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_intake_dlq did not drain in 600s")
     finally:
         if q.isActive:
@@ -952,7 +953,7 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="rlink_decon_ck_"),
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_decontamination did not drain in 600s")
     finally:
         if q.isActive:
@@ -997,7 +998,7 @@ def streaming_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx_len=_CTX_LEN,
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_pack_sequences did not drain in 600s")
     finally:
         if q.isActive:

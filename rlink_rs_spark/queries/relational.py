@@ -21,6 +21,7 @@ from rlink_rs_spark.operators.aggregations import sum_exact
 from rlink_rs_spark.operators.joins import broadcast_enrich, union_aligned
 from rlink_rs_spark.queries.base import SUM_EXACT_SQL, register
 from rlink_rs_spark.tables import load_table
+from rlink_rs_spark.streaming.runner import drain_timeout
 
 
 # --- flat_map / filter (row transforms) ------------------------------------
@@ -1414,7 +1415,7 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="rlink_cdc_ck_"),
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_cdc_merge did not drain in 600s")
     finally:
         if q.isActive:
@@ -1475,7 +1476,7 @@ def _cdc_snapshot_artifact(
         retain=retain,
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("cdc snapshot artifact build did not drain in 600s")
     finally:
         if q.isActive:
@@ -2079,7 +2080,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         evolve_rev_from=2,
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("cdc_schema_evolution did not drain in 600s")
     finally:
         if q.isActive:
@@ -2291,7 +2292,7 @@ def streaming_constraint_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="rlink_cmon_ck_"),
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_constraint_monitor did not drain in 600s")
     finally:
         if q.isActive:

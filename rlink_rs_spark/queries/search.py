@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from rlink_rs_spark.queries.base import register
 from rlink_rs_spark.tables import load_table
+from rlink_rs_spark.streaming.runner import drain_timeout
 
 # Fixed benchmark query set (vocabulary drawn from the synthetic corpus).
 BM25_QUERIES: list[tuple[str, list[str]]] = [
@@ -333,7 +334,7 @@ def streaming_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="rlink_bm25_idx_ck_"),
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_bm25_index_add did not drain in 600s")
     finally:
         if q.isActive:
@@ -632,7 +633,7 @@ def streaming_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for q, leg in ((q_bm, "bm25"), (q_ivf, "ivf")):
         try:
-            if not q.awaitTermination(600):
+            if not q.awaitTermination(drain_timeout()):
                 raise TimeoutError(f"streaming_hybrid_search {leg} leg did not drain")
         finally:
             if q.isActive:

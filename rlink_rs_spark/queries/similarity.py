@@ -806,6 +806,7 @@ def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- ANN evaluation: recall vs exact -----------------------------------------
 
 from rlink_rs_spark.queries.base import REGISTRY as _SIM_REG  # noqa: E402
+from rlink_rs_spark.streaming.runner import drain_timeout
 
 # The recall oracle composes the two registered oracles verbatim as
 # subqueries (both are deterministic SELECTs of (query_id, neighbor_id,
@@ -899,7 +900,7 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_IVF_PROBE,
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_ann_probe did not drain in 600s")
     finally:
         if q.isActive:
@@ -970,7 +971,7 @@ def streaming_ivf_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims=_DIMS,
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_ivf_index_add did not drain in 600s")
     finally:
         if q.isActive:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from rlink_rs_spark.queries.base import register
 from rlink_rs_spark.tables import load_table
+from rlink_rs_spark.streaming.runner import drain_timeout
 
 # shared double-precision tail (identical text in Spark SQL and DuckDB):
 # inputs sc = SUM(cents) :: BIGINT, sq = SUM(cents^2) :: BIGINT, n :: BIGINT.
@@ -226,7 +227,7 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_KMV_K,
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_kmv_distinct did not drain in 600s")
     finally:
         if q.isActive:
@@ -510,7 +511,7 @@ def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=tempfile.mkdtemp(prefix="rlink_cms_ck_"),
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_cms_counters did not drain in 600s")
     finally:
         if q.isActive:

@@ -18,6 +18,7 @@ from rlink_rs_spark.operators.text import (
 )
 from rlink_rs_spark.queries.base import register
 from rlink_rs_spark.tables import load_table
+from rlink_rs_spark.streaming.runner import drain_timeout
 
 _TOK_DUCK = "string_split(text, ' ')"
 
@@ -1148,7 +1149,7 @@ def streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k=_WS_TOP_K,
     )
     try:
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(drain_timeout()):
             raise TimeoutError("streaming_weighted_reservoir did not drain in 600s")
     finally:
         if q.isActive:

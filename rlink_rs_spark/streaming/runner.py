@@ -10,17 +10,27 @@ that lets streaming pipelines flow through the batch correctness gate.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+def drain_timeout(base: float = 600.0) -> float:
+    """Bound for draining a finite staged replay (awaitTermination). The
+    fixture-scale default is generous at sf<=0.1, but a 100x scale probe
+    legitimately needs 100x the wall clock -- SPARK_GRAFT_STREAM_TIMEOUT
+    overrides the bound without touching query code (VERDICT r10 #2: the
+    streaming/CDC family joins the sf10 probe)."""
+    return float(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", base))
+
+
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "append",
     checkpoint_dir: str | None = None,
-    timeout_seconds: float = 300.0,
+    timeout_seconds: float | None = None,
     shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with availableNow into a memory sink;
@@ -39,6 +49,8 @@ def run_to_memory(
     hundreds, here: single digits), not to CPU count.
     """
     spark: SparkSession = stream_df.sparkSession
+    if timeout_seconds is None:
+        timeout_seconds = drain_timeout(300.0)
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ck = checkpoint_dir or tempfile.mkdtemp(prefix="rlink_ck_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1,8 +1,18 @@
-"""Dump physical-plan hygiene for every batch registry query to PLANS.md:
+"""Dump physical-plan hygiene for every registry query to PLANS.md:
 exchange count, join operators, scan pushdown evidence, and red flags
-(CartesianProduct / BroadcastNestedLoopJoin outside the by-design set).
+(CartesianProduct / BroadcastNestedLoopJoin outside the by-design set,
+single-partition WindowExec outside the provably-tiny set).
 
-Usage: python tools/plan_audit.py [sf_dir]
+Batch queries are planned lazily (executedPlan, nothing runs). Streaming
+queries (VERDICT r10 #5) are RUN at the audit sf_dir with tool-side hooks:
+every StreamingQuery started inside fn() is recorded and its last-batch
+physical plan read back via explainInternal after the drain, and every
+batch-side action a foreachBatch body performs (writer.save/parquet,
+collect/count/toPandas) snapshots its DataFrame's executedPlan -- so the
+audit covers both the micro-batch plan the engine runs per trigger and
+the inner plans a foreachBatch sink builds on each epoch.
+
+Usage: python tools/plan_audit.py [sf_dir] [--batch-only|--streaming-only]
 """
 
 from __future__ import annotations
@@ -16,106 +26,70 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rlink_rs_spark.queries import REGISTRY  # noqa: E402
 from rlink_rs_spark.session import get_spark  # noqa: E402
 
-# Queries that execute streaming jobs inside fn() -- skipped (their plan is
-# the micro-batch engine's, audited via tests instead).
+# Queries that execute streaming jobs inside fn() -- audited by the
+# streaming pass (run + hook), not the lazy batch pass.
 STREAMING = {
     name
     for name in REGISTRY
     if name.startswith(("streaming_", "stream_stream_")) or name == "kafka_loopback_seek"
 }
 
-# By-design nested-loop/cross shapes (documented in each query's docstring):
-#   cosine_topk_bruteforce -- the exact-NN baseline is a broadcast NLJ
-#   cosine_topk_ivf        -- 16-row centroid codebook cross join (broadcast)
-#   range_window_filter    -- single-row bounds frame joined without keys
-#   q22_dormant_customers  -- 1-row scalar-aggregate (avg balance) broadcast
-#                             cross, the canonical scalar-subquery plan
-#   q11_important_stock    -- same shape: 1-row (total, count) broadcast cross
-#                             (q15's analogue converts to a hash join because
-#                             its filter is an equality; q11's is >)
-#   temperature_resample_weights -- same shape: 1-row normalizer broadcast
-#   pagerank_trade_graph   -- same shape: 1-row node-count broadcast cross,
-#                             once per unrolled iteration
-#   semantic_dedup         -- 16-row centroid codebook broadcast cross (the
-#                             cosine_topk_ivf assignment shape)
-#   source_mix_report      -- 1-row corpus-total broadcast cross (corpus share)
-#   resample_corpus_epoch  -- 1-row (tot, total_docs) normalizer broadcast
-#                             cross, the temperature_resample_weights shape
-#   cosine_topk_ivfpq      -- 16-row IVF codebook broadcast cross (the
-#                             cosine_topk_ivf assignment shape, twice:
-#                             corpus assignment + query probing)
-#   bm25_keyword_search    -- 1-row corpus-totals broadcast cross onto the
-#                             (small) matched-candidate side
-#   dsir_importance_weights -- 1-row totals broadcast cross onto the
-#                             <=128-row feature LUT, never the corpus
-#   pmi_collocations       -- 1-row (tt, bt) totals broadcast cross onto
-#                             the count-filtered bigram table
-#   tfidf_lang_terms       -- 1-row doc-count broadcast cross onto the
-#                             (lang, term) vocab table
-#   key_skew_report        -- 1-row totals broadcast cross onto the top-k
-#                             key rows
-#   lm_perplexity_filter   -- 1-row total-count broadcast cross from the
-#   equi_depth_histogram      distributed exact NTILE (operators/ranking.py);
-#                             dsir_importance_weights shares it and was
-#                             already listed for its totals LUT cross
+# By-design nested-loop/cross shapes: name -> one-line justification
+# (VERDICT r10 #8: the reason lives ON the row, not in a header paragraph).
+# Every entry is a broadcast of a CONSTANT-BOUNDED side (1-row scalar
+# aggregate, <=16-row codebook, <=784-row LUT) -- never corpus-sized.
 NLJ_ALLOWED = {
-    "lm_perplexity_filter",
-    "equi_depth_histogram",
-    "curriculum_stages",  # same 1-row ranking-total broadcast cross
-    "ann_recall_report",  # composition of cosine_topk_{bruteforce,ivf}, both listed
-    "quality_ensemble_gate",  # composition of lm_perplexity_filter + dsir +
-    #                           repetition; inherits their listed 1-row crosses
-    "cms_heavy_hitters",  # 4-row sketch-row-index broadcast cross (each event
-    #                       increments d=4 counters), the range(d) replication
-    "cosine_topk_ivfpq",
-    "resample_corpus_epoch",
-    "bm25_keyword_search",
-    "dsir_importance_weights",
-    "pmi_collocations",
-    "tfidf_lang_terms",
-    "key_skew_report",
-    "pagerank_trade_graph",
-    "cosine_topk_bruteforce",
-    "cosine_topk_ivf",
-    "range_window_filter",
-    "q22_dormant_customers",
-    "q11_important_stock",
-    "temperature_resample_weights",
-    "semantic_dedup",
-    "source_mix_report",
-    "hybrid_search_rrf",  # 3-row exemplar query set broadcast NLJ (the
-    #                       cosine_topk_bruteforce vector leg) + the listed
-    #                       1-row bm25 corpus-totals cross on the lexical leg
+    "cosine_topk_bruteforce": "exact-NN baseline IS a broadcast NLJ (query side <=10 rows)",
+    "cosine_topk_ivf": "16-row centroid codebook broadcast cross (assignment)",
+    "cosine_topk_ivfpq": "16-row IVF codebook broadcast cross, assignment + probing",
+    "semantic_dedup": "16-row (occupancy-scaled) centroid codebook broadcast cross",
+    "range_window_filter": "single-row window-bounds frame joined without keys",
+    "q22_dormant_customers": "1-row avg-balance scalar-subquery broadcast cross",
+    "q11_important_stock": "1-row (total,count) threshold broadcast cross (> filter)",
+    "temperature_resample_weights": "1-row normalizer broadcast cross",
+    "resample_corpus_epoch": "1-row (tot,total_docs) normalizer broadcast cross",
+    "pagerank_trade_graph": "1-row node-count broadcast cross per unrolled iteration",
+    "source_mix_report": "1-row corpus-total broadcast cross (share computation)",
+    "bm25_keyword_search": "1-row corpus-totals cross onto the small candidate side",
+    "dsir_importance_weights": "1-row totals cross onto the <=128-row feature LUT",
+    "pmi_collocations": "1-row (tt,bt) totals cross onto count-filtered bigrams",
+    "tfidf_lang_terms": "1-row doc-count broadcast cross onto (lang,term) vocab",
+    "key_skew_report": "1-row totals broadcast cross onto top-k key rows",
+    "lm_perplexity_filter": "1-row ranking-total broadcast cross (exact NTILE)",
+    "equi_depth_histogram": "1-row ranking-total broadcast cross (exact NTILE)",
+    "curriculum_stages": "1-row ranking-total broadcast cross (exact NTILE)",
+    "cms_heavy_hitters": "4-row sketch-row-index replication cross (d=4 counters)",
+    "ann_recall_report": "composition of cosine_topk_{bruteforce,ivf}, both listed",
+    "quality_ensemble_gate": "composition: inherits lm/dsir/repetition 1-row crosses",
+    "hybrid_search_rrf": "3-row exemplar query broadcast NLJ + 1-row bm25 totals cross",
 }
 
-JOIN_RE = re.compile(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)")
-
-# By-design UNPARTITIONED windows (single-partition WindowExec) -- allowed
-# only when the window's input is provably tiny (bounded by a constant or by
-# config, never by corpus size). The ranking-module size table (ordered by
-# `_pid`, <= spark.sql.shuffle.partitions rows) is auto-exempted by pattern.
-#   funnel_conversion      -- LAG over the 3-row stage summary
-#   pmi_collocations       -- top-30 rank over the count-filtered bigram
-#                             vocab table (nab >= 5 filter bounds it)
-#   tfidf_lang_terms       -- per-lang top-k rank over the (lang, term)
-#                             vocab table (bounded by vocab, not corpus)
-#   bpe_train_merges       -- rank over the <=784-entry candidate-pair table
-#   bm25_keyword_search    -- top-k rank over the matched-candidate set
-#   key_skew_report        -- top-k rank over per-key counts (keys << rows)
-#   source_mix_report      -- rank over the per-(source,lang) share table
-#   percentile_bands       -- [if flagged] rank partitioned by event_type;
-#                             only here defensively
+# By-design UNPARTITIONED windows (single-partition WindowExec): name ->
+# why the window input is provably tiny (constant/config-bounded, never
+# corpus-sized). The ranking-module <=P-row `_pid` cumsum is auto-exempt.
 GLOBAL_SORT_ALLOWED = {
-    "funnel_conversion",
-    "pmi_collocations",
-    "tfidf_lang_terms",
-    "bpe_train_merges",
-    "bm25_keyword_search",
-    "key_skew_report",
-    "source_mix_report",
+    "funnel_conversion": "LAG over the 3-row stage summary",
+    "pmi_collocations": "top-30 rank over nab>=5-filtered bigram vocab",
+    "tfidf_lang_terms": "per-lang top-k rank over (lang,term) vocab, not corpus",
+    "bpe_train_merges": "rank over the <=784-entry candidate-pair table",
+    "bm25_keyword_search": "top-k rank over the matched-candidate set",
+    "key_skew_report": "top-k rank over per-key counts (keys << rows)",
+    "source_mix_report": "rank over the per-(source,lang) share table",
 }
 
-_WINDOW_LINE = re.compile(r"\bWindow(Group)?(Limit)?\b.*\[")
+# Streaming by-design entries (same contract; plans come from the hook
+# captures, which include setup/read-back batch work fn() performs).
+STREAMING_NLJ_ALLOWED = {
+    "streaming_hybrid_search": "3-row exemplar query broadcast NLJ (hybrid_search_rrf read-back shape)",
+    "streaming_ann_probe": "<=10-row query-batch broadcast NLJ onto probed cells + 16-row codebook cross (cosine_topk_ivf shape)",
+    "streaming_cms_counters": "d=4 sketch-row-index replication cross (cms_heavy_hitters shape)",
+    "streaming_ivf_index_add": "16-row IVF codebook broadcast cross per epoch (cosine_topk_ivf assignment shape)",
+}
+STREAMING_GLOBAL_SORT_ALLOWED: dict[str, str] = {}
+
+JOIN_RE = re.compile(
+    r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)"
+)
 
 
 def unpartitioned_windows(plan: str) -> int:
@@ -139,23 +113,40 @@ def unpartitioned_windows(plan: str) -> int:
     return hits
 
 
-def audit(sf_dir: str) -> tuple[list[dict], list[str]]:
-    spark = get_spark("plan_audit")
+def plan_info(name: str, plans: list[str]) -> dict:
+    """Aggregate hygiene stats over one or more physical-plan strings."""
+    joins: set[str] = set()
+    exchanges = 0
+    pushed = False
+    cartesian = nlj = False
+    gsort = 0
+    for plan in plans:
+        joins.update(JOIN_RE.findall(plan))
+        exchanges += plan.count("Exchange ")
+        if "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan):
+            pushed = True
+        cartesian = cartesian or "CartesianProduct" in plan
+        nlj = nlj or "BroadcastNestedLoopJoin" in plan
+        gsort += unpartitioned_windows(plan)
+    return {
+        "name": name,
+        "n_plans": len(plans),
+        "exchanges": exchanges,
+        "joins": ",".join(sorted(joins)) or "-",
+        "pushed": "yes" if pushed else "-",
+        "cartesian": cartesian,
+        "nlj": nlj,
+        "global_sort": gsort,
+    }
+
+
+def audit_batch(spark, sf_dir: str) -> tuple[list[dict], list[str]]:
     rows, violations = [], []
     for name, q in sorted(REGISTRY.items()):
         if name in STREAMING:
             continue
         plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        joins = JOIN_RE.findall(plan)
-        info = {
-            "name": name,
-            "exchanges": plan.count("Exchange "),
-            "joins": ",".join(sorted(set(joins))) or "-",
-            "pushed": "yes" if "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan) else "-",
-            "cartesian": "CartesianProduct" in plan,
-            "nlj": "BroadcastNestedLoopJoin" in plan,
-            "global_sort": unpartitioned_windows(plan),
-        }
+        info = plan_info(name, [plan])
         if (info["cartesian"] or info["nlj"]) and name not in NLJ_ALLOWED:
             violations.append(name)
         if info["global_sort"] and name not in GLOBAL_SORT_ALLOWED:
@@ -164,40 +155,171 @@ def audit(sf_dir: str) -> tuple[list[dict], list[str]]:
     return rows, violations
 
 
+class _StreamingHooks:
+    """Tool-side capture of every plan a streaming query touches: the
+    engine's last-batch plan (explainInternal on each StreamingQuery
+    started while active) plus the executedPlan of every batch DataFrame a
+    foreachBatch body (or setup/read-back code) acts on. Product code is
+    untouched -- hooks patch the PySpark surface for the audit run only."""
+
+    def __init__(self) -> None:
+        self.queries: list = []
+        self.batch_plans: list[str] = []
+
+    def __enter__(self):
+        from pyspark.sql import DataFrame
+        from pyspark.sql.readwriter import DataFrameWriter
+        from pyspark.sql.streaming.readwriter import DataStreamWriter
+
+        hooks = self
+
+        self._orig_start = DataStreamWriter.start
+        def start(wself, *a, **kw):
+            q = hooks._orig_start(wself, *a, **kw)
+            hooks.queries.append(q)
+            return q
+        DataStreamWriter.start = start
+
+        def snap(df) -> None:
+            try:
+                hooks.batch_plans.append(
+                    df._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:
+                pass  # audit is best-effort; never break the query run
+
+        self._w_origs = {}
+        for meth in ("save", "parquet", "json", "csv"):
+            orig = getattr(DataFrameWriter, meth)
+            self._w_origs[meth] = orig
+            def wrapped(wself, *a, _orig=orig, **kw):
+                snap(wself._df)
+                return _orig(wself, *a, **kw)
+            setattr(DataFrameWriter, meth, wrapped)
+
+        self._df_origs = {}
+        for meth in ("collect", "count", "toPandas"):
+            orig = getattr(DataFrame, meth)
+            self._df_origs[meth] = orig
+            def wrapped_df(dself, *a, _orig=orig, **kw):
+                snap(dself)
+                return _orig(dself, *a, **kw)
+            setattr(DataFrame, meth, wrapped_df)
+        return self
+
+    def __exit__(self, *exc):
+        from pyspark.sql import DataFrame
+        from pyspark.sql.readwriter import DataFrameWriter
+        from pyspark.sql.streaming.readwriter import DataStreamWriter
+
+        DataStreamWriter.start = self._orig_start
+        for meth, orig in self._w_origs.items():
+            setattr(DataFrameWriter, meth, orig)
+        for meth, orig in self._df_origs.items():
+            setattr(DataFrame, meth, orig)
+        return False
+
+    def stream_plans(self) -> list[str]:
+        plans = []
+        for q in self.queries:
+            try:
+                plans.append(q._jsq.explainInternal(False))
+            except Exception:
+                pass  # query with no completed batch has no lastExecution
+        return plans
+
+
+def audit_streaming(spark, sf_dir: str) -> tuple[list[dict], list[str]]:
+    rows, violations = [], []
+    for name in sorted(STREAMING):
+        q = REGISTRY[name]
+        with _StreamingHooks() as hooks:
+            result = q.fn(spark, sf_dir)
+            result._jdf.queryExecution().executedPlan()  # plan the read-back too
+            plans = hooks.stream_plans() + hooks.batch_plans
+        info = plan_info(name, plans)
+        if (info["cartesian"] or info["nlj"]) and name not in STREAMING_NLJ_ALLOWED:
+            violations.append(name)
+        if info["global_sort"] and name not in STREAMING_GLOBAL_SORT_ALLOWED:
+            violations.append(f"{name}:global-sort")
+        rows.append(info)
+    return rows, violations
+
+
+def _table(rows: list[dict], nlj_allowed: dict, gsort_allowed: dict,
+           with_nplans: bool = False) -> list[str]:
+    head = "| query | " + ("plans | " if with_nplans else "") + \
+        "exchanges | joins | pushdown | NLJ/cartesian | global-sort | by-design reason |"
+    sep = "|---|" + ("---|" if with_nplans else "") + "---|---|---|---|---|---|"
+    lines = [head, sep]
+    for r in rows:
+        reasons = []
+        if r["cartesian"] or r["nlj"]:
+            flag = "BY-DESIGN" if r["name"] in nlj_allowed else "VIOLATION"
+            if r["name"] in nlj_allowed:
+                reasons.append(nlj_allowed[r["name"]])
+        else:
+            flag = "-"
+        if not r["global_sort"]:
+            gflag = "-"
+        elif r["name"] in gsort_allowed:
+            gflag = "BY-DESIGN"
+            reasons.append(gsort_allowed[r["name"]])
+        else:
+            gflag = "VIOLATION"
+        np = f" {r['n_plans']} |" if with_nplans else ""
+        lines.append(
+            f"| {r['name']} |{np} {r['exchanges']} | {r['joins']} | {r['pushed']} "
+            f"| {flag} | {gflag} | {'; '.join(reasons) or '-'} |"
+        )
+    return lines
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    rows, violations = audit(sf_dir)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    do_batch = "--streaming-only" not in sys.argv
+    do_streaming = "--batch-only" not in sys.argv
+    spark = get_spark("plan_audit")
+
     lines = [
-        "# PLANS — physical-plan hygiene for batch registry queries",
+        "# PLANS — physical-plan hygiene for registry queries",
         "",
         f"Audited at `{sf_dir}`. Exchanges = shuffle/broadcast exchange count;",
-        "NLJ/cartesian allowed only for the documented by-design baselines "
-        f"({', '.join(sorted(NLJ_ALLOWED))}).",
-        "Global-sort = unpartitioned WindowExec count (single-partition sort),",
-        "excluding the ranking module's <=P-row size-table cumsum; allowed "
-        f"only for provably tiny inputs ({', '.join(sorted(GLOBAL_SORT_ALLOWED))}).",
+        "NLJ/cartesian and single-partition WindowExec are VIOLATIONS unless the",
+        "row carries a by-design reason (constant-bounded input, never corpus-sized).",
         "",
-        "| query | exchanges | joins | pushdown | NLJ/cartesian | global-sort |",
-        "|---|---|---|---|---|---|",
     ]
-    for r in rows:
-        flag = "BY-DESIGN" if (r["cartesian"] or r["nlj"]) and r["name"] in NLJ_ALLOWED else (
-            "VIOLATION" if (r["cartesian"] or r["nlj"]) else "-"
-        )
-        gflag = (
-            "-" if not r["global_sort"]
-            else ("BY-DESIGN" if r["name"] in GLOBAL_SORT_ALLOWED else "VIOLATION")
-        )
-        lines.append(
-            f"| {r['name']} | {r['exchanges']} | {r['joins']} | {r['pushed']} | {flag} | {gflag} |"
-        )
-    lines.append("")
-    lines.append(f"Violations: {violations or 'none'}")
+    all_violations: list[str] = []
+
+    if do_batch:
+        rows, violations = audit_batch(spark, sf_dir)
+        all_violations += violations
+        lines += ["## Batch queries (lazy executedPlan)", ""]
+        lines += _table(rows, NLJ_ALLOWED, GLOBAL_SORT_ALLOWED)
+        lines.append("")
+
+    if do_streaming:
+        srows, sviolations = audit_streaming(spark, sf_dir)
+        all_violations += sviolations
+        lines += [
+            "## Streaming queries (executed micro-batch plans, VERDICT r10 #5)",
+            "",
+            "Each query RUNS at the audit sf_dir; `plans` = captured plan count",
+            "(explainInternal last-batch plan per started StreamingQuery + the",
+            "executedPlan of every batch action inside foreachBatch/setup/read-back).",
+            "",
+        ]
+        lines += _table(srows, STREAMING_NLJ_ALLOWED, STREAMING_GLOBAL_SORT_ALLOWED,
+                        with_nplans=True)
+        lines.append("")
+
+    lines.append(f"Violations: {all_violations or 'none'}")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}; violations: {violations or 'none'}")
-    if violations:
+    print(f"wrote {out}; violations: {all_violations or 'none'}")
+    if all_violations:
         sys.exit(1)
 
 
