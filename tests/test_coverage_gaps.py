@@ -234,9 +234,9 @@ def test_plan_hygiene_no_unplanned_cartesians(spark, sf_dir):
     """Every batch registry query must be free of CartesianProduct /
     BroadcastNestedLoopJoin except the documented by-design baselines
     (see tools/plan_audit.py, which also writes PLANS.md)."""
-    from tools.plan_audit import audit
+    from tools.plan_audit import audit_batch
 
-    rows, violations = audit(sf_dir)
+    rows, violations = audit_batch(spark, sf_dir)
     assert violations == [], f"unplanned cartesian/NLJ in: {violations}"
     assert len(rows) >= 35  # the batch surface stays audited
 
@@ -352,15 +352,15 @@ def test_stats_var_null_on_singleton_group(spark):
 
 
 def test_plans_md_covers_full_batch_registry():
-    """The committed PLANS.md artifact must have exactly one row per audited
-    batch registry query -- a stale audit (query added but PLANS.md not
-    regenerated) fails here, not silently."""
+    """The committed PLANS.md artifact must have exactly one row per
+    registry query -- batch (lazy executedPlan) AND streaming (executed
+    micro-batch plans, VERDICT r10 #5). A stale audit (query added but
+    PLANS.md not regenerated) fails here, not silently."""
     import re
 
     from rlink_rs_spark.queries import REGISTRY
-    from tools.plan_audit import STREAMING
 
-    expected = set(REGISTRY) - STREAMING
+    expected = set(REGISTRY)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md")) as f:
         text = f.read()

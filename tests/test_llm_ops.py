@@ -1334,3 +1334,101 @@ def test_scaled_lsh_near_dup_recall_and_candidate_bound(spark):
         return total
 
     assert cand_count(sb, sp) < 0.3 * cand_count(4, 6)
+
+
+def test_postings_pair_counts_match_selfjoin(spark, sf_dir):
+    """The r11 containment candidate path (fold posting lists, explode i<j
+    combinations -- half the pair rows, one postings shuffle) must produce
+    exactly the self-join's intersection counts: same undirected pairs,
+    same `common` per pair (VERDICT r10 #3)."""
+    from pyspark.sql import functions as F
+
+    from rlink_rs_spark.operators.dedup import postings_pair_counts, with_shingles
+    from rlink_rs_spark.tables import load_table
+
+    sh = with_shingles(load_table(spark, sf_dir, "documents"), k=3).distinct()
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    want = {
+        (r.id_a, r.id_b): r.common
+        for r in a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+        .collect()
+    }
+    got = {(r.id_a, r.id_b): r.common for r in postings_pair_counts(sh).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_cdc_snapshot_cache_keeps_sibling_corpora(tmp_path, monkeypatch):
+    """ADVICE r10 (high): the CDC snapshot cache must hold one entry PER
+    (retain, corpus), not per retain -- bench warmup at sf0.001 used to
+    evict the prewarmed sf0.1 artifact, billing a full replay inside every
+    timed CDC query. A completed sibling entry must survive a build for a
+    different corpus; a torn build of the SAME key must be cleared."""
+    import os
+
+    import rlink_rs_spark.queries.relational as rel
+
+    cache_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts",
+        "cdc_snapshots",
+    )
+    os.makedirs(cache_root, exist_ok=True)
+    sibling = os.path.join(cache_root, "r8_feedfeedfeedfeed")
+    os.makedirs(sibling, exist_ok=True)
+    open(os.path.join(sibling, "_STREAM_DONE"), "w").close()
+    torn = os.path.join(cache_root, "r8_0123456789abcdef")
+    os.makedirs(torn, exist_ok=True)  # no sentinel: torn build
+    open(os.path.join(torn, "leftover"), "w").close()
+    try:
+        # a build for the torn key must clear it and NOT touch the sibling;
+        # stub the expensive replay (this test pins cache policy, not MERGE)
+        monkeypatch.setattr(rel, "load_table", lambda spark, sf_dir, name: None)
+        calls = {}
+
+        def fake_fingerprint(sf_dir):
+            return "0123456789abcdef"
+
+        import rlink_rs_spark.queries.dedup as ded
+
+        monkeypatch.setattr(ded, "_documents_fingerprint", fake_fingerprint)
+
+        class _Boom(Exception):
+            pass
+
+        def fake_base(df, work_dir):
+            calls["cleared"] = not os.path.exists(os.path.join(torn, "leftover"))
+            raise _Boom  # stop before the streaming replay
+
+        import rlink_rs_spark.streaming.cdc as cdc
+
+        monkeypatch.setattr(cdc, "write_base_snapshot", fake_base)
+        try:
+            rel._cdc_snapshot_artifact(None, "/root/testdata/sf0.001", retain=8)
+        except _Boom:
+            pass
+        assert calls["cleared"], "torn same-key build was not cleared"
+        assert os.path.exists(os.path.join(sibling, "_STREAM_DONE")), (
+            "completed sibling corpus entry was evicted"
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(sibling, ignore_errors=True)
+        shutil.rmtree(torn, ignore_errors=True)
+
+
+def test_drain_timeout_env_override(monkeypatch):
+    """SPARK_GRAFT_STREAM_TIMEOUT must override every staged-replay drain
+    bound (the sf10 probe needs 100x the fixture-scale wall clock)."""
+    from rlink_rs_spark.streaming.runner import drain_timeout
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_TIMEOUT", raising=False)
+    assert drain_timeout() == 600.0
+    assert drain_timeout(300.0) == 300.0
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_TIMEOUT", "7200")
+    assert drain_timeout() == 7200.0
+    assert drain_timeout(300.0) == 7200.0

@@ -18,6 +18,7 @@ are amortized away entirely, so the sf10 leg IS the plan.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -28,7 +29,16 @@ def main() -> None:
         small = json.load(f)
     with open(big_path) as f:
         big = json.load(f)
+    # merge into the standing probe file: later probe waves (r11 adds the
+    # streaming/CDC family) extend coverage without dropping earlier rows;
+    # a re-probed query's row is replaced (post-fix numbers supersede)
     queries = {}
+    prior_note = ""
+    if os.path.exists("SCALE100.json"):
+        with open("SCALE100.json") as f:
+            prior = json.load(f)
+        queries = prior.get("queries", {})
+        prior_note = prior.get("note", "")
     over2 = []
     for name, t_big in big["queries"].items():
         t_small = small["queries"].get(name)
@@ -36,10 +46,9 @@ def main() -> None:
             continue
         vs = round((t_big / t_small) / 100.0, 3)
         queries[name] = {"sf0.1_sec": t_small, "sf10_sec": t_big, "vs_linear": vs}
-        if vs > 2.0:
-            over2.append(name)
+    over2 = [n for n, r in queries.items() if r["vs_linear"] > 2.0]
     out = {
-        "note": note,
+        "note": (prior_note + " || " + note).strip(" |") if note else prior_note,
         "scale_factor": 100,
         "queries": queries,
         "queries_over_2x_linear": sorted(over2),
