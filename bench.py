@@ -74,6 +74,7 @@ NOT_BENCHED = {
     "lsh_recall_report": "re-runs the two dedup plans ngram_jaccard/minhash_lsh already time",
     "lang_id_confusion": "re-runs the lang_id_heuristic plan already timed",
     "quality_ensemble_gate": "re-runs three quality-filter plans the registry already times",
+    "source_leakage_matrix": "re-runs the minhash_lsh_near_dup plan already timed",
 }
 
 

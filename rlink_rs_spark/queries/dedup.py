@@ -626,3 +626,62 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
         )
     )
+
+
+# --- cross-source duplication leakage ------------------------------------------
+
+_LEAKAGE_ORACLE = f"""
+WITH
+{_MINHASH_PAIRS_CTES},
+src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(CASE WHEN a.source <> b.source THEN 1 END) AS BIGINT)
+         AS n_cross
+FROM pairs p
+JOIN src a ON a.doc_id = p.id_a
+JOIN src b ON b.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "source_leakage_matrix",
+    _LEAKAGE_ORACLE,
+    "Corpus-governance report: the verified MinHash-LSH near-dup pairs "
+    "aggregated into a source x source matrix (unordered source pair, "
+    "total pairs, cross-source count) -- which ingestion sources copy "
+    "from each other, the question a dedup run answers BEFORE choosing "
+    "what to drop. Oracle composes the registered minhash pair CTEs "
+    "verbatim.",
+    bench=False,  # re-runs the minhash_lsh_near_dup plan already timed
+)
+def source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair set IS the registered minhash_lsh_near_dup plan (shared
+    shingle pass); the matrix adds two corpus-side lookups of the tiny
+    (doc_id, source) projection and one result-sized groupBy. At 100 TB
+    the pair list is orders of magnitude smaller than the corpus, so the
+    lookups broadcast the PAIR side, never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = with_shingles(docs)
+    sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
+    cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
+    pairs = verify_jaccard(cands, shingled, threshold=0.7).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            (F.col("sa") != F.col("sb")).alias("is_cross"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("is_cross"), 1).otherwise(0)).cast("bigint").alias("n_cross"),
+        )
+    )

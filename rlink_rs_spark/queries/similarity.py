@@ -977,3 +977,66 @@ def streaming_ivf_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return read_inverted_file(spark, state_dir)
+
+
+# --- hard-negative mining ------------------------------------------------------
+
+_HN_ORACLE = f"""
+WITH scored AS (
+  SELECT sa.vec_id AS query_id, sa.label AS query_label,
+         sb.vec_id AS negative_id, {_COS_DUCK} AS cosine
+  FROM embeddings sa JOIN embeddings sb
+    ON sa.vec_id <> sb.vec_id AND sa.label <> sb.label
+  WHERE sa.vec_id < {_N_QUERIES}
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, negative_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, query_label, negative_id, cosine, rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register(
+    "hard_negative_mining",
+    _HN_ORACLE,
+    "Hard-negative mining for embedding/contrastive training: per query "
+    "vector, the top-5 most-similar vectors with a DIFFERENT label -- the "
+    "near-miss negatives that carry the training signal easy random "
+    "negatives lack. Deterministic rank (cosine desc, id asc).",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same broadcast-queries x corpus-scan shape as cosine_topk_bruteforce
+    (the by-design NLJ baseline) with the label-mismatch predicate fused
+    into the join condition, so same-label rows never reach the scorer.
+    At 100 TB the exact scan is the audit path; production mines from the
+    IVF/PQ candidate sets (cosine_topk_ivf and friends) with the same
+    label-exclusion predicate applied to the probed cells -- the rank
+    window stays per-query (bounded by the query batch, never corpus-
+    partitioned)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qv"),
+    )
+    v = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("nv"),
+    )
+    from pyspark.sql import Window
+
+    cos = F.expr(cosine_expr("qv", "nv", _DIMS, base=0))
+    scored = v.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("negative_id"))
+        & (F.col("query_label") != F.col("nlabel")),
+    ).select("query_id", "query_label", "negative_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= _K
+    )

@@ -80,6 +80,9 @@ ORACLED = [
     "multimodal_extract_features",
     "multimodal_frame_sample",
     "multimodal_resize_pipeline",
+    # new in r11, not in the window (hard negatives + governance matrix)
+    "hard_negative_mining",
+    "source_leakage_matrix",
 ]
 
 
