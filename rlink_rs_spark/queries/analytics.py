@@ -630,14 +630,11 @@ FROM events GROUP BY 1, 2
 def _events_fingerprint(sf_dir: str) -> str:
     """Content cache key for the persisted rollup (same contract as the
     LSH band index / IVF codebook fingerprints)."""
-    import hashlib
     import os
 
-    h = hashlib.md5()
-    with open(os.path.join(sf_dir, "events.parquet"), "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest()[:16]
+    from rlink_rs_spark.tables import content_fingerprint
+
+    return content_fingerprint(os.path.join(sf_dir, "events.parquet"))
 
 
 def _daily_rollup(df: DataFrame) -> DataFrame:

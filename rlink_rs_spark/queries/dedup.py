@@ -260,14 +260,11 @@ def _documents_fingerprint(sf_dir: str) -> str:
     bytes (content-based, same contract as the IVF codebook fingerprint --
     a regenerated-but-identical fixture reuses the artifact, any content
     change rebuilds it)."""
-    import hashlib
     import os
 
-    h = hashlib.md5()
-    with open(os.path.join(sf_dir, "documents.parquet"), "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest()[:16]
+    from rlink_rs_spark.tables import content_fingerprint
+
+    return content_fingerprint(os.path.join(sf_dir, "documents.parquet"))
 
 
 @register(

@@ -275,14 +275,11 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     (the driver rewrites testdata between rounds) still hits the persisted
     codebook, while any actual data change forces a retrain. The file is a
     few MB at bench scale; one streamed md5 is ~ms against a 15 s train."""
-    import hashlib
     import os
 
-    h = hashlib.md5()
-    with open(os.path.join(sf_dir, "embeddings.parquet"), "rb") as f:
-        for chunk in iter(lambda: f.read(1 << 20), b""):
-            h.update(chunk)
-    return h.hexdigest()[:16]
+    from rlink_rs_spark.tables import content_fingerprint
+
+    return content_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 @register(
