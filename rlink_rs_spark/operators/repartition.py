@@ -88,6 +88,20 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
             total = sum(os.path.getsize(p) for p in paths) + open_cost * len(paths)
             max_split = min(max_pb, max(open_cost, total // max(1, target)))
             est = max(1, -(-total // max(1, max_split)))
+            if est >= floor and est > len(paths):
+                # splits subdivide files, but a parquet scan cannot
+                # parallelize below ROW-GROUP granularity -- a one-row-group
+                # file yields one working task no matter how many byte
+                # splits cover it (the exact failure fan_out guards). Cap
+                # the estimate by the footer-counted row groups; footers
+                # are read only on this few-big-files branch (when packing
+                # dominates, est <= nfiles and row groups can't bind).
+                import pyarrow.parquet as pq
+
+                est = min(
+                    est,
+                    sum(pq.ParquetFile(p).metadata.num_row_groups for p in paths),
+                )
             return df if est >= floor else df.repartition(target)
     except Exception:
         pass

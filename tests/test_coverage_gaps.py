@@ -688,6 +688,23 @@ def test_fan_out_uses_file_metadata_and_noops_on_parallel_layouts(spark, tmp_pat
     df2 = spark.read.parquet(many)
     assert fan_out(df2) is df2  # metadata probe alone proves it parallel
 
+    # row-group bound (r11): byte splits over a ONE-row-group file do not
+    # parallelize a parquet scan -- with maxPartitionBytes shrunk so the
+    # split arithmetic alone would claim plenty of splits, the footer cap
+    # must still route the single-row-group file to a repartition
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        df3 = spark.read.parquet(few)  # one file, one row group, >>4KB
+        fanned3 = fan_out(df3)
+        assert fanned3 is not df3
+        assert fanned3.rdd.getNumPartitions() == n
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+
 
 def test_gemm_assign_matches_chain_assignment(spark, sf_dir, monkeypatch):
     """The GEMM scale path for cell assignment (r10 100x probe fix: chain
