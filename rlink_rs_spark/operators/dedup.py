@@ -379,17 +379,15 @@ def postings_pair_counts(
 def ngram_jaccard_pairs(
     shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.6
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via inverted-index self-join on the
-    shingle (the small-scale baseline; LSH above is the scale path -- a hot
-    shingle makes this join quadratic in its posting list)."""
+    """Exact all-pairs n-gram Jaccard via the inverted index (the
+    small-scale baseline; LSH above is the scale path -- a hot shingle
+    makes pair generation quadratic in its posting list). Candidate
+    generation is postings_pair_counts (fold posting lists, explode i<j
+    combinations): one postings shuffle and half the pair rows of the
+    r10 self-join, same counts (pytest-pinned equivalence)."""
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, ["shingle"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    inter = postings_pair_counts(shingled, id_col=id_col).withColumnRenamed(
+        "common", "inter"
     )
     return (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
