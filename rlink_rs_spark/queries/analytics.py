@@ -669,19 +669,15 @@ def _daily_rollup(df: DataFrame) -> DataFrame:
 def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """History = all days before the newest; delta = the newest day (a
     deterministic split of the fixture standing in for the arriving
-    partition). The one eager driver read is the 1-row max-day scalar."""
+    partition). The warm path runs as ONE job: the max-day bound joins in
+    as a 1-row broadcast (the scalar-subquery shape, whitelisted in
+    plan_audit) instead of an eager driver collect -- at 100 TB the old
+    collect was a full extra events pass per serving run (r11; the
+    eager scalar remains only on the once-per-corpus cold build)."""
     import os
 
     events = load_table(spark, sf_dir, "events")
-    max_day = events.agg(
-        F.max(F.expr(f"CAST(unix_millis(ts) div {_ROLL_DAY_MS} AS BIGINT)"))
-    ).collect()[0][0]
-    history = events.where(
-        F.expr(f"CAST(unix_millis(ts) div {_ROLL_DAY_MS} AS BIGINT)") < max_day
-    )
-    delta = events.where(
-        F.expr(f"CAST(unix_millis(ts) div {_ROLL_DAY_MS} AS BIGINT)") >= max_day
-    )
+    day_expr = F.expr(f"CAST(unix_millis(ts) div {_ROLL_DAY_MS} AS BIGINT)")
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     cache_dir = os.path.join(repo_root, "artifacts", "daily_rollup")
     path = os.path.join(cache_dir, f"rollup_{_events_fingerprint(sf_dir)}")
@@ -689,6 +685,8 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # temp dir + atomic rename: concurrent sessions sharing the repo-root
         # artifact path each build into their own staging dir and the first
         # rename wins (the content fingerprint makes all builds identical)
+        max_day = events.agg(F.max(day_expr)).collect()[0][0]
+        history = events.where(day_expr < max_day)
         staging = f"{path}.tmp.{os.getpid()}"
         _daily_rollup(history).write.mode("overwrite").parquet(staging)
         try:
@@ -703,6 +701,16 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = spark.read.schema(
         "day bigint, event_type string, n bigint, sc bigint, mx double, mn double"
     ).parquet(path)
+    # delta = the newest day, bounded by a 1-row broadcast of max(day):
+    # the predicate references both sides, so this plans as the canonical
+    # scalar-subquery broadcast cross -- no driver scalar on the warm path
+    mx = events.agg(F.max(day_expr).alias("__mx"))
+    delta = (
+        events.withColumn("__day", day_expr)
+        .join(F.broadcast(mx))
+        .where(F.col("__day") >= F.col("__mx"))
+        .drop("__day", "__mx")
+    )
     merged = (
         view.unionByName(_daily_rollup(delta))
         .groupBy("day", "event_type")

@@ -56,6 +56,7 @@ NLJ_ALLOWED = {
     "pmi_collocations": "1-row (tt,bt) totals cross onto count-filtered bigrams",
     "tfidf_lang_terms": "1-row doc-count broadcast cross onto (lang,term) vocab",
     "key_skew_report": "1-row totals broadcast cross onto top-k key rows",
+    "incremental_daily_rollup": "1-row max-day broadcast cross replaces the per-run eager scalar scan",
     "lm_perplexity_filter": "1-row ranking-total broadcast cross (exact NTILE)",
     "equi_depth_histogram": "1-row ranking-total broadcast cross (exact NTILE)",
     "curriculum_stages": "1-row ranking-total broadcast cross (exact NTILE)",
