@@ -341,7 +341,10 @@ def verify_jaccard(
 
 
 def postings_pair_counts(
-    shingled: DataFrame, id_col: str = "doc_id", key_col: str = "shingle"
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str = "shingle",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact co-occurrence counts per UNDIRECTED doc pair from a postings
     table: (id_a, id_b, common) with id_a < id_b, common = number of keys
@@ -358,37 +361,79 @@ def postings_pair_counts(
     Hot keys: a key with document frequency d folds into a d-element array
     and emits d(d-1)/2 rows from one task. The fixtures' hottest shingle is
     df=25 (measured r11); a 100 TB corpus with stopword-like shingles
-    should drop ultra-hot keys (they carry no dedup signal) before calling
-    this -- the same posting-list cap every production similarity-join
-    (PPJoin / Bayardo all-pairs) applies."""
-    pair_expr = (
-        "flatten(transform(ids, x -> "
-        "transform(filter(ids, y -> y > x), y -> struct(x AS id_a, y AS id_b))))"
-    )
-    return (
+    should pass max_df (they carry no dedup signal) -- the same
+    posting-list cap every production similarity-join (PPJoin / Bayardo
+    all-pairs) applies. `hot_postings_report` returns the dropped keys as
+    a DataFrame so callers can count/log the drop distributedly.
+
+    Contract: (id, key) multiplicities are SET-collapsed (collect_set), so
+    common = |keys(a) INTERSECT keys(b)| regardless of input duplication;
+    callers computing sizes for Jaccard/containment must use the matching
+    set cardinality (count_distinct), not raw row counts (ADVICE r11).
+
+    Pair generation is two chained generators (posexplode -> explode of
+    the sorted suffix), so per-output-row memory is O(d) -- the d(d-1)/2
+    pair structs are streamed out, never materialized as one array in a
+    single row (ADVICE r11: a df=10^4 stopword shingle would otherwise
+    build a ~50M-struct array inside one task)."""
+    folded = (
         shingled.groupBy(key_col)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.id_a", "p.id_b")
+    )
+    if max_df is not None:
+        folded = folded.where(F.size("ids") <= max_df)
+    return (
+        folded.select(F.col("ids"), F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
     )
 
 
+def hot_postings_report(
+    shingled: DataFrame,
+    max_df: int,
+    id_col: str = "doc_id",
+    key_col: str = "shingle",
+) -> DataFrame:
+    """Keys that a postings_pair_counts(max_df=...) call would drop, with
+    their document frequencies -- the distributed accounting twin of the
+    cap (callers .count() or sink this to log what the cap discarded
+    instead of the cap failing silently)."""
+    return (
+        shingled.groupBy(key_col)
+        .agg(F.count_distinct(id_col).alias("df"))
+        .where(F.col("df") > max_df)
+    )
+
+
 def ngram_jaccard_pairs(
-    shingled: DataFrame, id_col: str = "doc_id", threshold: float = 0.6
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via the inverted index (the
     small-scale baseline; LSH above is the scale path -- a hot shingle
-    makes pair generation quadratic in its posting list). Candidate
+    makes pair generation quadratic in its posting list; pass max_df to
+    drop stopword-like keys, mirrored in hot_postings_report). Candidate
     generation is postings_pair_counts (fold posting lists, explode i<j
     combinations): one postings shuffle and half the pair rows of the
-    r10 self-join, same counts (pytest-pinned equivalence)."""
-    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
-    inter = postings_pair_counts(shingled, id_col=id_col).withColumnRenamed(
-        "common", "inter"
-    )
+    r10 self-join, same counts (pytest-pinned equivalence).
+
+    Set semantics throughout: sizes are count_distinct(shingle) so they
+    match the set-collapsed intersection from postings_pair_counts even
+    when the caller passes non-distinct (id, shingle) rows (ADVICE r11:
+    count('*') sizes vs collect_set intersection disagreed on multiset
+    input)."""
+    sizes = shingled.groupBy(id_col).agg(F.count_distinct("shingle").alias("n"))
+    inter = postings_pair_counts(
+        shingled, id_col=id_col, max_df=max_df
+    ).withColumnRenamed("common", "inter")
     return (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb")), "id_b")

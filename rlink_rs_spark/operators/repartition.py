@@ -96,12 +96,19 @@ def fan_out(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
                 # the estimate by the footer-counted row groups; footers
                 # are read only on this few-big-files branch (when packing
                 # dominates, est <= nfiles and row groups can't bind).
-                import pyarrow.parquet as pq
+                # footer read in its own guard (ADVICE r11): a non-parquet
+                # local source (CSV/JSON) raising here must only skip the
+                # row-group cap, not discard the whole split-arithmetic
+                # fast path back to the RDD-conversion probe
+                try:
+                    import pyarrow.parquet as pq
 
-                est = min(
-                    est,
-                    sum(pq.ParquetFile(p).metadata.num_row_groups for p in paths),
-                )
+                    est = min(
+                        est,
+                        sum(pq.ParquetFile(p).metadata.num_row_groups for p in paths),
+                    )
+                except Exception:
+                    pass
             return df if est >= floor else df.repartition(target)
     except Exception:
         pass

@@ -763,7 +763,7 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_daily_rollup did not drain in 600s")
+            raise TimeoutError(f"streaming_daily_rollup did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()

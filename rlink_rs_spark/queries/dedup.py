@@ -27,6 +27,14 @@ _SHINGLED_SQL = f"""
   SELECT DISTINCT doc_id, unnest({shingles_sql(3)}) AS shingle FROM documents
 """
 
+# Posting-list cap for the exact inverted-index paths (ADVICE r11): a
+# stopword-like shingle with document frequency d costs d(d-1)/2 pair rows
+# from one key; keys above the cap carry no dedup signal (PPJoin / Bayardo
+# drop them too). Never binds at fixture scale (hottest df=25 at sf0.1,
+# ~2.5k extrapolated at sf10); at 100 TB it bounds the worst key at
+# ~5*10^7 pair rows. Mirrored verbatim in every oracle that uses it.
+_MAX_DF = 10_000
+
 _N_HASHES, _BANDS, _ROWS = 16, 4, 4
 
 # two 60-bit hashes per salted digest (chars 1-15 / 16-30), mirroring
@@ -63,9 +71,15 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH shingled AS ({_SHINGLED_SQL}),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+    capped AS (
+      SELECT s.* FROM shingled s JOIN (
+        SELECT shingle FROM shingled GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) <= {_MAX_DF}
+      ) k USING (shingle)
+    ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-      FROM shingled a JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b, i / (sa.n + sb.n - i) AS jaccard
@@ -78,7 +92,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(with_shingles(docs), threshold=0.6)
+    return ngram_jaccard_pairs(with_shingles(docs), threshold=0.6, max_df=_MAX_DF)
 
 
 @register(
@@ -470,7 +484,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_incremental_dedup did not drain in 600s")
+            raise TimeoutError(f"streaming_incremental_dedup did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()
@@ -500,9 +514,15 @@ WITH sh AS (
   SELECT DISTINCT doc_id, unnest({shingles_sql(_CONT_K)}) AS shingle FROM documents
 ),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+capped AS (
+  SELECT s.* FROM sh s JOIN (
+    SELECT shingle FROM sh GROUP BY shingle
+    HAVING COUNT(DISTINCT doc_id) <= {_MAX_DF}
+  ) k USING (shingle)
+),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, common, sa.n_sh AS n_a,
@@ -541,7 +561,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = with_shingles(docs, k=_CONT_K).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     und = (
-        postings_pair_counts(sh)
+        postings_pair_counts(sh, max_df=_MAX_DF)
         .join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na")), "id_a")
         .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
         .where(
@@ -606,7 +626,7 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is identical either way."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = with_shingles(docs)
-    exact = ngram_jaccard_pairs(shingled, threshold=_LSH_EVAL_THR)
+    exact = ngram_jaccard_pairs(shingled, threshold=_LSH_EVAL_THR, max_df=_MAX_DF)
     sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
     cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
     lsh = (

@@ -273,7 +273,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_quality_gate did not drain in 600s")
+            raise TimeoutError(f"streaming_quality_gate did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()
@@ -376,7 +376,7 @@ def streaming_intake_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_intake_pipeline did not drain in 600s")
+            raise TimeoutError(f"streaming_intake_pipeline did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()

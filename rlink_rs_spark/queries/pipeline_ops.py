@@ -894,7 +894,7 @@ def streaming_intake_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_intake_dlq did not drain in 600s")
+            raise TimeoutError(f"streaming_intake_dlq did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()
@@ -954,7 +954,7 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_decontamination did not drain in 600s")
+            raise TimeoutError(f"streaming_decontamination did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()
@@ -999,7 +999,7 @@ def streaming_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_pack_sequences did not drain in 600s")
+            raise TimeoutError(f"streaming_pack_sequences did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()

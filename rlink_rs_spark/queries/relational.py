@@ -1416,7 +1416,7 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_cdc_merge did not drain in 600s")
+            raise TimeoutError(f"streaming_cdc_merge did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()
@@ -1477,7 +1477,7 @@ def _cdc_snapshot_artifact(
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("cdc snapshot artifact build did not drain in 600s")
+            raise TimeoutError(f"cdc snapshot artifact build did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()
@@ -2081,7 +2081,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("cdc_schema_evolution did not drain in 600s")
+            raise TimeoutError(f"cdc_schema_evolution did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()
@@ -2293,7 +2293,7 @@ def streaming_constraint_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_constraint_monitor did not drain in 600s")
+            raise TimeoutError(f"streaming_constraint_monitor did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()

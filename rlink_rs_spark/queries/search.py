@@ -335,7 +335,7 @@ def streaming_bm25_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_bm25_index_add did not drain in 600s")
+            raise TimeoutError(f"streaming_bm25_index_add did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()

@@ -898,7 +898,7 @@ def streaming_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_ann_probe did not drain in 600s")
+            raise TimeoutError(f"streaming_ann_probe did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()
@@ -969,7 +969,7 @@ def streaming_ivf_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_ivf_index_add did not drain in 600s")
+            raise TimeoutError(f"streaming_ivf_index_add did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()

@@ -228,7 +228,7 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_kmv_distinct did not drain in 600s")
+            raise TimeoutError(f"streaming_kmv_distinct did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()
@@ -512,7 +512,7 @@ def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_cms_counters did not drain in 600s")
+            raise TimeoutError(f"streaming_cms_counters did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()

@@ -160,7 +160,7 @@ def streaming_pct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.operators.joins import interval_join
-    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.runner import run_to_parquet
     from rlink_rs_spark.streaming.sources import file_stream
 
     clicks = (
@@ -202,7 +202,9 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_ms.alias("purchase_ts_ms"),
         (p_ms - c_ms).alias("lag_ms"),
     )
-    return run_to_memory(out, shuffle_partitions=8)
+    # parquet sink, not memory: the raw join output is O(matches) and must
+    # never be collected to the driver (VERDICT r11 #2)
+    return run_to_parquet(out, shuffle_partitions=8)
 
 
 @register(
@@ -239,7 +241,7 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.operators.joins import interval_join
-    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.runner import run_to_parquet
     from rlink_rs_spark.streaming.sources import file_stream
 
     clicks = (
@@ -280,7 +282,8 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("click_ts").alias("click_ts_ms"),
         F.unix_millis("purchase_ts").alias("purchase_ts_ms"),
     )
-    return run_to_memory(out, shuffle_partitions=8)
+    # parquet sink, not memory: O(matches) output stays on executors
+    return run_to_parquet(out, shuffle_partitions=8)
 
 
 @register(

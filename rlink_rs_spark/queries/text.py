@@ -1150,7 +1150,7 @@ def streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         if not q.awaitTermination(drain_timeout()):
-            raise TimeoutError("streaming_weighted_reservoir did not drain in 600s")
+            raise TimeoutError(f"streaming_weighted_reservoir did not drain in {drain_timeout():g}s")
     finally:
         if q.isActive:
             q.stop()

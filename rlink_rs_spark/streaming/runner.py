@@ -79,3 +79,59 @@ def run_to_memory(
             "refusing to return a truncated memory table"
         )
     return spark.table(name)
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    output_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    timeout_seconds: float | None = None,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Execute an append-mode streaming DataFrame with availableNow into a
+    parquet sink; block until completion; return a (batch) reader over the
+    written files.
+
+    The memory-sink bridge (run_to_memory) collects every emitted row onto
+    the driver -- fine for bounded aggregates, a scale-killer for O(matches)
+    outputs like raw stream-stream joins (VERDICT r11 #2: the sf10 probe had
+    to exclude them). This bridge keeps the result distributed end to end:
+    executors write parquet, the driver only learns the paths, and the
+    returned DataFrame is a normal scan the caller can count/digest/compare
+    without ever materializing the rows in one process. Parquet sinks are
+    append-only, which is exactly the emission mode of watermarked
+    stream-stream joins.
+    """
+    spark: SparkSession = stream_df.sparkSession
+    if timeout_seconds is None:
+        timeout_seconds = drain_timeout(300.0)
+    out_dir = output_dir or tempfile.mkdtemp(prefix="rlink_pq_out_")
+    ck = checkpoint_dir or tempfile.mkdtemp(prefix="rlink_pq_ck_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_seconds)
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if not finished:
+        raise TimeoutError(
+            f"streaming parquet sink did not finish within {timeout_seconds}s; "
+            "refusing to return a truncated directory"
+        )
+    # explicit schema: a zero-row drain writes only _spark_metadata and an
+    # inferring read would fail; the stream's own schema is the contract
+    return spark.read.schema(stream_df.schema).parquet(out_dir)

@@ -22,6 +22,22 @@ import os
 import sys
 
 
+_MAX_NOTES = 12  # bounded per-wave history (ADVICE r11: '||'-append grew unboundedly)
+
+
+def _registry_names() -> set[str] | None:
+    """Current registry, so merged rows for renamed/removed queries are
+    dropped before recomputing the over-2x list (ADVICE r11: stale pre-fix
+    rows persisted forever). None if the package can't import here."""
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from rlink_rs_spark.queries import REGISTRY
+
+        return set(REGISTRY)
+    except Exception:
+        return None
+
+
 def main() -> None:
     small_path, big_path = sys.argv[1], sys.argv[2]
     note = sys.argv[3] if len(sys.argv) > 3 else ""
@@ -33,22 +49,31 @@ def main() -> None:
     # streaming/CDC family) extend coverage without dropping earlier rows;
     # a re-probed query's row is replaced (post-fix numbers supersede)
     queries = {}
-    prior_note = ""
+    notes: list[str] = []
     if os.path.exists("SCALE100.json"):
         with open("SCALE100.json") as f:
             prior = json.load(f)
         queries = prior.get("queries", {})
-        prior_note = prior.get("note", "")
-    over2 = []
+        notes = prior.get("notes") or (
+            [n for n in prior.get("note", "").split(" || ") if n]
+        )
     for name, t_big in big["queries"].items():
         t_small = small["queries"].get(name)
         if not t_small:
             continue
         vs = round((t_big / t_small) / 100.0, 3)
         queries[name] = {"sf0.1_sec": t_small, "sf10_sec": t_big, "vs_linear": vs}
+    live = _registry_names()
+    if live is not None:
+        dropped = sorted(set(queries) - live)
+        queries = {n: r for n, r in queries.items() if n in live}
+        if dropped:
+            note = (note + f" [dropped stale rows: {dropped}]").strip()
+    if note:
+        notes = (notes + [note])[-_MAX_NOTES:]
     over2 = [n for n, r in queries.items() if r["vs_linear"] > 2.0]
     out = {
-        "note": (prior_note + " || " + note).strip(" |") if note else prior_note,
+        "notes": notes,
         "scale_factor": 100,
         "queries": queries,
         "queries_over_2x_linear": sorted(over2),
