@@ -35,69 +35,74 @@ from rlink_rs_spark.queries import search  # noqa: E402,F401
 # Exactly 50 entries; test_registry enforces the count and resolution.
 _DRIVER_WINDOW_PRIORITY = [
     "flagship_sliding_window_agg",
-    # -- changed in r11, so a fresh driver row proves the new code: the
-    # containment rewrite (undirected postings_pair_counts + direction
-    # expansion, VERDICT r10 #3) and the CDC family whose shared-artifact
-    # cache keying changed (torn-build-only sweep, ADVICE r10 high).
-    "ngram_containment_pairs",
-    "cdc_time_travel",
-    "cdc_version_diff",
-    "streaming_cdc_merge",
-    "cdc_optimize_compaction",
-    # -- r11 rotation (VERDICT r10 #6): the r5/r6-stale block -- last
-    # driver row 5+ rounds old; the judge's r10 sweep re-proved them all
-    # green at sf0.01, but a driver row is the contract. cosine_topk_gemm
-    # stays out: rows-only by design, nothing for the driver to hash.
-    # streaming_enrichment_join remains the one r4 entry left out
-    # (streaming-exempt, replayed by tests/test_streaming.py). Every
-    # displaced r10-window member sits in a pytest parity list
-    # (checked before this rotation; test_every_oracled_query_has_a_
-    # local_witness enforces it structurally).
-    "tumbling_window_agg",
-    "window_offset_agg",
-    "union_connect",
-    "sessionization",
-    "streaming_pct_agg",
+    # -- never driver-rowed until now (VERDICT r11 #1): added in r11,
+    # judge-verified green at sf0.01; a driver row is the contract.
+    "hard_negative_mining",
+    "source_leakage_matrix",
+    # -- the r4-stale entry finally rotated in (VERDICT r11 #1 / wrong-
+    # adjacent #1): last driver row predates the r6 fixture era. It is
+    # also replayed by tests/test_streaming.py, but it is a S2.1 parity
+    # query (ConfigInputFormat -> stream-static broadcast enrichment) and
+    # gets a fresh row here.
+    "streaming_enrichment_join",
+    # -- changed in r12, so fresh rows prove the new code: the two
+    # stream-stream joins moved from the memory-sink bridge to the
+    # distributed parquet-sink bridge (VERDICT r11 #2), and the exact
+    # inverted-index dedup family gained the max_df posting cap +
+    # count_distinct sizes + streamed pair generation (ADVICE r11).
     "stream_stream_interval_join",
     "stream_stream_outer_join",
-    "stream_join_then_window_agg",
-    "streaming_three_stream_connect",
-    "streaming_dedup_events",
-    "streaming_session_window_agg",
-    "session_window_agg",
-    "text_stats_tokens",
-    "token_count_bpe",
-    "rolling_hash_fingerprint",
-    "train_test_split",
-    "vocab_top_terms",
-    "redact_numbers_props",
-    "stratified_sample_docs",
-    "stats_agg",
-    "weekday_agg",
-    "value_histogram",
-    "moving_average_7d",
-    "zorder_layout_stats",
-    "grouping_sets_agg",
-    "cosine_topk_sq",
-    "cosine_topk_pq",
-    "corpus_prep_pipeline",
-    "bpe_train_merges",
-    "source_mix_report",
-    "q16_supplier_part_counts",
-    "q19_bracket_revenue",
-    "q22_dormant_customers",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "benchmark_decontamination",
-    "repetition_quality_signals",
-    "temperature_resample_weights",
-    "trade_graph_triangles",
-    "timeseries_gap_fill",
-    # -- next-stalest (r8) fill to exactly 50
-    "value_band_join",
+    "ngram_jaccard_dedup",
+    "ngram_containment_pairs",
+    "lsh_recall_report",
+    # -- r12 rotation: the entire r8-stale block (39 queries, the stalest
+    # cohort in the registry) re-proven on current fixtures. Every
+    # displaced r11-window member sits in a pytest parity list or the
+    # streaming suite (test_every_oracled_query_has_a_local_witness
+    # enforces it structurally). cosine_topk_gemm stays out: rows-only
+    # by design, nothing for the driver to hash.
+    "anomaly_zscore_events",
+    "approx_distinct_users",
+    "attribution_last_touch",
+    "bm25_keyword_search",
+    "bpe_tokenize_corpus",
+    "chunk_documents",
+    "clean_normalize_docs",
+    "cohort_retention",
+    "cosine_topk_ivfpq",
+    "curriculum_stages",
+    "daily_trend_ols",
+    "dsir_importance_weights",
+    "dynamic_gap_sessions",
+    "equi_depth_histogram",
+    "exact_substring_dedup",
+    "funnel_conversion",
+    "hourly_autocorr_lag1",
+    "incremental_batch_dedup",
+    "key_skew_report",
+    "label_embedding_centroids",
+    "leakage_free_split",
+    "merge_upsert_snapshot",
+    "open_orders_range_join",
+    "pack_sequences",
+    "pagerank_trade_graph",
+    "percentile_bands",
+    "phrase_search_positional",
+    "resample_corpus_epoch",
+    "scd2_priority_dimension",
+    "semantic_dedup",
+    "streaming_cusum_drift",
+    "streaming_dynamic_gap_sessions",
+    "streaming_intake_pipeline",
+    "streaming_quality_gate",
+    "streaming_transition_matrix",
+    "streaming_weighted_reservoir",
+    "streaming_windowed_topk",
+    "training_shuffle_shards",
+    "weighted_sample_docs",
+    # -- next-stalest (r9) fill to exactly 50
+    "ann_recall_report",
+    "cms_heavy_hitters",
 ]
 
 
