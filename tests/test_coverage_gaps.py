@@ -744,3 +744,24 @@ def test_gemm_assign_matches_chain_assignment(spark, sf_dir, monkeypatch):
         for r in sim_ops.train_ivf_codebook(emb, _DIMS, n_cells=n_cells, iters=1).collect()
     }
     assert cb_gemm == cb_chain
+
+
+def test_docs_registry_count_matches_live_registry():
+    """README's stated registry size must equal len(REGISTRY) and its
+    stated oracled count must equal the live oracled count -- docs can't
+    drift from the code (VERDICT r11 #8). Update README.md's queries/
+    line when adding or removing a registered query."""
+    import re
+
+    from rlink_rs_spark.queries import REGISTRY
+
+    readme = open("README.md").read()
+    m = re.search(r"the registry: (\d+) queries \((\d+) DuckDB-oracled", readme)
+    assert m, "README.md no longer states the registry count in the pinned format"
+    stated_total, stated_oracled = int(m.group(1)), int(m.group(2))
+    live_total = len(REGISTRY)
+    live_oracled = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    assert (stated_total, stated_oracled) == (live_total, live_oracled), (
+        f"README claims {stated_total}/{stated_oracled} but registry has "
+        f"{live_total}/{live_oracled} -- update README.md"
+    )
