@@ -64,6 +64,7 @@ ARTIFACT_PREWARM = [
     "cosine_topk_ivfpq",         # artifacts/pq_codebooks (residual key)
     "cdc_time_travel",           # artifacts/cdc_snapshots (retain=8 replay)
     "semantic_dedup",            # occupancy-scaled ivf_codebooks/ivf_inverted
+    "incremental_daily_rollup",  # artifacts/daily_rollup (<fp> key)
 ]
 
 # Queries registered with bench=False, with the reason visible in the bench

@@ -669,11 +669,15 @@ def _daily_rollup(df: DataFrame) -> DataFrame:
 def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """History = all days before the newest; delta = the newest day (a
     deterministic split of the fixture standing in for the arriving
-    partition). The warm path runs as ONE job: the max-day bound joins in
-    as a 1-row broadcast (the scalar-subquery shape, whitelisted in
-    plan_audit) instead of an eager driver collect -- at 100 TB the old
-    collect was a full extra events pass per serving run (r11; the
-    eager scalar remains only on the once-per-corpus cold build)."""
+    partition). Warm path (r12, closing the r11 watch row): the delta
+    bound comes from the VIEW artifact -- a bounded-scalar max over the
+    <= days x types summary table, never an events pass -- and is applied
+    to events as a LITERAL ts predicate, so the parquet scan gets
+    PushedFilters + row-group pruning and the warm path reads ~one day of
+    events, not the corpus. (The r11 1-row-broadcast-from-events shape
+    avoided the driver scalar but cost a second full events scan AND lost
+    scan pruning on the delta side -- strictly worse at 100 TB. The eager
+    events scalar remains only on the once-per-corpus cold build.)"""
     import os
 
     events = load_table(spark, sf_dir, "events")
@@ -701,16 +705,44 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = spark.read.schema(
         "day bigint, event_type string, n bigint, sc bigint, mx double, mn double"
     ).parquet(path)
-    # delta = the newest day, bounded by a 1-row broadcast of max(day):
-    # the predicate references both sides, so this plans as the canonical
-    # scalar-subquery broadcast cross -- no driver scalar on the warm path
-    mx = events.agg(F.max(day_expr).alias("__mx"))
-    delta = (
-        events.withColumn("__day", day_expr)
-        .join(F.broadcast(mx))
-        .where(F.col("__day") >= F.col("__mx"))
-        .drop("__day", "__mx")
-    )
+    # delta = all days after the view's newest (== the newest events day:
+    # the view is built over days < max). max(view.day) is a bounded
+    # scalar over the tiny summary table; the resulting LITERAL converts
+    # to a ts bound that pushes into the parquet scan. Fixture days are
+    # what they are -- derive the bound from view coverage, so view+delta
+    # stay disjoint and complete even with gaps.
+    try:
+        # local fast path: the view is a tiny driver-owned summary artifact;
+        # its parquet footer statistics carry max(day) without a Spark job
+        # (~0.4s scheduling constant per serving run at any scale). Remote
+        # artifact stores fall back to the bounded-scalar Spark collect.
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        parts = _glob.glob(os.path.join(path, "part-*.parquet"))
+        vals = []
+        for p in parts:
+            md = _pq.ParquetFile(p).metadata
+            day_i = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "day"
+            ) if md.num_row_groups else None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(day_i).statistics
+                if st is not None and st.has_min_max:
+                    vals.append(st.max)
+        if parts and not vals:  # files but no usable stats: use the Spark path
+            raise ValueError("no footer statistics for day column")
+        max_view_day = max(vals) if vals else None
+    except Exception:
+        max_view_day = view.agg(F.max("day")).collect()[0][0]
+    if max_view_day is None:  # empty history (single-day corpus): delta = all
+        delta = events
+    else:
+        bound_ms = (max_view_day + 1) * _ROLL_DAY_MS
+        # unix_millis(ts) div DAY >= d+1  <=>  ts >= timestamp of (d+1)*DAY
+        delta = events.where(F.col("ts") >= F.timestamp_millis(F.lit(bound_ms)))
     merged = (
         view.unionByName(_daily_rollup(delta))
         .groupBy("day", "event_type")

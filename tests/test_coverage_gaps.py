@@ -643,7 +643,7 @@ def test_bench_prewarm_covers_artifact_builders():
         assert REGISTRY[name].bench, f"{name} is bench=False; prewarm noops"
     # one prewarm entry per cache family (comment in bench.py maps them)
     families = {"lm_lut", "lsh_band_index", "ivf_codebooks", "pq_codebooks",
-                "cdc_snapshots"}
+                "cdc_snapshots", "daily_rollup"}
     import inspect
 
     src = inspect.getsource(__import__("bench"))
