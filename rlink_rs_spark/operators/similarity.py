@@ -567,6 +567,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
     assignment: DataFrame | None = None,
+    match_col: str | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a coarse quantizer assigns every vector to its nearest
     of n_cells centroids (one broadcast pass -- the inverted file); each
@@ -576,7 +577,15 @@ def cosine_topk_ivf(
     pre-trained ``codebook`` (load_or_train_ivf_codebook -- training and
     probing are separate stages in deployment). At 100 TB: centroid table
     is broadcast, cell assignment is map-side, candidate scan shuffles on
-    cell_id only."""
+    cell_id only.
+
+    match_col: filtered vector search (the production ANN shape: restrict
+    neighbors to the query's tenant/language/label). Candidates are probed
+    exactly as in the unfiltered path and the attribute equality is applied
+    DURING the candidate scan, before the top-k window -- post-filtering at
+    the scan, so k survivors are the k best MATCHING neighbors among the
+    probed cells. Zero extra shuffles: the attribute rides the qv/nv score
+    joins the unfiltered plan already does."""
     cents = codebook if codebook is not None else train_ivf_codebook(
         vectors, dims, n_cells=n_cells, iters=train_iters, id_col=id_col, vec_col=vec_col
     )
@@ -613,14 +622,18 @@ def cosine_topk_ivf(
     cands = F.broadcast(probes).join(assign, "cell_id").where(
         F.col("query_id") != F.col("neighbor_id")
     ).select("query_id", "neighbor_id").distinct()
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    nv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    qcols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")]
+    ncols = [F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")]
+    if match_col is not None:
+        qcols.append(F.col(match_col).alias("_qm"))
+        ncols.append(F.col(match_col).alias("_nm"))
+    qv = queries.select(*qcols)
+    nv = vectors.select(*ncols)
     cos = F.expr(cosine_expr("qv", "nv", dims, base=0))
-    scored = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
+    scored = cands.join(F.broadcast(qv), "query_id").join(nv, "neighbor_id")
+    if match_col is not None:
+        scored = scored.where(F.col("_qm") == F.col("_nm"))
+    scored = scored.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 

@@ -55,6 +55,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "ngram_jaccard_dedup",
     "ngram_containment_pairs",
     "lsh_recall_report",
+    # -- new in r12 (never driver-rowed): filtered vector search, per-source
+    # token-budget mixing, CSV/NDJSON source-format parity, and the Arrow
+    # grouped-agg UDAF surface. Each also sits in a pytest parity list.
+    "cosine_topk_ivf_filtered",
+    "source_token_budget_mix",
+    "csv_source_roundtrip",
+    "json_source_roundtrip",
+    "udaf_median_daily",
     # -- r12 rotation: the entire r8-stale block (39 queries, the stalest
     # cohort in the registry) re-proven on current fixtures. Every
     # displaced r11-window member sits in a pytest parity list or the
@@ -88,7 +96,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "pagerank_trade_graph",
     "percentile_bands",
     "phrase_search_positional",
-    "resample_corpus_epoch",
     "scd2_priority_dimension",
     "semantic_dedup",
     "streaming_cusum_drift",
@@ -98,11 +105,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_transition_matrix",
     "streaming_weighted_reservoir",
     "streaming_windowed_topk",
-    "training_shuffle_shards",
-    "weighted_sample_docs",
-    # -- next-stalest (r9) fill to exactly 50
-    "ann_recall_report",
-    "cms_heavy_hitters",
+    # (r12 new-query slots displaced resample_corpus_epoch,
+    # training_shuffle_shards, weighted_sample_docs and the two r9 fills
+    # ann_recall_report / cms_heavy_hitters -- all five sit in pytest
+    # parity lists, per the displacement contract.)
 ]
 
 

@@ -206,6 +206,76 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-source token-budget mixing ------------------------------------------
+
+# Budget = half of each source's total tokens; quality = integer
+# centi-chars-per-token ((n_chars*100) div n_tokens) so the selection order
+# is exact integer arithmetic in both engines (no float rounding seam).
+_MIX_ORACLE = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         (n_chars * 100) // CAST(len(string_split(text, ' ')) AS BIGINT)
+           AS quality_centi
+  FROM documents
+),
+b AS (SELECT source, SUM(n_tokens) // 2 AS budget FROM t GROUP BY source),
+c AS (
+  SELECT t.*,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY quality_centi DESC, doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT c.source, c.doc_id, c.quality_centi, c.n_tokens, c.cum_tokens
+FROM c JOIN b USING (source) WHERE c.cum_tokens <= b.budget
+"""
+
+
+@register(
+    "source_token_budget_mix",
+    _MIX_ORACLE,
+    "Token-budgeted data mixing: each source contributes its highest-"
+    "quality documents (integer centi-chars-per-token score, doc_id "
+    "tie-break) until half of that source's total tokens are spent -- the "
+    "per-source budget step that turns 'mix sources 50/50 by tokens, best "
+    "docs first' into a training corpus. The select-until-budget cut "
+    "needs an exact per-source running token sum, which runs through the "
+    "distributed exact prefix sum (operators/ranking.py "
+    "with_group_prefix_sum): a source is never one task; a giant source "
+    "spans range partitions and only the <=P x |sources| cell totals pay "
+    "a window. Budgets themselves are a |sources|-row broadcast.",
+)
+def source_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.ranking import with_group_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.expr(
+            "(n_chars * 100) div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("quality_centi"),
+    )
+    budgets = sized.groupBy("source").agg(
+        F.expr("sum(n_tokens) div 2").alias("budget")
+    )
+    cum = with_group_prefix_sum(
+        sized,
+        ["source"],
+        [F.col("quality_centi").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        sum_col="cum_tokens",
+    )
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .where(F.col("cum_tokens") <= F.col("budget"))
+        .select("source", "doc_id", "quality_centi", "n_tokens", "cum_tokens")
+    )
+
+
 # --- deterministic training shuffle + sharding -------------------------------
 
 _SHUF_SEED = 42

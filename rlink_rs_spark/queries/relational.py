@@ -151,6 +151,67 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- text source formats (CSV / NDJSON) --------------------------------------
+
+# Full-fidelity roundtrip witness: every column participates in the digest
+# (counts, exact cent-sums, distinct users, min/max of ids and timestamps,
+# total props characters) so one corrupted cell in the text write OR parse
+# changes a hash. The oracle reads the pristine parquet view -- text staging
+# and read-back must be LOSSLESS to match.
+_TEXT_SOURCE_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt,
+       SUM(CAST(ROUND(value * 100) AS BIGINT))/100.0 AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       MIN(event_id) AS first_id, MAX(event_id) AS last_id,
+       CAST(SUM(length(props)) AS BIGINT) AS props_chars
+FROM events GROUP BY event_type
+"""
+
+
+def _text_source_agg(scan: "DataFrame") -> "DataFrame":
+    return scan.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+        F.sum(F.length("props")).alias("props_chars"),
+    )
+
+
+@register(
+    "csv_source_roundtrip",
+    _TEXT_SOURCE_ORACLE,
+    "CSV source-format parity: the events table staged once by Spark's CSV "
+    "writer (quoted JSON props, epoch-micros timestamps -- default text "
+    "timestamp formats truncate to millis) and read back through the JVM "
+    "Univocity parser with a pinned schema, then digested column-by-column "
+    "against the pristine parquet oracle. The reference's source contract "
+    "parses typed rows from byte payloads at the boundary (connector-kafka/"
+    "src/lib.rs:44-70); this is the same contract for text files.",
+)
+def csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.sources.textformats import staged_events
+
+    return _text_source_agg(staged_events(spark, sf_dir, "csv"))
+
+
+@register(
+    "json_source_roundtrip",
+    _TEXT_SOURCE_ORACLE,
+    "NDJSON source-format parity: same staged-write/read-back witness as "
+    "csv_source_roundtrip through Spark's Jackson JSON source (nested-quote "
+    "escaping exercised by the JSON-valued props column).",
+)
+def json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.sources.textformats import staged_events
+
+    return _text_source_agg(staged_events(spark, sf_dir, "json"))
+
+
 # --- connect analogues ------------------------------------------------------
 
 @register(

@@ -232,6 +232,42 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
 """
 
+# Filtered twin: identical probe/candidate structure, label equality applied
+# during the candidate scan (before the top-k window) -- the FAISS
+# "filtered search" shape. Only the scored CTE differs from _IVF_ORACLE.
+_IVF_FILTERED_ORACLE = f"""
+WITH {_ivf_kmeans_ctes(_IVF_ITERS)},
+assign_scored AS (
+  SELECT v.vec_id AS vid, c.cell_id, {_IVF_ASSIGN_COS} AS cs
+  FROM embeddings v CROSS JOIN cents c
+),
+assign_ranked AS (
+  SELECT vid, cell_id,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+  FROM assign_scored
+),
+assign AS (SELECT vid AS neighbor_id, cell_id FROM assign_ranked WHERE rn = 1),
+probes AS (SELECT vid AS query_id, cell_id FROM assign_ranked
+           WHERE rn <= {_IVF_PROBE} AND vid < {_N_QUERIES}),
+cands AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM probes JOIN assign USING (cell_id)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_DUCK} AS cosine
+  FROM cands JOIN embeddings sa ON sa.vec_id = query_id
+             JOIN embeddings sb ON sb.vec_id = neighbor_id
+  WHERE sa.label = sb.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
 
 def _artifact_dir(name: str) -> str:
     import os
@@ -301,6 +337,28 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_topk_ivf(
         emb, queries, dims=_DIMS, k=_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
         train_iters=_IVF_ITERS, codebook=codebook, assignment=assignment,
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@register(
+    "cosine_topk_ivf_filtered",
+    _IVF_FILTERED_ORACLE,
+    "Filtered vector search (the production ANN shape: neighbors restricted "
+    "to the query's label/tenant/language): same persisted IVF codebook + "
+    "inverted file and the same 3-cell probe as cosine_topk_ivf, with the "
+    "label-equality predicate applied DURING the candidate scan, before the "
+    "top-k window -- so the k survivors are the k best MATCHING neighbors. "
+    "Zero extra shuffles vs the unfiltered plan: the attribute rides the "
+    "existing score joins. Parity: the reference has no ANN at all; this is "
+    "the engine-extra family next to cosine_topk_ivf/_pq/_sq.",
+)
+def cosine_topk_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, codebook, assignment = _ivf_artifacts(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return sim_ops.cosine_topk_ivf(
+        emb, queries, dims=_DIMS, k=_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        train_iters=_IVF_ITERS, codebook=codebook, assignment=assignment,
+        match_col="label",
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 

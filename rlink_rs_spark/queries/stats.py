@@ -517,3 +517,76 @@ def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return read_cms_counters(spark, work_dir)
+
+
+# --- custom UDAF surface (Arrow grouped aggregate) ---------------------------
+
+
+def _make_median_udaf():
+    """Built at module scope (pandas imported in the enclosing globals) so
+    pandas_udf's type-hint inference can resolve the pd.Series annotation."""
+    import pandas as pd  # noqa: F401  (annotation resolution)
+    from pyspark.sql.functions import pandas_udf
+
+    def median_cents(cents):
+        # Arrow hands the batch as a read-only buffer; copy before sorting
+        vals = cents.to_numpy(copy=True)
+        vals.sort(kind="stable")
+        return int(vals[(len(vals) - 1) // 2])
+
+    median_cents.__annotations__ = {"cents": pd.Series, "return": int}
+
+    def pane_count(cents):
+        return int(len(cents))
+
+    pane_count.__annotations__ = {"cents": pd.Series, "return": int}
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the pane
+    # count is a second pandas aggregate over the same Arrow batch.
+    return pandas_udf("long")(median_cents), pandas_udf("long")(pane_count)
+
+_UDAF_MEDIAN_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, day) AS n
+  FROM c
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS cnt,
+       cents AS median_cents, cents / 100.0 AS median_value
+FROM r WHERE rn = (n - 1) // 2 + 1
+"""
+
+
+@register(
+    "udaf_median_daily",
+    _UDAF_MEDIAN_ORACLE,
+    "Custom UDAF surface: exact lower-median of integer cents per "
+    "(event_type, day) pane through a pandas_udf GROUPED_AGG -- the Arrow-"
+    "batched analogue of the reference's SchemaReduceFunction (a user "
+    "aggregate evaluated over an in-memory keyed pane, core/function.rs "
+    "sum/max/min reduce family). The pane-in-memory contract matches the "
+    "reference's mem-only window state: groups here are (type, day) panes "
+    "whose size is bounded by a day of one key's events; for unbounded "
+    "groups the rank-based exact_median / equi_depth machinery "
+    "(operators/ranking.py) is the scale path. Integer median = a value "
+    "from the data, so the oracle hash-matches bit-for-bit (no float "
+    "quantile interpolation seam).",
+)
+def udaf_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    median_cents_udaf, pane_count_udaf = _make_median_udaf()
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ev.groupBy("event_type", "day").agg(
+        pane_count_udaf("cents").alias("cnt"),
+        median_cents_udaf("cents").alias("median_cents"),
+        (median_cents_udaf("cents") / 100.0).alias("median_value"),
+    )

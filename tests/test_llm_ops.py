@@ -52,6 +52,9 @@ ORACLED = [
     "weighted_sample_docs",
     "pmi_collocations",
     "label_embedding_centroids",
+    # r12 additions (also driver-window members this round)
+    "cosine_topk_ivf_filtered",
+    "source_token_budget_mix",
     # displaced from the driver window by the wave-3 rotation (r3-driver-green)
     "near_dup_clusters",
     "dedup_keep_list",

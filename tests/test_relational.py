@@ -21,6 +21,10 @@ RELATIONAL = [
     "q3_shipping_priority",
     "q5_star_join_volume",
     "top_k_per_group",
+    # r12 additions (also driver-window members this round)
+    "csv_source_roundtrip",
+    "json_source_roundtrip",
+    "udaf_median_daily",
     "set_ops_users",
     "distinct_agg",
     "sessionization",
