@@ -65,6 +65,8 @@ ARTIFACT_PREWARM = [
     "cdc_time_travel",           # artifacts/cdc_snapshots (retain=8 replay)
     "semantic_dedup",            # occupancy-scaled ivf_codebooks/ivf_inverted
     "incremental_daily_rollup",  # artifacts/daily_rollup (<fp> key)
+    "csv_source_roundtrip",      # /tmp rlink_srcfmt_csv_<fp> staged copy
+    "json_source_roundtrip",     # /tmp rlink_srcfmt_json_<fp> staged copy
 ]
 
 # Queries registered with bench=False, with the reason visible in the bench

@@ -42,6 +42,7 @@ NLJ_ALLOWED = {
     "cosine_topk_bruteforce": "exact-NN baseline IS a broadcast NLJ (query side <=10 rows)",
     "hard_negative_mining": "same <=10-row broadcast-query NLJ with label-mismatch fused into the join",
     "cosine_topk_ivf": "16-row centroid codebook broadcast cross (assignment)",
+    "cosine_topk_ivf_filtered": "16-row centroid codebook broadcast cross (assignment)",
     "cosine_topk_ivfpq": "16-row IVF codebook broadcast cross, assignment + probing",
     "semantic_dedup": "16-row (occupancy-scaled) centroid codebook broadcast cross",
     "range_window_filter": "single-row window-bounds frame joined without keys",
