@@ -195,23 +195,47 @@ def main() -> None:
             )
         keys[key_col] = {"key_cardinality": cardinality, "providers": providers}
 
+    run = {
+        "replicas": replicas,
+        "chunks": chunks,
+        "rows_total": n_rows,
+        "rows_per_batch": n_rows // chunks,
+        "keys": keys,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    fp = fixture_fingerprint(sf_dir)
+    out_path = os.path.join(REPO, "BENCH_throughput.json")
+    # Merge runs: the artifact carries the full (trigger-rate rung x key-
+    # cardinality rung x provider) grid. A re-run of the same (replicas,
+    # chunks) rate rung replaces its row; a changed fixture restarts the file.
+    runs = []
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prior = json.load(f)
+            if prior.get("fixture_md5") == fp:
+                runs = [
+                    r for r in prior.get("runs", [])
+                    if (r.get("replicas"), r.get("chunks")) != (replicas, chunks)
+                ]
+        except (json.JSONDecodeError, OSError):
+            pass
+    runs.append(run)
+    runs.sort(key=lambda r: r["rows_per_batch"])
     out = {
         "metric": "flagship_window_sustained_throughput",
         "workload": "60s/20s sliding window, 1s out-of-orderness, "
                     "sum/max/min/count, append mode, maxFilesPerTrigger=1; "
-                    "one rung per grouping key cardinality",
+                    "grid: trigger-rate rung x grouping-key cardinality "
+                    "rung x state-store provider",
         "sf_dir": sf_dir,
-        "replicas": replicas,
-        "chunks": chunks,
-        "rows_total": n_rows,
         "event_time_span_sec": round(span_sec, 1),
         "native_event_rate_rows_per_sec": round(n_rows / span_sec, 1),
         "warm_batches_excluded": warm_batches,
-        "keys": keys,
-        "fixture_md5": fixture_fingerprint(sf_dir),
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "runs": runs,
+        "fixture_md5": fp,
     }
-    with open(os.path.join(REPO, "BENCH_throughput.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 
