@@ -1,0 +1,126 @@
+"""Invariant tests for the r12 additions: filtered ANN, per-source
+token-budget mixing, text source-format staging, grouped prefix sum.
+Oracle parity runs separately via the ORACLED/RELATIONAL lists; these pin
+the semantic contracts the hash compare can't articulate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rlink_rs_spark.queries import REGISTRY
+from rlink_rs_spark.tables import load_table
+
+
+def test_filtered_ann_neighbors_share_query_label(spark, sf_dir):
+    """Every returned neighbor must carry the query's label, ranks must be
+    1..k dense per query, and each result must be a subset of the
+    unfiltered candidate universe's label-matching rows."""
+    out = REGISTRY["cosine_topk_ivf_filtered"].fn(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q = emb.withColumnRenamed("vec_id", "query_id").withColumnRenamed("label", "ql")
+    n = emb.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("label", "nl")
+    joined = out.join(q, "query_id").join(n, "neighbor_id").collect()
+    assert joined, "filtered ANN returned no rows"
+    assert all(r.ql == r.nl for r in joined)
+    by_query: dict[int, list[int]] = {}
+    for r in joined:
+        by_query.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_filtered_ann_is_subset_of_unfiltered_candidates(spark, sf_dir):
+    """With identical codebook/probe params, the filtered result's
+    (query, neighbor) pairs must be drawn from label-matching pairs only --
+    and every filtered cosine must be <= the unfiltered rank-1 cosine for
+    that query (filtering can only remove candidates, never improve)."""
+    filt = REGISTRY["cosine_topk_ivf_filtered"].fn(spark, sf_dir)
+    unf = REGISTRY["cosine_topk_ivf"].fn(spark, sf_dir)
+    best_unf = {
+        r.query_id: r.cosine for r in unf.where(F.col("rank") == 1).collect()
+    }
+    for r in filt.where(F.col("rank") == 1).collect():
+        assert r.cosine <= best_unf[r.query_id] + 1e-12
+
+
+def test_token_budget_mix_respects_budget_and_quality_order(spark, sf_dir):
+    """Per source: selected cum_tokens never exceed half the source's total
+    tokens, and the selected set is a prefix of the (quality desc, doc_id)
+    order -- no lower-quality doc is kept while a higher-quality one of the
+    same source is dropped."""
+    rows = REGISTRY["source_token_budget_mix"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.expr("(n_chars * 100) div CAST(size(split(text, ' ')) AS BIGINT)").alias("q"),
+    )
+    totals = {
+        r.source: r.total
+        for r in docs.groupBy("source").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    kept: dict[str, set[int]] = {}
+    for r in rows:
+        assert r.cum_tokens <= totals[r.source] // 2
+        kept.setdefault(r.source, set()).add(r.doc_id)
+    all_docs = docs.collect()
+    by_source: dict[str, list] = {}
+    for d in all_docs:
+        by_source.setdefault(d.source, []).append(d)
+    for source, ds in by_source.items():
+        ds.sort(key=lambda d: (-d.q, d.doc_id))
+        seen_dropped = False
+        for d in ds:
+            is_kept = d.doc_id in kept.get(source, set())
+            if seen_dropped:
+                assert not is_kept, (
+                    f"{source}: doc {d.doc_id} kept after a better doc was dropped"
+                )
+            elif not is_kept:
+                seen_dropped = True
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json"])
+def test_text_format_staging_roundtrips_every_row(spark, sf_dir, fmt):
+    """Row-identical roundtrip: the staged text copy must reproduce the
+    events table exactly (both-direction exceptAll empty), including
+    microsecond timestamps and the JSON-valued props strings."""
+    from rlink_rs_spark.sources.textformats import staged_events
+
+    orig = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    back = staged_events(spark, sf_dir, fmt)
+    assert back.schema == orig.schema
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+
+
+def test_group_prefix_sum_matches_single_task_window(spark, sf_dir):
+    """with_group_prefix_sum must be bit-identical to the plain keyed
+    running-sum window at any partitioning (integer addition is exactly
+    associative) -- compared here on the real documents table with a
+    descending, tie-broken order like the mix query uses."""
+    from pyspark.sql.window import Window
+
+    from rlink_rs_spark.operators.ranking import with_group_prefix_sum
+
+    sized = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+        (F.col("n_chars") % 7).alias("q"),  # coarse key -> many ties
+    )
+    order = [F.col("q").desc(), F.col("doc_id").asc()]
+    dist = with_group_prefix_sum(sized, ["source"], order, "n", sum_col="c")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = sized.withColumn("c", F.sum("n").over(w).cast("bigint"))
+    got = {(r.source, r.doc_id): r.c for r in dist.collect()}
+    want = {(r.source, r.doc_id): r.c for r in ref.collect()}
+    assert got == want
