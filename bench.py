@@ -74,6 +74,7 @@ ARTIFACT_PREWARM = [
 NOT_BENCHED = {
     "dedup_keep_list": "re-runs the same CC iterations near_dup_clusters already times",
     "ann_recall_report": "re-runs the two ANN plans cosine_topk_{bruteforce,ivf} already time",
+    "filtered_ann_recall_report": "re-runs the filtered-IVF plan cosine_topk_ivf_filtered already times",
     "lsh_recall_report": "re-runs the two dedup plans ngram_jaccard/minhash_lsh already time",
     "lang_id_confusion": "re-runs the lang_id_heuristic plan already timed",
     "quality_ensemble_gate": "re-runs three quality-filter plans the registry already times",

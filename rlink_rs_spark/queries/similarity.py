@@ -910,6 +910,93 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact filtered baseline: brute-force same-label top-k -- the ground truth
+# the filtered IVF index is graded against. Same <=10-row broadcast-query
+# NLJ shape as cosine_topk_bruteforce with the label EQUALITY fused into
+# the join (hard_negative_mining fuses the inequality).
+_EXACT_FILTERED_SQL = f"""
+SELECT query_id, neighbor_id FROM (
+  SELECT sa.vec_id AS query_id, sb.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY sa.vec_id
+                            ORDER BY {_COS_DUCK} DESC, sb.vec_id ASC) AS rank
+  FROM embeddings sa JOIN embeddings sb
+    ON sa.label = sb.label AND sa.vec_id <> sb.vec_id
+  WHERE sa.vec_id < {_N_QUERIES}
+) WHERE rank <= {_K}
+"""
+
+_FILTERED_RECALL_ORACLE = f"""
+SELECT b.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM ({_EXACT_FILTERED_SQL}) b
+LEFT JOIN (SELECT query_id, neighbor_id
+           FROM ({_SIM_REG["cosine_topk_ivf_filtered"].oracle})) a
+       ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+"""
+
+
+@register(
+    "filtered_ann_recall_report",
+    _FILTERED_RECALL_ORACLE,
+    "Filtered-search accuracy harness: per-query recall@5 of "
+    "cosine_topk_ivf_filtered against the exact same-label brute-force "
+    "top-k. Filtered ANN recall degrades faster than unfiltered (matching "
+    "candidates thin out inside the probed cells), so deployments monitor "
+    "this dial separately when sizing n_probe for label-restricted "
+    "queries.",
+    bench=False,  # re-runs the filtered-IVF plan the registry already times
+)
+def filtered_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition like ann_recall_report: the approximate side IS the
+    registered filtered query (persisted artifacts included); the exact
+    side is a broadcast-query NLJ bounded by the 10-row query set."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES)
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    nv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        F.col("label").alias("nl"),
+    )
+    cos = F.expr(cosine_expr("qv", "nv", _DIMS, base=0))
+    scored = (
+        F.broadcast(qv)
+        .join(nv, (F.col("ql") == F.col("nl")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id")
+    )
+    appr = (
+        cosine_topk_ivf_filtered(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(appr, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+            (F.count("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+    )
+
+
 @register(
     "streaming_ann_probe",
     _IVF_ORACLE,  # shared with cosine_topk_ivf: per-query results depend

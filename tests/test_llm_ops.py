@@ -55,6 +55,7 @@ ORACLED = [
     # r12 additions (also driver-window members this round)
     "cosine_topk_ivf_filtered",
     "source_token_budget_mix",
+    "filtered_ann_recall_report",
     # displaced from the driver window by the wave-3 rotation (r3-driver-green)
     "near_dup_clusters",
     "dedup_keep_list",

@@ -43,6 +43,7 @@ NLJ_ALLOWED = {
     "hard_negative_mining": "same <=10-row broadcast-query NLJ with label-mismatch fused into the join",
     "cosine_topk_ivf": "16-row centroid codebook broadcast cross (assignment)",
     "cosine_topk_ivf_filtered": "16-row centroid codebook broadcast cross (assignment)",
+    "filtered_ann_recall_report": "composition of the filtered-IVF plan + a <=10-row broadcast-query exact baseline NLJ",
     "cosine_topk_ivfpq": "16-row IVF codebook broadcast cross, assignment + probing",
     "semantic_dedup": "16-row (occupancy-scaled) centroid codebook broadcast cross",
     "range_window_filter": "single-row window-bounds frame joined without keys",
