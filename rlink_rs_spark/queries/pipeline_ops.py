@@ -259,15 +259,19 @@ def source_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_chars * 100) div CAST(size(split(text, ' ')) AS BIGINT)"
         ).alias("quality_centi"),
     )
-    budgets = sized.groupBy("source").agg(
-        F.expr("sum(n_tokens) div 2").alias("budget")
-    )
     cum = with_group_prefix_sum(
         sized,
         ["source"],
         [F.col("quality_centi").desc(), F.col("doc_id").asc()],
         "n_tokens",
         sum_col="cum_tokens",
+    )
+    # budget = sum(n_tokens) div 2 per source, read off the prefix sum's
+    # own last element (max of an inclusive integer cumsum IS the total) --
+    # no second corpus scan for the totals; the operator's persisted range
+    # frame feeds both branches.
+    budgets = cum.groupBy("source").agg(
+        F.expr("max(cum_tokens) div 2").alias("budget")
     )
     return (
         cum.join(F.broadcast(budgets), "source")
