@@ -59,6 +59,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # token-budget mixing, CSV/NDJSON source-format parity, and the Arrow
     # grouped-agg UDAF surface. Each also sits in a pytest parity list.
     "cosine_topk_ivf_filtered",
+    "filtered_ann_recall_report",
     "source_token_budget_mix",
     "csv_source_roundtrip",
     "json_source_roundtrip",
@@ -94,7 +95,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "open_orders_range_join",
     "pack_sequences",
     "pagerank_trade_graph",
-    "percentile_bands",
     "phrase_search_positional",
     "scd2_priority_dimension",
     "semantic_dedup",
