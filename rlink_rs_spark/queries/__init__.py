@@ -64,6 +64,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "csv_source_roundtrip",
     "json_source_roundtrip",
     "udaf_median_daily",
+    "embedding_outlier_filter",
     # -- r12 rotation: the entire r8-stale block (39 queries, the stalest
     # cohort in the registry) re-proven on current fixtures. Every
     # displaced r11-window member sits in a pytest parity list or the
@@ -80,7 +81,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "cohort_retention",
     "cosine_topk_ivfpq",
     "curriculum_stages",
-    "daily_trend_ols",
     "dsir_importance_weights",
     "dynamic_gap_sessions",
     "equi_depth_histogram",

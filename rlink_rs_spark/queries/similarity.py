@@ -858,6 +858,72 @@ def label_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OUTLIER_THR = -0.05  # ~p5 of intra-label cosine on the fixture: the
+# anti-aligned tail (cos to own class prototype below this is a likely
+# label error / outlier; the sf0.01 distribution is min -0.30 / p5 -0.053
+# / median 0.15)
+
+_OUTLIER_COS = cosine_expr("v.embedding", "c.cent", _DIMS, base=1)
+
+_OUTLIER_ORACLE = f"""
+WITH comp AS (
+  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT label, i,
+         CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+           / (CAST(COUNT(*) AS BIGINT) * 1000000.0) AS mean
+  FROM comp GROUP BY label, i
+),
+cents AS (SELECT label, list(mean ORDER BY i) AS cent FROM m GROUP BY label),
+scored AS (
+  SELECT v.vec_id, v.label, {_OUTLIER_COS} AS centroid_cos
+  FROM embeddings v JOIN cents c USING (label)
+)
+SELECT vec_id, label, centroid_cos FROM scored WHERE centroid_cos < {_OUTLIER_THR}
+"""
+
+
+@register(
+    "embedding_outlier_filter",
+    _OUTLIER_ORACLE,
+    "Label-noise / outlier curation: flag vectors anti-aligned with their "
+    "own class prototype (cosine to the per-label centroid below the "
+    "fixture's ~p5). Centroids come from the same micro-scaled integer "
+    "sums as label_embedding_centroids (bit-identical across engines); "
+    "each label's 64 means fold into ONE broadcast array row, so the "
+    "corpus pays a single scan + broadcast hash join -- no shuffle of the "
+    "vectors at any scale. The per-vector cosine uses the explicit "
+    "balanced sum chain, so the double agrees bit-for-bit with DuckDB.",
+)
+def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label",
+        "pos",
+        F.expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("sv"),
+    )
+    means = comp.groupBy("label", "pos").agg(
+        (
+            F.sum("sv").cast("bigint")
+            / (F.count(F.lit(1)).cast("bigint") * F.lit(1000000.0))
+        ).alias("mean")
+    )
+    cents = means.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)"
+        ).alias("cent")
+    )
+    cos = F.expr(cosine_expr("v.embedding", "c.cent", _DIMS, base=0))
+    return (
+        emb.alias("v")
+        .join(F.broadcast(cents.alias("c")), "label")
+        .select("vec_id", "label", cos.alias("centroid_cos"))
+        .where(F.col("centroid_cos") < _OUTLIER_THR)
+    )
+
+
 # --- ANN evaluation: recall vs exact -----------------------------------------
 
 from rlink_rs_spark.queries.base import REGISTRY as _SIM_REG  # noqa: E402

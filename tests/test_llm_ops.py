@@ -56,6 +56,7 @@ ORACLED = [
     "cosine_topk_ivf_filtered",
     "source_token_budget_mix",
     "filtered_ann_recall_report",
+    "embedding_outlier_filter",
     # displaced from the driver window by the wave-3 rotation (r3-driver-green)
     "near_dup_clusters",
     "dedup_keep_list",
