@@ -65,6 +65,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "json_source_roundtrip",
     "udaf_median_daily",
     "embedding_outlier_filter",
+    "streaming_outlier_monitor",
     # -- r12 rotation: the entire r8-stale block (39 queries, the stalest
     # cohort in the registry) re-proven on current fixtures. Every
     # displaced r11-window member sits in a pytest parity list or the
@@ -86,7 +87,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "equi_depth_histogram",
     "exact_substring_dedup",
     "funnel_conversion",
-    "hourly_autocorr_lag1",
     "incremental_batch_dedup",
     "key_skew_report",
     "label_embedding_centroids",
@@ -106,8 +106,9 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_weighted_reservoir",
     "streaming_windowed_topk",
     # (r12 new-query slots displaced resample_corpus_epoch,
-    # training_shuffle_shards, weighted_sample_docs and the two r9 fills
-    # ann_recall_report / cms_heavy_hitters -- all five sit in pytest
+    # training_shuffle_shards, weighted_sample_docs, percentile_bands,
+    # daily_trend_ols, hourly_autocorr_lag1 and the two r9 fills
+    # ann_recall_report / cms_heavy_hitters -- all eight sit in pytest
     # parity lists, per the displacement contract.)
 ]
 

@@ -924,6 +924,79 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing per-label prototype frame, materialized once: the
+    micro-scaled integer-sum centroids collapsed to a |labels|-row LUT
+    (bounded by label cardinality, like the <=784-row LM LUT) so a
+    streaming consumer can broadcast it per epoch without re-running the
+    corpus aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label",
+        "pos",
+        F.expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("sv"),
+    )
+    means = comp.groupBy("label", "pos").agg(
+        (
+            F.sum("sv").cast("bigint")
+            / (F.count(F.lit(1)).cast("bigint") * F.lit(1000000.0))
+        ).alias("mean")
+    )
+    cents = means.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)"
+        ).alias("cent")
+    )
+    rows = cents.collect()  # bounded: one row per label
+    return spark.createDataFrame(rows, "label int, cent array<double>")
+
+
+@register(
+    "streaming_outlier_monitor",
+    _OUTLIER_ORACLE,  # shared with embedding_outlier_filter: each verdict
+    #                   depends only on the vector + the standing prototypes
+    "ONLINE label-noise monitoring: embeddings arrive as a stream and each "
+    "micro-batch is scored against the STANDING per-label centroid "
+    "prototypes (a bounded |labels|-row LUT broadcast per epoch -- the "
+    "corpus is never rescanned; per-epoch cost is O(batch)). Anti-aligned "
+    "arrivals are flagged exactly as the batch filter flags them; the "
+    "drained union across epochs is row-identical (shared oracle), and "
+    "per-epoch overwrite commits make replays exactly-once.",
+)
+def streaming_outlier_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from rlink_rs_spark.streaming.ann import (
+        read_outlier_results,
+        streaming_outlier_sink,
+    )
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    cents = _label_centroids(spark, sf_dir)
+    src = file_stream(
+        spark, sf_dir, "embeddings", max_files_per_trigger=1, chunks=2,
+        order_col="vec_id",
+    )
+    out_dir = tempfile.mkdtemp(prefix="rlink_outlier_")
+    q = streaming_outlier_sink(
+        src.select("vec_id", "label", "embedding"),
+        cents=cents,
+        out_dir=out_dir,
+        checkpoint=tempfile.mkdtemp(prefix="rlink_outlier_ck_"),
+        dims=_DIMS,
+        threshold=_OUTLIER_THR,
+    )
+    try:
+        if not q.awaitTermination(drain_timeout()):
+            raise TimeoutError(
+                f"streaming_outlier_monitor did not drain in {drain_timeout():g}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return read_outlier_results(spark, out_dir)
+
+
 # --- ANN evaluation: recall vs exact -----------------------------------------
 
 from rlink_rs_spark.queries.base import REGISTRY as _SIM_REG  # noqa: E402

@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def streaming_ann_probe_sink(
@@ -127,3 +128,60 @@ def read_inverted_file(spark: SparkSession, state_dir: str) -> DataFrame:
     from rlink_rs_spark.streaming.deltas import read_deltas
 
     return read_deltas(spark, state_dir, _INVERTED_SCHEMA)
+
+
+# --- streaming outlier monitor ----------------------------------------------
+
+
+def streaming_outlier_sink(
+    vec_stream: DataFrame,
+    cents: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    dims: int,
+    threshold: float,
+):
+    """Online label-noise monitoring: arriving (vec_id, label, embedding)
+    rows are scored against the STANDING per-label centroid prototypes
+    (a bounded |labels|-row frame, broadcast per epoch) and anti-aligned
+    vectors are flagged. Per-epoch cost is O(batch) -- the corpus is never
+    rescanned; per-epoch overwrite commits make replays exactly-once.
+    Same shape as streaming_ann_probe_sink: fixed artifact, batch-only
+    work, epoch-dir output."""
+    from rlink_rs_spark.operators.similarity import cosine_expr
+
+    cos = F.expr(cosine_expr("v.embedding", "c.cent", dims, base=0))
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = (
+            batch_df.alias("v")
+            .join(F.broadcast(cents.alias("c")), "label")
+            .select("vec_id", "label", cos.alias("centroid_cos"))
+            .where(F.col("centroid_cos") < threshold)
+        )
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={epoch_id}")
+        )
+
+    return (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_outlier_results(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of all committed epochs (vectors are disjoint across epochs)."""
+    if not os.path.isdir(out_dir) or not any(
+        d.startswith("batch_id=") for d in os.listdir(out_dir)
+    ):
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, centroid_cos double"
+        )
+    return spark.read.parquet(os.path.join(out_dir, "batch_id=*")).select(
+        "vec_id", "label", "centroid_cos"
+    )

@@ -57,6 +57,7 @@ ORACLED = [
     "source_token_budget_mix",
     "filtered_ann_recall_report",
     "embedding_outlier_filter",
+    "streaming_outlier_monitor",
     # displaced from the driver window by the wave-3 rotation (r3-driver-green)
     "near_dup_clusters",
     "dedup_keep_list",
