@@ -897,3 +897,135 @@ def streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(lvl2, shuffle_partitions=8)
+
+
+_LATE_MOD = 23  # plant ~4.3% of events as late arrivals (event_id % 23 == 0)
+_LATE_WIN_MS = 60_000
+
+_LATE_REPORT_ORACLE = f"""
+WITH e AS (
+  SELECT epoch_ms(ts) AS tms, epoch_us(ts) AS tus, event_type, event_id,
+         (event_id % {_LATE_MOD} = 0) AS is_late,
+         ((epoch_ms(ts) // {_LATE_WIN_MS}) * {_LATE_WIN_MS} + {_LATE_WIN_MS}) AS we
+  FROM events
+), ot AS (
+  SELECT tms, ROW_NUMBER() OVER (ORDER BY tus, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM e WHERE NOT is_late
+), wm AS (
+  -- The engine filters the late batch with the watermark of the batch
+  -- BEFORE it (SPARK-40925): max event time of the first on-time chunk
+  -- (rows 1..ceil(n/2) in (ts, event_id) order) minus the delay.
+  SELECT (SELECT tms FROM ot WHERE rn = (n + 1) // 2) - {_DELAY_MS} AS wm_drop,
+         (SELECT MAX(tms) FROM e) - {_DELAY_MS} AS wm_final
+)
+SELECT event_type,
+       COUNT(*) FILTER (WHERE we <= wm_final
+                          AND NOT (is_late AND we <= wm_drop)) AS kept_rows,
+       COUNT(*) FILTER (WHERE we <= wm_final AND is_late
+                          AND we > wm_drop) AS late_kept_rows,
+       COUNT(*) FILTER (WHERE is_late AND we <= wm_drop) AS dropped_rows
+FROM e, wm
+GROUP BY event_type
+"""
+
+
+@register(
+    "streaming_late_data_report",
+    _LATE_REPORT_ORACLE,
+    "Late-data drop accounting as a first-class report: replay events with "
+    "a planted late cohort (event_id % 23 == 0 withheld until after the "
+    "watermark passes), run the tumbling-window count under a 1s watermark, "
+    "and emit per-key (kept, late-kept, dropped) counts. The dropped total "
+    "is cross-checked against the engine's own numRowsDroppedByWatermark "
+    "(ProgressCollector) and the query RAISES on mismatch, so the oracle "
+    "row is a witness of engine drop behavior, not just of the SQL rule. "
+    "Reference: Watermark_Expire drop counters, "
+    "watermark_assigner_runnable.rs:92-110 / reduce_runnable.rs:88-106.",
+)
+def streaming_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-agg late rows are dropped per WINDOW, not per row: a late
+    row is dropped iff its 60s window end <= the late-record filter
+    watermark, which since SPARK-40925 is the PREVIOUS batch's watermark
+    (here: max event time of the first on-time chunk minus delay -- the
+    stager returns it). Emission (append mode) covers windows closed by
+    the final watermark, which the late chunk itself may advance
+    (EventTimeWatermarkExec observes input rows before the stateful
+    operator filters them)."""
+    import time as _time
+
+    from rlink_rs_spark.streaming.metrics import ProgressCollector
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import (
+        stage_stream_dir_with_late,
+        stream_from_staged,
+    )
+
+    staged, filter_wm_src_ms = stage_stream_dir_with_late(sf_dir, "events", _LATE_MOD, 0)
+    ev = stream_from_staged(spark, staged, sf_dir, "events", max_files_per_trigger=1)
+    win_s = _LATE_WIN_MS // 1000
+    agg = (
+        ev.withWatermark("ts", f"{_DELAY_MS // 1000} seconds")
+        .groupBy(F.window("ts", f"{win_s} seconds"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum((F.col("event_id") % _LATE_MOD == 0).cast("bigint"))
+            .cast("bigint")
+            .alias("late_cnt"),
+        )
+        .select(
+            F.unix_millis("window.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "late_cnt",
+        )
+    )
+    collector = ProgressCollector()
+    emitted = run_to_memory(agg, shuffle_partitions=8, listener=collector)
+
+    kept = emitted.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("kept_rows"),
+        F.sum("late_cnt").cast("bigint").alias("late_kept_rows"),
+    )
+
+    # Per-key dropped counts from the deterministic watermark rule (the
+    # engine metric is a per-batch total, not per key); the total is then
+    # asserted equal to the engine's numRowsDroppedByWatermark below.
+    events = load_table(spark, sf_dir, "events")
+    wm_drop = filter_wm_src_ms - _DELAY_MS
+    dropped = (
+        events.where(F.col("event_id") % _LATE_MOD == 0)
+        .where(
+            (F.floor(F.unix_millis("ts") / _LATE_WIN_MS) * _LATE_WIN_MS + _LATE_WIN_MS)
+            <= F.lit(wm_drop)
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dropped_rows"))
+    )
+    expected_dropped = dropped.agg(F.sum("dropped_rows")).collect()[0][0] or 0
+
+    # Listener delivery is asynchronous; drain until the engine metric has
+    # landed (bounded wait), then hard-assert rule == engine.
+    deadline = _time.time() + 30.0
+    metric_dropped = None
+    while _time.time() < deadline:
+        metric_dropped = sum(p.get("droppedByWatermark", 0) for p in collector.progress)
+        if metric_dropped == expected_dropped and collector.progress:
+            break
+        _time.sleep(0.25)
+    if metric_dropped != expected_dropped:
+        raise AssertionError(
+            "engine numRowsDroppedByWatermark "
+            f"{metric_dropped} != watermark-rule prediction {expected_dropped} "
+            f"(batches seen: {len(collector.progress)})"
+        )
+
+    return (
+        kept.join(dropped, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("kept_rows", F.lit(0)).cast("bigint").alias("kept_rows"),
+            F.coalesce("late_kept_rows", F.lit(0)).cast("bigint").alias("late_kept_rows"),
+            F.coalesce("dropped_rows", F.lit(0)).cast("bigint").alias("dropped_rows"),
+        )
+    )

@@ -32,9 +32,15 @@ def run_to_memory(
     checkpoint_dir: str | None = None,
     timeout_seconds: float | None = None,
     shuffle_partitions: int | None = None,
+    listener=None,
 ) -> DataFrame:
     """Execute a streaming DataFrame with availableNow into a memory sink;
     block until completion; return the result as a (batch) DataFrame.
+
+    listener: an optional StreamingQueryListener (e.g. metrics.
+    ProgressCollector) registered for exactly the lifetime of this run --
+    the coordinator-side metrics tap (numRowsDroppedByWatermark, state
+    rows) for queries that report on engine behavior, not just data.
 
     Append-mode windowed aggregations emit only windows closed by the final
     watermark (window_end <= max_event_ts - delay); still-open windows stay
@@ -56,6 +62,8 @@ def run_to_memory(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if listener is not None:
+        spark.streams.addListener(listener)
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -71,6 +79,8 @@ def run_to_memory(
             if q.isActive:
                 q.stop()
     finally:
+        if listener is not None:
+            spark.streams.removeListener(listener)
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not finished:

@@ -86,6 +86,68 @@ def stage_stream_dir_with_dups(
     return out
 
 
+def stage_stream_dir_with_late(
+    sf_dir: str,
+    name: str,
+    late_mod: int,
+    late_rem: int = 0,
+    id_col: str = "event_id",
+    order_col: str = "ts",
+) -> tuple[str, int]:
+    """Stage a replay where a deterministic subset of rows arrives LATE:
+    rows with ``id_col % late_mod == late_rem`` are withheld from the
+    time-ordered chunks and delivered as the final chunk, after the
+    watermark has advanced past most of their windows. Returns
+    ``(staged_dir, filter_wm_source_ms)`` where the second element is the
+    max event time (epoch millis) of the FIRST chunk -- the event-time
+    high-water the engine's late-record filter watermark derives from when
+    the late chunk is processed.
+
+    Why on-time rows are split in TWO chunks: since SPARK-40925 a stateful
+    operator filters late input with the PREVIOUS batch's watermark and
+    evicts with the current one, so with a single on-time batch the late
+    batch would be filtered against the initial 1970 watermark and nothing
+    would ever drop. With chunks [on_time_a, on_time_b, late], the late
+    batch's filter watermark is max(on_time_a) - delay.
+
+    This is the planted-late-data harness for the reference's
+    Watermark_Expire drop accounting (watermark_assigner_runnable.rs:92-110):
+    the selector is a pure modulus so a SQL oracle can reconstruct exactly
+    which rows were on time, where the filter watermark stood when the late
+    chunk arrived, and therefore which late rows the engine must drop
+    versus still aggregate.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    out = tempfile.mkdtemp(prefix=f"rlink_stream_late_{name}_")
+    table = pq.read_table(src)
+    sort_keys = [(order_col, "ascending")]
+    if id_col in table.column_names and order_col != id_col:
+        sort_keys.append((id_col, "ascending"))
+    table = table.take(pc.sort_indices(table, sort_keys=sort_keys))
+    ids = table.column(id_col)
+    is_late = pc.equal(
+        pc.subtract(ids, pc.multiply(pc.divide(ids, late_mod), late_mod)),
+        late_rem,
+    )
+    on_time = table.filter(pc.invert(is_late))
+    late = table.filter(is_late)
+    per = (on_time.num_rows + 1) // 2  # same split rule the oracle ranks by
+    first = on_time.slice(0, per)
+    filter_wm_source_ms = pc.cast(
+        pc.max(first.column(order_col)), pa.timestamp("ms"), safe=False
+    ).value
+    now = time.time()
+    for i, chunk in enumerate((first, on_time.slice(per), late)):
+        p = os.path.join(out, f"chunk_{i:05d}.parquet")
+        pq.write_table(chunk, p)
+        os.utime(p, (now + i, now + i))  # replay order = chunk order
+    return out, filter_wm_source_ms
+
+
 def stream_from_staged(
     spark: SparkSession,
     staged_dir: str,
