@@ -275,10 +275,17 @@ def verify_jaccard(
     threshold: float = 0.7,
     salt_buckets: int | str = 1,
     salt_out: dict | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs via per-doc shingle arrays;
     integer intersection/union counts, so the ratio is bit-identical across
     engines. Returns (id_a, id_b, jaccard >= threshold).
+
+    ``sets`` short-circuits the per-doc set aggregation with a precomputed
+    (id_col, sh: array<string>) frame -- pass a cached/persisted one when
+    verifying many candidate batches against the same static corpus (the
+    streaming intake sink does), so each batch only pays the candidate
+    join, not a corpus re-aggregation.
 
     salt_buckets > 1 salts each lookup join: a doc appearing in many
     candidate pairs is a hot join key, so the candidate side is salted by
@@ -309,7 +316,8 @@ def verify_jaccard(
             salt_buckets = max(2, min(16, math.ceil(degree / 1024)))
     if salt_out is not None:
         salt_out["salt_buckets"] = salt_buckets
-    sets = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
+    if sets is None:
+        sets = shingled.groupBy(id_col).agg(F.collect_set("shingle").alias("sh"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     if salt_buckets > 1:

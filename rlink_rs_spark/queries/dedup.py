@@ -444,8 +444,13 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/dedup.py: history is an on-disk artifact (never re-shingled),
     per-epoch state makes earlier stream docs visible to later ones, and a
     crash between epochs resumes exactly-once (tests/test_streaming.py
-    kill/resume witness). Replayed in 4 doc_id-ordered chunks so state
-    genuinely carries across micro-batches."""
+    kill/resume witness). Replayed in 2 doc_id-ordered chunks so state
+    genuinely carries across micro-batches while the fixture-scale run
+    pays the per-epoch constant (state reads + 3 commits) only twice;
+    verdicts are chunk-count-invariant ("previously processed" == "smaller
+    doc_id" for ANY doc_id-ordered chunking), so the shared batch-twin
+    oracle is untouched. Deeper epoch chains stay exercised by the
+    kill/resume and compaction suites."""
     import os
     import tempfile
 
@@ -468,9 +473,10 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
     )
     src = file_stream(
-        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4, order_col="doc_id"
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=2, order_col="doc_id"
     ).where(F.col("doc_id") % 4 == 0)
     work_dir = tempfile.mkdtemp(prefix="rlink_sdedup_")
+    statics: list = []
     q = streaming_incremental_dedup_sink(
         src,
         history,
@@ -481,6 +487,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_INCR_THR,
         n_hashes=_N_HASHES,
         bands=_BANDS,
+        static_frames_out=statics,
     )
     try:
         if not q.awaitTermination(drain_timeout()):
@@ -488,6 +495,8 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if q.isActive:
             q.stop()
+        for f in statics:
+            f.unpersist()
     return read_verdicts(spark, work_dir)
 
 

@@ -247,7 +247,7 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre_pairs = [(r.pre, r.lp) for r in pre_lut.collect()]  # <=28 rows
 
     src = file_stream(
-        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4, order_col="doc_id"
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=2, order_col="doc_id"
     )
     normed = (
         src.where(F.col("doc_id") % 4 == 0)
@@ -359,9 +359,10 @@ def streaming_intake_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = file_stream(
-        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4, order_col="doc_id"
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=2, order_col="doc_id"
     ).where(F.col("doc_id") % 4 == 0)
     work_dir = tempfile.mkdtemp(prefix="rlink_intake_")
+    statics: list = []
     q = streaming_incremental_dedup_sink(
         src,
         history,
@@ -373,6 +374,7 @@ def streaming_intake_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_N_HASHES,
         bands=_BANDS,
         score_fn=score_fn,
+        static_frames_out=statics,
     )
     try:
         if not q.awaitTermination(drain_timeout()):
@@ -380,6 +382,8 @@ def streaming_intake_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if q.isActive:
             q.stop()
+        for f in statics:
+            f.unpersist()
     return read_verdicts(spark, work_dir, with_quality=True)
 
 

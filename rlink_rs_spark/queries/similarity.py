@@ -899,22 +899,7 @@ SELECT vec_id, label, centroid_cos FROM scored WHERE centroid_cos < {_OUTLIER_TH
 )
 def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    comp = emb.select("label", F.posexplode("embedding").alias("pos", "v")).select(
-        "label",
-        "pos",
-        F.expr("CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT)").alias("sv"),
-    )
-    means = comp.groupBy("label", "pos").agg(
-        (
-            F.sum("sv").cast("bigint")
-            / (F.count(F.lit(1)).cast("bigint") * F.lit(1000000.0))
-        ).alias("mean")
-    )
-    cents = means.groupBy("label").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)"
-        ).alias("cent")
-    )
+    cents = _label_centroid_frame(emb)
     cos = F.expr(cosine_expr("v.embedding", "c.cent", _DIMS, base=0))
     return (
         emb.alias("v")
@@ -924,13 +909,12 @@ def embedding_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The standing per-label prototype frame, materialized once: the
-    micro-scaled integer-sum centroids collapsed to a |labels|-row LUT
-    (bounded by label cardinality, like the <=784-row LM LUT) so a
-    streaming consumer can broadcast it per epoch without re-running the
-    corpus aggregate."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def _label_centroid_frame(emb: DataFrame) -> DataFrame:
+    """Lazy per-label centroid frame (label, cent: array<double>): the
+    micro-scaled integer-sum centroid aggregation, written ONCE so the
+    batch outlier filter and the streaming monitor's standing prototypes
+    cannot drift (ADVICE r12). Dimension is exploded into the agg key --
+    no per-group array state."""
     comp = emb.select("label", F.posexplode("embedding").alias("pos", "v")).select(
         "label",
         "pos",
@@ -942,12 +926,21 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("bigint") * F.lit(1000000.0))
         ).alias("mean")
     )
-    cents = means.groupBy("label").agg(
+    return means.groupBy("label").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(pos, mean))), x -> x.mean)"
         ).alias("cent")
     )
-    rows = cents.collect()  # bounded: one row per label
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing per-label prototype frame, materialized once: the
+    shared lazy centroid aggregation (_label_centroid_frame) collapsed to
+    a |labels|-row LUT (bounded by label cardinality, like the <=784-row
+    LM LUT) so a streaming consumer can broadcast it per epoch without
+    re-running the corpus aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = _label_centroid_frame(emb).collect()  # bounded: one row per label
     return spark.createDataFrame(rows, "label int, cent array<double>")
 
 

@@ -523,27 +523,12 @@ def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _make_median_udaf():
-    """Built at module scope (pandas imported in the enclosing globals) so
-    pandas_udf's type-hint inference can resolve the pd.Series annotation."""
-    import pandas as pd  # noqa: F401  (annotation resolution)
-    from pyspark.sql.functions import pandas_udf
+    """Thin alias: the factory lives in functions/udafs.py, a module
+    WITHOUT ``from __future__ import annotations`` so pandas_udf sees real
+    pd.Series annotations instead of strings (ADVICE r12)."""
+    from rlink_rs_spark.functions.udafs import make_median_udaf
 
-    def median_cents(cents):
-        # Arrow hands the batch as a read-only buffer; copy before sorting
-        vals = cents.to_numpy(copy=True)
-        vals.sort(kind="stable")
-        return int(vals[(len(vals) - 1) // 2])
-
-    median_cents.__annotations__ = {"cents": pd.Series, "return": int}
-
-    def pane_count(cents):
-        return int(len(cents))
-
-    pane_count.__annotations__ = {"cents": pd.Series, "return": int}
-    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
-    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the pane
-    # count is a second pandas aggregate over the same Arrow batch.
-    return pandas_udf("long")(median_cents), pandas_udf("long")(pane_count)
+    return make_median_udaf()
 
 _UDAF_MEDIAN_ORACLE = """
 WITH c AS (

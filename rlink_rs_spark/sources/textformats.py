@@ -38,15 +38,35 @@ _EVENTS_TEXT_SCHEMA = (
 
 _CSV_OPTS = {"header": "true", "quote": '"', "escape": '"'}
 
+# Folded into the cache path so a staged copy is keyed by WHAT was written,
+# not just by the source fixture: changing the serialization schema or the
+# CSV quoting contract must miss the cache (ADVICE r12). Derived (stable
+# md5, not the seed-randomized builtin hash), not hand-bumped.
+import hashlib as _hashlib
+
+_STAGE_TOKEN = _hashlib.md5(
+    repr((_EVENTS_TEXT_SCHEMA, sorted(_CSV_OPTS.items()))).encode()
+).hexdigest()[:8]
+
 
 def staged_events(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     """Return the events table read back through a staged CSV or NDJSON
-    copy (schema-pinned, ts restored to TimestampType). fmt: 'csv'|'json'."""
+    copy (schema-pinned, ts restored to TimestampType). fmt: 'csv'|'json'.
+
+    Staging is ATOMIC: Spark writes to a unique temp dir, which is then
+    rename(2)'d to the cache path -- concurrent stagers race on the rename
+    and the loser discards its copy, so a reader can never observe a
+    half-written (or overwrite-deleted) directory."""
     if fmt not in ("csv", "json"):
         raise ValueError(f"unsupported text format: {fmt!r}")
     fp = content_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    path = os.path.join(tempfile.gettempdir(), f"rlink_srcfmt_{fmt}_{fp}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"rlink_srcfmt_{fmt}_{_STAGE_TOKEN}_{fp}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import shutil
+        import uuid
+
         ev = load_table(spark, sf_dir, "events").select(
             "event_id",
             F.unix_micros("ts").alias("ts_us"),
@@ -55,11 +75,17 @@ def staged_events(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             "value",
             "props",
         )
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         writer = ev.write.mode("overwrite")
         if fmt == "csv":
-            writer.options(**_CSV_OPTS).csv(path)
+            writer.options(**_CSV_OPTS).csv(tmp)
         else:
-            writer.json(path)
+            writer.json(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent stager published first; its copy is complete
+            shutil.rmtree(tmp, ignore_errors=True)
     reader = spark.read.schema(_EVENTS_TEXT_SCHEMA)
     scan = (
         reader.options(**_CSV_OPTS).csv(path)

@@ -31,10 +31,13 @@ def test_filtered_ann_neighbors_share_query_label(spark, sf_dir):
 
 
 def test_filtered_ann_is_subset_of_unfiltered_candidates(spark, sf_dir):
-    """With identical codebook/probe params, the filtered result's
-    (query, neighbor) pairs must be drawn from label-matching pairs only --
-    and every filtered cosine must be <= the unfiltered rank-1 cosine for
-    that query (filtering can only remove candidates, never improve)."""
+    """With identical codebook/probe params, the filtered rank-1 cosine can
+    never beat the unfiltered rank-1 cosine for the same query: filtering
+    only removes candidates. (Pair-level subset vs the unfiltered TOP-K
+    does not hold in general -- the filtered probe legitimately surfaces
+    label-matching pairs the unfiltered top-k displaced -- so dominance is
+    the invariant; label membership itself is pinned by
+    test_filtered_ann_neighbors_share_query_label.)"""
     filt = REGISTRY["cosine_topk_ivf_filtered"].fn(spark, sf_dir)
     unf = REGISTRY["cosine_topk_ivf"].fn(spark, sf_dir)
     best_unf = {
