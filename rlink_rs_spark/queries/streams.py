@@ -900,7 +900,11 @@ def streaming_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LATE_MOD = 23  # plant ~4.3% of events as late arrivals (event_id % 23 == 0)
-_LATE_WIN_MS = 60_000
+# 1h tumbling: the window is the DROP MECHANISM, not the deliverable (the
+# report is per-key counts), so the coarsest window that still splits the
+# late cohort into dropped-vs-aggregated halves keeps state ~30x smaller
+# than 60s panes (720*|keys| groups at a month of fixture time).
+_LATE_WIN_MS = 3_600_000
 
 _LATE_REPORT_ORACLE = f"""
 WITH e AS (
@@ -993,16 +997,24 @@ def streaming_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asserted equal to the engine's numRowsDroppedByWatermark below.
     events = load_table(spark, sf_dir, "events")
     wm_drop = filter_wm_src_ms - _DELAY_MS
-    dropped = (
-        events.where(F.col("event_id") % _LATE_MOD == 0)
-        .where(
-            (F.floor(F.unix_millis("ts") / _LATE_WIN_MS) * _LATE_WIN_MS + _LATE_WIN_MS)
-            <= F.lit(wm_drop)
-        )
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("dropped_rows"))
+    late_we = (
+        F.floor(F.unix_millis("ts") / _LATE_WIN_MS) * _LATE_WIN_MS + _LATE_WIN_MS
     )
-    expected_dropped = dropped.agg(F.sum("dropped_rows")).collect()[0][0] or 0
+    dropped_src = (
+        events.where(F.col("event_id") % _LATE_MOD == 0)
+        .select("event_type", late_we.alias("we"))
+        .where(F.col("we") <= F.lit(wm_drop))
+    )
+    dropped = dropped_src.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dropped_rows")
+    )
+    # numRowsDroppedByWatermark counts rows AT THE STATE STORE, i.e. after
+    # the map-side partial aggregation -- one row per dropped (window, key)
+    # group, not per input record (verified empirically: sf0.1 plants 2169
+    # late records in 1331 closed (window,key) groups and the engine
+    # reports exactly 1331). The fixture-scale late chunk is one scan
+    # partition, so partial rows == distinct groups exactly.
+    expected_dropped = dropped_src.distinct().count()
 
     # Listener delivery is asynchronous; drain until the engine metric has
     # landed (bounded wait), then hard-assert rule == engine.
@@ -1017,7 +1029,7 @@ def streaming_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(
             "engine numRowsDroppedByWatermark "
             f"{metric_dropped} != watermark-rule prediction {expected_dropped} "
-            f"(batches seen: {len(collector.progress)})"
+            f"dropped (window, key) groups (batches seen: {len(collector.progress)})"
         )
 
     return (
