@@ -785,7 +785,7 @@ def streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.streaming.sources import file_stream
 
     src = file_stream(
-        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts"
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=2, order_col="ts"
     )
     work_dir = tempfile.mkdtemp(prefix="rlink_rollup_")
     q = streaming_rollup_sink(

@@ -944,7 +944,7 @@ def intake_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to the batch classification (shared oracle).",
 )
 def streaming_intake_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay documents in 4 chunks; return clean UNION dlq -- equality
+    """Replay documents in 2 doc_id-ordered chunks; return clean UNION dlq -- equality
     with the shared oracle proves both completeness and disjointness
     (any row routed twice would double, any dropped row would miss)."""
     import tempfile
@@ -957,7 +957,7 @@ def streaming_intake_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.streaming.sources import file_stream
 
     src = file_stream(
-        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=2,
         order_col="doc_id",
     )
     work_dir = tempfile.mkdtemp(prefix="rlink_dlq_")
@@ -988,7 +988,7 @@ def streaming_intake_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle) -- contamination is caught AT INGEST, not in a later sweep.",
 )
 def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay the corpus side in 4 chunks through the generic delta sink
+    """Replay the corpus side in 2 chunks through the generic delta sink
     (streaming/deltas.py); the eval index is built once before the
     stream starts and broadcast per epoch."""
     import tempfile
@@ -1016,7 +1016,7 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src = file_stream(
-        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=2,
         order_col="doc_id",
     )
     state_dir = tempfile.mkdtemp(prefix="rlink_decon_")
@@ -1049,7 +1049,7 @@ def streaming_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-matches the shared oracle.",
 )
 def streaming_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay documents in 4 doc_id-ordered chunks through the carrier
+    """Replay documents in 2 doc_id-ordered chunks through the carrier
     sink (streaming/packing.py): deltas first, per-lang totals last as
     the epoch's commit record."""
     import tempfile
@@ -1061,7 +1061,7 @@ def streaming_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.streaming.sources import file_stream
 
     src = file_stream(
-        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=2,
         order_col="doc_id",
     )
     work_dir = tempfile.mkdtemp(prefix="rlink_pack_")

@@ -1451,7 +1451,7 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plain batched inserts) stop short of.",
 )
 def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay documents in 4 doc_id-ordered chunks; each epoch derives its
+    """Replay documents in 2 doc_id-ordered chunks; each epoch derives its
     chunk's change events and merges them into the carried snapshot,
     touching only changed buckets (streaming/cdc.py). The snapshot never
     fully rewrites -- per-epoch cost is O(changed buckets), not O(corpus)."""
@@ -1467,7 +1467,7 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     work_dir = tempfile.mkdtemp(prefix="rlink_cdc_")
     write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
     src = file_stream(
-        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=2,
         order_col="doc_id",
     )
     q = streaming_merge_sink(
@@ -1488,7 +1488,7 @@ def _cdc_snapshot_artifact(
     spark: SparkSession, sf_dir: str, retain: int
 ) -> str:
     """Build-once / read-many CDC snapshot (the load_or_build_band_index
-    contract, VERDICT r9 #5): the 4-chunk changefeed replay that
+    contract, VERDICT r9 #5): the 4-chunk (epoch-semantic) changefeed replay that
     cdc_time_travel and cdc_version_diff both need is driven ONCE per
     (corpus content, retention) into a fingerprint-keyed artifact dir;
     both read-path queries then resolve bucket versions against it. A
@@ -1526,6 +1526,10 @@ def _cdc_snapshot_artifact(
     if os.path.exists(work_dir):  # torn build (no sentinel): clear and rebuild
         shutil.rmtree(work_dir, ignore_errors=True)
     write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
+    # chunks=4 is SEMANTIC for this artifact: cdc_time_travel reads
+    # before_epoch=2 ("half the changefeed") and cdc_version_diff diffs
+    # that bound against the final state -- the epoch grid IS the
+    # transaction history under test, so it stays at 4.
     src = file_stream(
         spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
         order_col="doc_id",
@@ -2130,6 +2134,9 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work_dir = tempfile.mkdtemp(prefix="rlink_cdc_evo_")
     write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
+    # chunks=4 is SEMANTIC here (unlike the fixture-scale 2-chunk replays):
+    # evolve_rev_from=2 needs epochs on both sides of the evolution
+    # boundary, and the oracle's firsthalf CTE is the 2-of-4-chunk split.
     src = file_stream(
         spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4,
         order_col="doc_id",

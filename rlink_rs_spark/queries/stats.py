@@ -215,7 +215,7 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.streaming.sources import file_stream
 
     src = file_stream(
-        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="event_id"
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=2, order_col="event_id"
     )
     work_dir = tempfile.mkdtemp(prefix="rlink_kmv_")
     q = streaming_kmv_sink(
@@ -500,7 +500,7 @@ def streaming_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.streaming.sources import file_stream
 
     src = file_stream(
-        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="event_id"
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=2, order_col="event_id"
     )
     work_dir = tempfile.mkdtemp(prefix="rlink_cms_")
     q = streaming_cms_sink(

@@ -494,7 +494,7 @@ def streaming_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.streaming.runner import run_to_memory
     from rlink_rs_spark.streaming.sources import file_stream
 
-    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=2, order_col="ts")
     agg = (
         src.withWatermark("ts", f"{_DELAY_MS} milliseconds")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -661,7 +661,7 @@ def streaming_dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     from rlink_rs_spark.streaming.runner import run_to_memory
     from rlink_rs_spark.streaming.sources import file_stream
 
-    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts")
+    src = file_stream(spark, sf_dir, "events", max_files_per_trigger=1, chunks=2, order_col="ts")
     gap = F.when(F.col("event_type") == "error", "60 minutes").otherwise("30 minutes")
     agg = (
         src.withWatermark("ts", f"{_DELAY_MS} milliseconds")
@@ -790,14 +790,14 @@ def streaming_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike the windowed aggregates, CUSUM's recursion max(0, S + d) is
     order-dependent -- the closed form over the deviation cumsum makes
     the keyed state bounded (3 BIGINTs) and the cross-batch fold exact.
-    Replayed in 4 ts-ordered chunks so state genuinely carries across
+    Replayed in 2 ts-ordered chunks so state genuinely carries across
     micro-batches; availableNow drains to completion."""
     from rlink_rs_spark.streaming.runner import run_to_memory
     from rlink_rs_spark.streaming.sources import file_stream
     from rlink_rs_spark.streaming.stateful import cusum_drift
 
     src = file_stream(
-        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts"
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=2, order_col="ts"
     )
     out = cusum_drift(src, mu0=_CUSUM_MU_C / 100.0, h=_CUSUM_H_C / 100.0)
     return run_to_memory(out, shuffle_partitions=8, output_mode="append")
@@ -814,7 +814,7 @@ from rlink_rs_spark.queries.relational import _TRANSITION_ORACLE  # noqa: E402
     "is ONE string (the user's most recent event type); the boundary "
     "pair joining carried state to each batch's first event makes the "
     "drained pair stream exactly the batch LEAD sequence, so the count "
-    "matrix shares that oracle. Replayed in 4 ts-ordered chunks; state "
+    "matrix shares that oracle. Replayed in 2 ts-ordered chunks; state "
     "is O(1) per key.",
 )
 def streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,7 +826,7 @@ def streaming_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.streaming.stateful import transition_pairs
 
     src = file_stream(
-        spark, sf_dir, "events", max_files_per_trigger=1, chunks=4, order_col="ts"
+        spark, sf_dir, "events", max_files_per_trigger=1, chunks=2, order_col="ts"
     )
     pairs = run_to_memory(
         transition_pairs(src), shuffle_partitions=8, output_mode="append"

@@ -1128,7 +1128,7 @@ def streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch -> top-K), so the reservoir IS the state and arrival order is
     irrelevant -- the property that makes A-ES the streaming-native
     sampler (vs seeded rand(), which changes under repartitioning).
-    Replayed in 4 chunks; exactly-once via overwrite-per-epoch state."""
+    Replayed in 2 chunks; exactly-once via overwrite-per-epoch state."""
     import tempfile
 
     from rlink_rs_spark.streaming.sampling import (
@@ -1138,7 +1138,7 @@ def streaming_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.streaming.sources import file_stream
 
     src = file_stream(
-        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=4, order_col="doc_id"
+        spark, sf_dir, "documents", max_files_per_trigger=1, chunks=2, order_col="doc_id"
     )
     work_dir = tempfile.mkdtemp(prefix="rlink_reservoir_")
     q = streaming_weighted_reservoir_sink(
