@@ -50,3 +50,34 @@ def test_late_stager_splits_and_returns_first_chunk_watermark(sf_dir):
     # Chunk replay order: strictly increasing mtimes.
     mtimes = [os.path.getmtime(f) for f in files]
     assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+
+
+def test_late_stager_cohort_and_watermark_properties(sf_dir):
+    """Property sweep over (late_mod, late_rem): the on-time chunks are a
+    clean time-ordered bipartition of the complement, the late chunk is
+    exactly the modulus cohort, and the returned filter watermark equals
+    the first chunk's max event time for every parameterization."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rlink_rs_spark.streaming.sources import stage_stream_dir_with_late
+
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n_total = src.num_rows
+    for mod, rem in ((7, 3), (11, 0), (97, 13)):
+        staged, wm = stage_stream_dir_with_late(sf_dir, "events", mod, rem)
+        files = sorted(glob.glob(os.path.join(staged, "chunk_*.parquet")))
+        tables = [pq.read_table(f) for f in files]
+        assert sum(t.num_rows for t in tables) == n_total  # lossless split
+        late_ids = set(tables[2].column("event_id").to_pylist())
+        assert late_ids == {
+            i for i in src.column("event_id").to_pylist() if i % mod == rem
+        }
+        on_n = tables[0].num_rows + tables[1].num_rows
+        assert tables[0].num_rows == (on_n + 1) // 2  # the oracle's rank rule
+        got = pc.cast(pc.max(tables[0].column("ts")), pa.timestamp("ms"), safe=False)
+        assert wm == got.value
