@@ -304,7 +304,26 @@ def main() -> None:
     # The driver captures a bounded stdout tail; with 78 queries the single
     # JSON line can outgrow it (BENCH_r03.json lost its head that way). Write
     # the full artifact to a file too, so the numbers always survive.
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results.json")
+    # BUT never clobber a committed min-of-N board with a raw single leg
+    # (the r12 round-close stray, and three near-misses in r13: sf1/sf10
+    # legs silently overwriting the sf0.1 board): if bench_results.json is
+    # a combiner product ("min_of" present), the leg lands next to it and
+    # tools/min_combine_bench.py remains the only writer of the board.
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(repo, "bench_results.json")
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                committed = json.load(f)
+        except Exception:
+            committed = {}
+        if "min_of" in committed:
+            out = os.path.join(repo, "bench_results_last_leg.json")
+            print(
+                "bench_results.json is a min-of-N board; wrote this leg to "
+                "bench_results_last_leg.json instead",
+                file=sys.stderr,
+            )
     with open(out, "w") as f:
         f.write(line + "\n")
     print(line)
