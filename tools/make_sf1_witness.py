@@ -2,11 +2,13 @@
 
 Usage:
   python tools/make_scaled_data.py /root/testdata/sf0.1 /tmp/sf1 10
-  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
-  cp bench_results.json /tmp/bench_sf01.json
-  SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py
-  cp bench_results.json /tmp/bench_sf1.json
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py > /tmp/bench_sf01.json
+  SPARK_GRAFT_SF_DIR=/tmp/sf1 python bench.py > /tmp/bench_sf1.json
   python tools/make_sf1_witness.py /tmp/bench_sf01.json /tmp/bench_sf1.json "<note>"
+
+(capture stdout -- bench.py refuses to overwrite a committed min-of-N
+bench_results.json with a raw leg; prefer min-of-N files built by
+tools/min_combine_bench.py on BOTH sides so the estimator bias cancels)
 
 vs_linear for a query = (sf1_sec / sf0.1_sec) / 10: 1.0 means perfectly
 linear cost in data volume; <1 means sublinear (fixed overheads amortize);
