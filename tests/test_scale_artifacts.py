@@ -1,0 +1,65 @@
+"""Scale-artifact contract (VERDICT r13 #1): the committed SCALE100.json
+must keep BOTH the sf10 100x grid and the sf100 cap-probe record.
+
+The r13 sf10 re-probe silently clobbered the `sf100_cap_probe` block (the
+VERDICT r12 #5 deliverable, written by tools/run_cap_probe.py) because
+tools/make_scale100_probe.py rebuilt the artifact from a fixed key set.
+The composer now does a read-modify-write that preserves keys it does not
+own; these tests pin the contract on the artifact itself so no future
+probe wave can drop evidence silently (same pattern as
+tests/test_bench_board.py for bench-leg evidence).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+_SCALE100 = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE100.json"
+)
+
+
+@pytest.fixture(scope="module")
+def scale100():
+    if not os.path.exists(_SCALE100):
+        pytest.skip("no committed SCALE100.json")
+    with open(_SCALE100) as f:
+        return json.load(f)
+
+
+def test_scale100_required_top_level_keys(scale100):
+    for key in (
+        "notes",
+        "scale_factor",
+        "queries",
+        "queries_over_2x_linear",
+        "sf100_cap_probe",
+    ):
+        assert key in scale100, (
+            f"SCALE100.json lost required key {key!r}; a probe composer "
+            "clobbered evidence it does not own (VERDICT r13 #1)"
+        )
+
+
+def test_scale100_grid_rows_all_linear_or_better(scale100):
+    queries = scale100["queries"]
+    assert len(queries) >= 40, "the 100x grid shrank below its r13 coverage"
+    over2 = [n for n, r in queries.items() if r["vs_linear"] > 2.0]
+    assert over2 == [], f"super-linear rows at 100x: {over2}"
+    assert scale100["queries_over_2x_linear"] == sorted(over2)
+
+
+def test_cap_probe_record_shape(scale100):
+    """The 1000x cap probe must carry its load-bearing fields: the
+    witnessed posting-cap bind (keys dropped + pairs prevented at the Zipf
+    head) and the per-leg vs_linear ratios SCALING.md cites."""
+    probe = scale100["sf100_cap_probe"]
+    assert probe["scale_ratio"] >= 1000.0
+    sf100_hot = probe["legs"]["sf100"]["hot_postings_report"]
+    assert sf100_hot["keys_dropped"] > 0, "cap probe no longer shows the cap binding"
+    assert sf100_hot["pairs_prevented"] > 1e9
+    for name, vs in probe["vs_linear_run2"].items():
+        assert vs <= 2.0, f"cap-probe leg {name} super-linear: {vs}"

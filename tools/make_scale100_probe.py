@@ -50,6 +50,7 @@ def main() -> None:
     # a re-probed query's row is replaced (post-fix numbers supersede)
     queries = {}
     notes: list[str] = []
+    prior: dict = {}
     if os.path.exists("SCALE100.json"):
         with open("SCALE100.json") as f:
             prior = json.load(f)
@@ -72,14 +73,20 @@ def main() -> None:
     if note:
         notes = (notes + [note])[-_MAX_NOTES:]
     over2 = [n for n, r in queries.items() if r["vs_linear"] > 2.0]
-    out = {
+    # read-modify-write: start from the prior artifact so top-level keys
+    # this composer does NOT own (e.g. sf100_cap_probe, written by
+    # tools/run_cap_probe.py) survive re-probes. VERDICT r13 #1 / ADVICE
+    # r13: the r13 sf10 re-probe silently dropped the r12 #5 cap-probe
+    # record because this dict was rebuilt from a fixed key set.
+    out = dict(prior)
+    out.update({
         "notes": notes,
         "scale_factor": 100,
         "queries": queries,
         "queries_over_2x_linear": sorted(over2),
         "loadavg_sf10": big.get("loadavg"),
         "fixture_md5_sf10": big.get("fixture_md5"),
-    }
+    })
     with open("SCALE100.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
