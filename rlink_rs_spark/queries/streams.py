@@ -949,15 +949,14 @@ GROUP BY event_type
 )
 def streaming_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed-agg late rows are dropped per WINDOW, not per row: a late
-    row is dropped iff its 60s window end <= the late-record filter
-    watermark, which since SPARK-40925 is the PREVIOUS batch's watermark
+    row is dropped iff its 1h tumbling window end (_LATE_WIN_MS) <= the
+    late-record filter watermark, which since SPARK-40925 is the PREVIOUS
+    batch's watermark
     (here: max event time of the first on-time chunk minus delay -- the
     stager returns it). Emission (append mode) covers windows closed by
     the final watermark, which the late chunk itself may advance
     (EventTimeWatermarkExec observes input rows before the stateful
     operator filters them)."""
-    import time as _time
-
     from rlink_rs_spark.streaming.metrics import ProgressCollector
     from rlink_rs_spark.streaming.runner import run_to_memory
     from rlink_rs_spark.streaming.sources import (
@@ -1016,20 +1015,19 @@ def streaming_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition, so partial rows == distinct groups exactly.
     expected_dropped = dropped_src.distinct().count()
 
-    # Listener delivery is asynchronous; drain until the engine metric has
-    # landed (bounded wait), then hard-assert rule == engine.
-    deadline = _time.time() + 30.0
-    metric_dropped = None
-    while _time.time() < deadline:
-        metric_dropped = sum(p.get("droppedByWatermark", 0) for p in collector.progress)
-        if metric_dropped == expected_dropped and collector.progress:
-            break
-        _time.sleep(0.25)
+    # run_to_memory drains the listener bus (terminated event observed)
+    # before returning, so collector.progress is complete here -- the
+    # engine metric can be read directly and hard-asserted rule == engine.
+    metric_dropped = sum(p.get("droppedByWatermark", 0) for p in collector.progress)
     if metric_dropped != expected_dropped:
         raise AssertionError(
             "engine numRowsDroppedByWatermark "
             f"{metric_dropped} != watermark-rule prediction {expected_dropped} "
-            f"dropped (window, key) groups (batches seen: {len(collector.progress)})"
+            f"dropped (window, key) groups (batches seen: {len(collector.progress)}). "
+            "NOTE: exact equality assumes the staged late chunk lands in one "
+            "scan partition (true at fixture scale, where the stager writes "
+            "the late cohort as a single file); a multi-partition late chunk "
+            "can legitimately produce partial rows > distinct groups."
         )
 
     return (
@@ -1041,3 +1039,159 @@ def streaming_late_data_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dropped_rows", F.lit(0)).cast("bigint").alias("dropped_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# example-connect end-to-end parity (VERDICT r13 #5)
+
+_APP_WIN_MS = 60_000  # SlidingEventTimeWindows::new(60s, 60s) -- app.rs:60-64
+
+
+def _example_connect_oracle() -> str:
+    from rlink_rs_spark.functions.percentile import bucket_case_sql
+
+    return f"""
+WITH assigned AS (
+  SELECT (epoch_ms(ts) // {_APP_WIN_MS}) * {_APP_WIN_MS} AS ws, event_type, value
+  FROM events
+  WHERE (epoch_ms(ts) // {_APP_WIN_MS}) * {_APP_WIN_MS} + {_APP_WIN_MS}
+        <= (SELECT epoch_ms(MAX(ts)) - {_DELAY_MS} FROM events)
+), cfg AS (
+  SELECT DISTINCT event_type, 'cfg-' || event_type AS cfield FROM events
+), bucketed AS (
+  SELECT c.cfield, a.ws, {bucket_case_sql('a.value')} AS bucket,
+         CAST(ROUND(a.value * 100) AS BIGINT) AS cents
+  FROM assigned a JOIN cfg c ON a.event_type = c.event_type
+), counts AS (
+  SELECT cfield, ws, bucket, COUNT(*) AS c, SUM(cents) AS sc
+  FROM bucketed GROUP BY cfield, ws, bucket
+), ranked AS (
+  SELECT *, SUM(c) OVER (PARTITION BY cfield, ws ORDER BY bucket DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scanned,
+            SUM(c) OVER (PARTITION BY cfield, ws) AS n
+  FROM counts
+)
+SELECT cfield || ':' || CAST(ws AS VARCHAR) AS field,
+       CAST(SUM(sc) AS BIGINT) AS value,
+       CAST(MAX(CASE WHEN scanned >= GREATEST(CAST(1 AS BIGINT), LEAST(n,
+              CAST(FLOOR(n * 0.01) AS BIGINT))) THEN bucket END) AS BIGINT) AS pct_99,
+       CAST(MAX(CASE WHEN scanned >= GREATEST(CAST(1 AS BIGINT), LEAST(n,
+              CAST(FLOOR(n * 0.1) AS BIGINT))) THEN bucket END) AS BIGINT) AS pct_90
+FROM ranked GROUP BY ws, cfield
+"""
+
+
+@register(
+    "example_connect_app_parity",
+    _example_connect_oracle(),
+    "The reference's example-connect application run end-to-end as ONE "
+    "Structured Streaming query (example/example-connect/src/app.rs:35-136): "
+    "model stream -> bounded-out-of-orderness watermark -> connect(Broadcast "
+    "config) enrichment -> key_by(name) -> 60s event-time window -> "
+    "reduce[sum(value), pct(value, scale)] -> OutputMapFunction decode to "
+    "Output(field, value, pct_99, pct_90) (map_output.rs:31-51) -> sink. "
+    "The pct accumulator is carried exactly as the reference carries it -- "
+    "a fixed-length bucket-count vector (PercentileWriter's count array, "
+    "percentile/mod.rs:59-122) -- as |scale| map-side-combined sums in the "
+    "window state; the decode (get_result's top-down boundary walk, "
+    "mod.rs:171-210) is a stateless higher-order-function projection inside "
+    "the SAME streaming plan, so sink rows are already Output entities. "
+    "The second connect's CoProcess passes data rows through and emits "
+    "nothing for config rows (co_connect.rs:25-35), i.e. a behavioral "
+    "no-op on the data path, documented rather than materialized.",
+)
+def example_connect_app_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.functions.percentile import PERCENTILE_SCALE, bucket_column
+    from rlink_rs_spark.operators.joins import broadcast_enrich
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream
+
+    scale = [float(b) for b in PERCENTILE_SCALE]
+
+    ev = file_stream(spark, sf_dir, "events")
+    # ConfigInputFormat("Broadcast") analogue: a small config dimension
+    # (field label per key), broadcast to every task -- the CoProcess
+    # consumes config records and passes data records through enriched.
+    cfg = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.concat(F.lit("cfg-"), F.col("event_type")).alias("cfield"),
+        )
+    )
+
+    bucketed = broadcast_enrich(
+        ev.withWatermark("ts", f"{_DELAY_MS // 1000} seconds"),
+        cfg,
+        on="event_type",
+        how="inner",
+    ).select(
+        "cfield",
+        "ts",
+        bucket_column("value").alias("__bucket"),
+        F.round(F.col("value") * 100).cast("long").alias("__cents"),
+    )
+
+    # reduce[sum, pct]: the pct state is |scale| bucket counters, all plain
+    # sums -- fully incremental in the state store, map-side combined.
+    hist = [
+        F.sum((F.col("__bucket") == F.lit(b)).cast("long")).alias(f"__h{i}")
+        for i, b in enumerate(scale)
+    ]
+    agg = (
+        bucketed.groupBy(F.window("ts", f"{_APP_WIN_MS // 1000} seconds"), "cfield")
+        .agg(F.sum("__cents").alias("value"), F.count("*").alias("__n"), *hist)
+        .select(
+            F.concat_ws(
+                ":", "cfield", F.unix_millis("window.start").cast("string")
+            ).alias("field"),
+            F.col("value").cast("long").alias("value"),
+            F.col("__n"),
+            F.reverse(
+                F.array(*[F.col(f"__h{i}") for i in range(len(scale))])
+            ).alias("__rev_counts"),
+        )
+    )
+
+    # OutputMapFunction decode, in-plan and stateless: walk buckets from the
+    # top accumulating counts; first bucket reaching the target rank yields
+    # its boundary (get_result). zip(counts-from-top, boundaries-from-top),
+    # then one F.aggregate fold per percentile -- JVM-side, no Python.
+    rev_bounds = F.array(*[F.lit(b) for b in reversed(scale)])
+    zipped = F.zip_with(
+        F.col("__rev_counts"),
+        rev_bounds,
+        lambda c, b: F.struct(c.alias("c"), b.alias("b")),
+    )
+
+    def pct_col(p: int):
+        target = F.greatest(
+            F.lit(1).cast("long"),
+            F.least(
+                F.col("__n"),
+                F.floor(F.col("__n") * F.lit((100 - p) / 100.0)).cast("long"),
+            ),
+        )
+        acc0 = F.struct(
+            F.lit(0).cast("long").alias("running"),
+            F.lit(None).cast("double").alias("ans"),
+        )
+        return F.aggregate(
+            zipped,
+            acc0,
+            lambda acc, x: F.struct(
+                (acc["running"] + x["c"]).alias("running"),
+                F.when(
+                    acc["ans"].isNull() & ((acc["running"] + x["c"]) >= target),
+                    x["b"],
+                )
+                .otherwise(acc["ans"])
+                .alias("ans"),
+            ),
+            lambda acc: acc["ans"],
+        ).cast("long").alias(f"pct_{p}")
+
+    out = agg.select("field", "value", pct_col(99), pct_col(90))
+    return run_to_memory(out, shuffle_partitions=8)

@@ -76,16 +76,22 @@ def staged_events(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             "props",
         )
         tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-        writer = ev.write.mode("overwrite")
-        if fmt == "csv":
-            writer.options(**_CSV_OPTS).csv(tmp)
-        else:
-            writer.json(tmp)
         try:
-            os.rename(tmp, path)
-        except OSError:
-            # a concurrent stager published first; its copy is complete
-            shutil.rmtree(tmp, ignore_errors=True)
+            writer = ev.write.mode("overwrite")
+            if fmt == "csv":
+                writer.options(**_CSV_OPTS).csv(tmp)
+            else:
+                writer.json(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # a concurrent stager published first; its copy is complete
+                pass
+        finally:
+            # failed write OR lost rename race: never leak the staging dir
+            # in gettempdir() (ADVICE r13)
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
     reader = spark.read.schema(_EVENTS_TEXT_SCHEMA)
     scan = (
         reader.options(**_CSV_OPTS).csv(path)

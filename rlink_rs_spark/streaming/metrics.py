@@ -32,6 +32,7 @@ class ProgressCollector(StreamingQueryListener):
     watermark -- the reference's coordinator-side metrics view."""
 
     progress: list[dict] = field(default_factory=list)
+    terminated_ids: list[str] = field(default_factory=list)
 
     def onQueryStarted(self, event):  # noqa: N802 (Spark API names)
         pass
@@ -57,4 +58,9 @@ class ProgressCollector(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event):  # noqa: N802
-        pass
+        # The listener bus delivers events per-query in order, so once the
+        # terminated event for a query id has landed here, every progress
+        # event for that query has been delivered too. run_to_memory waits
+        # on this before removeListener -- otherwise callers polling
+        # self.progress after the run race a bus that will never deliver.
+        self.terminated_ids.append(str(event.id))

@@ -12,9 +12,34 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _await_listener_drain(listener, query_id: str, timeout: float = 30.0) -> None:
+    """Block until the listener has seen the terminated event for query_id.
+
+    Listener-bus delivery is asynchronous but per-query ordered, so the
+    terminated event arriving implies every progress event for the query
+    has been delivered. Without this wait, removeListener in the finally
+    block races the bus: a caller polling collector.progress AFTER
+    run_to_memory returns waits on events that will never arrive (ADVICE
+    r13). Only listeners that expose terminated_ids (ProgressCollector)
+    participate; others are removed immediately as before."""
+    seen = getattr(listener, "terminated_ids", None)
+    if seen is None:
+        return
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if query_id in seen:
+            return
+        time.sleep(0.05)
+    raise TimeoutError(
+        f"listener bus did not deliver the terminated event for query "
+        f"{query_id} within {timeout}s; progress metrics would be incomplete"
+    )
 
 
 def drain_timeout(base: float = 600.0) -> float:
@@ -78,6 +103,8 @@ def run_to_memory(
         finally:
             if q.isActive:
                 q.stop()
+        if listener is not None and finished:
+            _await_listener_drain(listener, str(q.id))
     finally:
         if listener is not None:
             spark.streams.removeListener(listener)

@@ -20,6 +20,9 @@ WINDOWED = [
     "session_window_agg",
     # new in r8, not in the window
     "window_distinct_users",
+    # r14: the example-connect app composed end-to-end as one streaming
+    # query (VERDICT r13 #5) -- pct accumulate + decode in-plan
+    "example_connect_app_parity",
 ]
 
 
