@@ -1195,3 +1195,104 @@ def example_connect_app_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = agg.select("field", "value", pct_col(99), pct_col(90))
     return run_to_memory(out, shuffle_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# idle-source keep-alive mitigation (VERDICT r13 #4)
+
+_IDLE_WIN_MS = 60_000
+
+_IDLE_ORACLE = f"""
+WITH cut AS (
+  SELECT epoch_ms(MIN(ts)) + (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) // 2 AS c
+  FROM events
+), live_wm AS (
+  SELECT MAX(epoch_ms(ts)) - {_DELAY_MS} AS wm FROM events WHERE user_id % 2 = 1
+), src AS (
+  SELECT event_type, epoch_ms(ts) AS ems FROM events WHERE user_id % 2 = 1
+  UNION ALL
+  SELECT event_type, epoch_ms(ts) AS ems FROM events, cut
+  WHERE user_id % 2 = 0 AND epoch_ms(ts) <= cut.c
+)
+SELECT (ems // {_IDLE_WIN_MS}) * {_IDLE_WIN_MS} + {_IDLE_WIN_MS} AS window_end,
+       event_type, COUNT(*) AS cnt
+FROM src, live_wm
+WHERE (ems // {_IDLE_WIN_MS}) * {_IDLE_WIN_MS} + {_IDLE_WIN_MS} <= live_wm.wm
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_idle_source_heartbeat",
+    _IDLE_ORACLE,
+    "WatermarksWithIdleness mitigation, oracled end-to-end "
+    "(watermarks_with_idleness.rs:27-81): source A stops producing halfway "
+    "through event time while source B runs on; under Spark's default "
+    "multipleWatermarkPolicy=min the idle source would pin the global "
+    "watermark at its horizon forever (witness: "
+    "test_idle_source_watermark_policy). keep_alive_union injects "
+    "sentinel heartbeat rows into A BEFORE its watermark node, so A's "
+    "watermark keeps advancing, the min watermark tracks the LIVE "
+    "source, and windows past the idle horizon finalize -- the query "
+    "RAISES if no window past A's horizon was emitted, so the oracle row "
+    "is a witness of the mitigation working in the engine, not just of "
+    "the SQL rule. Heartbeat groups are stripped after the stateful "
+    "operator (strip_heartbeats), never before the watermark scan.",
+)
+def streaming_idle_source_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.streaming.runner import run_to_memory
+    from rlink_rs_spark.streaming.sources import file_stream, heartbeat_stream
+    from rlink_rs_spark.streaming.watermarks import (
+        bounded_out_of_orderness,
+        keep_alive_union,
+        strip_heartbeats,
+        with_idleness,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))
+    ).collect()[0]
+    cutoff_ms = lo + (hi - lo) // 2
+
+    strategy = with_idleness(
+        bounded_out_of_orderness("ts", _DELAY_MS / 1000), idle_timeout_seconds=60.0
+    )
+
+    # source A: goes idle (event-time) halfway through; heartbeats keep its
+    # watermark advancing to the global horizon. One heartbeat per hour
+    # plus a final one at the horizon -- periodic keep-alive, as the
+    # reference's idleness timer would observe it.
+    a_raw = file_stream(spark, sf_dir, "events").where(
+        (F.col("user_id") % 2 == 0) & (F.unix_millis("ts") <= F.lit(cutoff_ms))
+    )
+    hb_ts = list(range(cutoff_ms, hi, 3_600_000)) + [hi]
+    hb = heartbeat_stream(spark, sf_dir, "events", hb_ts, key_col="event_type")
+    a = keep_alive_union(a_raw, hb, strategy)
+
+    # source B: live to the end; its own watermark node.
+    b = strategy.apply(
+        file_stream(spark, sf_dir, "events").where(F.col("user_id") % 2 == 1)
+    )
+
+    agg = (
+        a.unionByName(b)
+        .groupBy(F.window("ts", f"{_IDLE_WIN_MS // 1000} seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis("window.end").alias("window_end"), "event_type", "cnt"
+        )
+    )
+    emitted = run_to_memory(agg, shuffle_partitions=8)
+
+    # Engine-behavior witness: without the keep-alive union, min-policy
+    # closure stops at A's idle horizon (first window past cutoff).
+    max_closed = emitted.agg(F.max("window_end")).collect()[0][0] or 0
+    if max_closed <= cutoff_ms + _IDLE_WIN_MS:
+        raise AssertionError(
+            f"idle-source mitigation ineffective: max closed window_end "
+            f"{max_closed} never passed the idle horizon {cutoff_ms} -- the "
+            "heartbeat union did not advance source A's watermark"
+        )
+
+    return strip_heartbeats(emitted, "event_type")

@@ -148,6 +148,49 @@ def stage_stream_dir_with_late(
     return out, filter_wm_source_ms
 
 
+def heartbeat_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_ms: list[int],
+    key_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Bounded-replay keep-alive source for watermarks.keep_alive_union:
+    stage sentinel rows (HEARTBEAT_KEY in key_col, NULL elsewhere) at the
+    given event times, with the fixture table's exact schema, and return a
+    file stream over them. Deterministic -- the SQL oracle reconstructs the
+    watermark these rows advance. Production pipelines use
+    watermarks.rate_heartbeats (wall-clock-lagged) instead; a replay has
+    no meaningful wall clock."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rlink_rs_spark.streaming.watermarks import HEARTBEAT_KEY
+
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    template = pq.read_schema(src)
+    out = tempfile.mkdtemp(prefix=f"rlink_stream_hb_{name}_")
+    arrays = []
+    n = len(ts_ms)
+    for field in template:
+        if field.name == ts_col:
+            unit = getattr(field.type, "unit", "us")
+            mult = {"s": 1 / 1000, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
+            arrays.append(
+                pa.array([int(t * mult) for t in ts_ms], pa.int64()).cast(field.type)
+            )
+        elif field.name == key_col:
+            arrays.append(pa.array([HEARTBEAT_KEY] * n, field.type))
+        else:
+            arrays.append(pa.nulls(n, field.type))
+    pq.write_table(
+        pa.Table.from_arrays(arrays, schema=template),
+        os.path.join(out, "heartbeats.parquet"),
+    )
+    return stream_from_staged(spark, out, sf_dir, name)
+
+
 def stream_from_staged(
     spark: SparkSession,
     staged_dir: str,

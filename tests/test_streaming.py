@@ -473,6 +473,57 @@ def test_idle_source_watermark_policy(spark, sf_dir):
     assert closed_min < closed_max
 
 
+def test_idle_source_heartbeat_mitigation(spark, sf_dir):
+    """keep_alive_union closes the WatermarksWithIdleness divergence UNDER
+    THE DEFAULT min POLICY (watermarks_with_idleness.rs:27-81): the same
+    idle-source scenario as test_idle_source_watermark_policy, but with
+    sentinel heartbeats unioned into the idle source before its watermark
+    node. Windows past the idle horizon must finalize, heartbeat groups
+    must be strippable after the stateful op, and no data row may be lost
+    or duplicated vs the oracle (the registry query's DuckDB oracle proves
+    value parity; here we pin the engine-behavior bound and the strip)."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.streaming.watermarks import HEARTBEAT_KEY
+
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))
+    ).collect()[0]
+    cutoff_ms = lo + (hi - lo) // 2
+
+    out = REGISTRY["streaming_idle_source_heartbeat"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "mitigated run emitted nothing"
+    # closure passed the idle horizon under the min policy (the raw query
+    # raises internally if not; re-assert on the stripped output)
+    assert max(r.window_end for r in rows) > cutoff_ms + 60_000
+    # sentinel groups stripped
+    assert all(r.event_type != HEARTBEAT_KEY for r in rows)
+
+
+def test_rate_heartbeats_schema_and_sentinel(spark, sf_dir):
+    """The production keep-alive stream clones the source schema exactly:
+    sentinel in the key column, lagged wall clock in the event-time
+    column, NULLs elsewhere -- so keep_alive_union's unionByName never
+    needs casts."""
+    from rlink_rs_spark.streaming.sources import file_stream
+    from rlink_rs_spark.streaming.watermarks import (
+        bounded_out_of_orderness,
+        rate_heartbeats,
+        with_idleness,
+    )
+
+    src = file_stream(spark, sf_dir, "events")
+    strat = with_idleness(bounded_out_of_orderness("ts", 1.0), 30.0)
+    hb = rate_heartbeats(src, strat, key_col="event_type")
+    assert hb.isStreaming
+    # names+types must match exactly (nullability legitimately differs:
+    # literals are non-nullable); unionByName needs nothing more
+    assert [(f.name, f.dataType) for f in hb.schema.fields] == [
+        (f.name, f.dataType) for f in src.schema.fields
+    ]
+
+
 def test_kafka_offset_option_modes():
     """Kafka source construction covers the reference's three offset seek
     modes (connector-kafka input_format.rs:76-163); no broker needed."""
