@@ -35,74 +35,74 @@ from rlink_rs_spark.queries import search  # noqa: E402,F401
 # Exactly 50 entries; test_registry enforces the count and resolution.
 _DRIVER_WINDOW_PRIORITY = [
     "flagship_sliding_window_agg",
-    # -- new in r13 (never driver-rowed): late-data drop accounting with the
-    # engine's numRowsDroppedByWatermark load-bearing (query raises on
-    # rule/metric mismatch).
+    # -- new in r14 (never driver-rowed): the example-connect app composed
+    # end-to-end as ONE streaming query (VERDICT r13 #5) and the
+    # WatermarksWithIdleness keep-alive mitigation (VERDICT r13 #4), both
+    # with engine-behavior assertions that RAISE on divergence.
+    "example_connect_app_parity",
+    "streaming_idle_source_heartbeat",
+    # -- changed in r14, fresh rows prove the new code: the late-data
+    # report now reads the engine metric through run_to_memory's
+    # listener-bus drain barrier (ADVICE r13); the CDC merge sink's GC
+    # prunes emptied epoch-dir husks (O(epochs) directory growth found by
+    # the 100-epoch soak witness).
     "streaming_late_data_report",
-    # -- changed in r13, fresh rows prove the new code: the intake/dedup
-    # sink hoists the corpus shingle-set + history-hash statics and fuses
-    # the gate scan (VERDICT r12 #2), with 2-chunk fixture staging
-    # (chunk-count-invariant verdicts, shared oracles untouched); the
-    # outlier pair shares one centroid definition (ADVICE r12); the median
-    # UDAF uses real annotations from functions/udafs.py; the text-format
-    # staging cache key/atomic-rename changed under csv/json roundtrip.
-    "streaming_intake_pipeline",
-    "streaming_incremental_dedup",
-    "streaming_quality_gate",
-    "embedding_outlier_filter",
-    "streaming_outlier_monitor",
-    "udaf_median_daily",
-    "csv_source_roundtrip",
-    "json_source_roundtrip",
-    # -- r13 rotation (VERDICT r12 #1): the entire r8-stale cohort (6) and
-    # the 34 alphabetically-first of the 40 r9-stale queries re-proven on
-    # current fixtures (md5-pinned unchanged since r8). The 6 r9 leftovers
-    # (temporal_dimension_join, tfidf_lang_terms, time_to_next_purchase,
-    # top_k_per_group, udtf_word_positions, window_distinct_users) rotate
-    # in next round; every displaced query sits in a pytest parity list or
-    # the streaming suite (test_every_oracled_query_has_a_local_witness
+    "streaming_cdc_merge",
+    # -- r14 rotation (VERDICT r13 #2): the full r9-stale cohort (6) and
+    # the 39 alphabetically-first of the 45 r10-stale queries re-proven on
+    # current fixtures (md5-pinned unchanged since r8). The 6 r10
+    # leftovers (streaming_constraint_monitor, streaming_decontamination,
+    # streaming_flagship_agg, streaming_hybrid_search,
+    # streaming_intake_dlq, streaming_pack_sequences) rotate in next
+    # round; every displaced query sits in a pytest parity list or the
+    # streaming suite (test_every_oracled_query_has_a_local_witness
     # enforces it structurally). cosine_topk_gemm stays out: rows-only by
     # design, nothing for the driver to hash.
-    "daily_trend_ols",
-    "hourly_autocorr_lag1",
-    "percentile_bands",
-    "resample_corpus_epoch",
-    "training_shuffle_shards",
-    "weighted_sample_docs",
-    "ann_recall_report",
-    "cms_heavy_hitters",
-    "cosine_topk_bruteforce",
-    "dedup_keep_list",
-    "event_transition_matrix",
-    "exact_dedup_docs",
-    "fuzzy_name_linkage",
-    "incremental_daily_rollup",
-    "kafka_envelope_roundtrip",
-    "kafka_loopback_seek",
-    "lang_id_confusion",
-    "lm_perplexity_filter",
-    "minhash_lsh_near_dup",
-    "near_dup_clusters",
-    "pipeline_enriched_agg",
-    "pmi_collocations",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_star_join_volume",
-    "q6_forecast_revenue",
-    "quality_ensemble_gate",
-    "salted_hot_key_agg",
-    "semi_anti_join_cohorts",
-    "simhash_near_dup",
-    "streaming_ann_probe",
-    "streaming_bm25_index_add",
-    "streaming_cms_counters",
-    "streaming_daily_rollup",
-    "streaming_ivf_index_add",
-    "streaming_kmv_distinct",
-    "streaming_window_distinct",
-    "table_checksum_diff",
+    "temporal_dimension_join",
+    "tfidf_lang_terms",
+    "time_to_next_purchase",
+    "top_k_per_group",
+    "udtf_word_positions",
+    "window_distinct_users",
+    "asof_join_latest_click",
+    "avg_agg",
+    "broadcast_enrichment_join",
+    "cdc_schema_evolution",
+    "constraint_check_report",
+    "cosine_topk_ivf",
+    "cosine_topk_lsh",
+    "cube_agg",
+    "distinct_agg",
+    "doc_fingerprint",
+    "embedding_cosine_near_dup",
+    "exact_median",
+    "flat_map_filter_transform",
+    "hash_sample_docs",
+    "hybrid_search_rrf",
+    "intake_dlq_routing",
+    "lang_id_heuristic",
+    "multi_key_window_agg",
+    "multimodal_binary_features",
+    "multimodal_extract_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_pipeline",
+    "pct_output_decode",
+    "pct_window_agg",
+    "pivot_agg",
+    "profile_columns",
+    "python_datasource_scan",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "quality_score_docs",
+    "range_window_filter",
+    "rollup_agg",
+    "set_ops_users",
 ]
 
 

@@ -208,6 +208,13 @@ def _gc_superseded(snap_dir: str, before_epoch: int) -> None:
             p = os.path.join(edir, sub)
             if sub.startswith("bucket=") and p not in keep:
                 shutil.rmtree(p, ignore_errors=True)
+        # an epoch dir whose bucket versions are all superseded is a husk
+        # (only markers left); on an unbounded stream husks are O(epochs)
+        # of directory growth -- exposed by the 100-epoch soak witness.
+        # Nothing reads a committed epoch dir except through its bucket=
+        # subdirs, so dropping the empty shell is safe and idempotent.
+        if not any(s.startswith("bucket=") for s in os.listdir(edir)):
+            shutil.rmtree(edir, ignore_errors=True)
 
 
 def apply_merge_epoch(

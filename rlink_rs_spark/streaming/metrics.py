@@ -45,6 +45,11 @@ class ProgressCollector(StreamingQueryListener):
             "eventTime": dict(p.eventTime) if p.eventTime else {},
         }
         try:
+            # per-epoch wall clock (the soak witness's flatness signal)
+            row["triggerMs"] = dict(p.durationMs).get("triggerExecution")
+        except Exception:
+            pass
+        try:
             ops = p.stateOperators
             row["droppedByWatermark"] = sum(
                 getattr(o, "numRowsDroppedByWatermark", 0) or 0 for o in ops

@@ -124,6 +124,7 @@ def run_to_parquet(
     checkpoint_dir: str | None = None,
     timeout_seconds: float | None = None,
     shuffle_partitions: int | None = None,
+    listener=None,
 ) -> DataFrame:
     """Execute an append-mode streaming DataFrame with availableNow into a
     parquet sink; block until completion; return a (batch) reader over the
@@ -147,6 +148,8 @@ def run_to_parquet(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    if listener is not None:
+        spark.streams.addListener(listener)
     try:
         q = (
             stream_df.writeStream.outputMode("append")
@@ -161,7 +164,11 @@ def run_to_parquet(
         finally:
             if q.isActive:
                 q.stop()
+        if listener is not None and finished:
+            _await_listener_drain(listener, str(q.id))
     finally:
+        if listener is not None:
+            spark.streams.removeListener(listener)
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not finished:

@@ -37,6 +37,7 @@ def test_scale100_required_top_level_keys(scale100):
         "queries",
         "queries_over_2x_linear",
         "sf100_cap_probe",
+        "sf1000_stream_probe",
     ):
         assert key in scale100, (
             f"SCALE100.json lost required key {key!r}; a probe composer "
@@ -63,3 +64,17 @@ def test_cap_probe_record_shape(scale100):
     assert sf100_hot["pairs_prevented"] > 1e9
     for name, vs in probe["vs_linear_run2"].items():
         assert vs <= 2.0, f"cap-probe leg {name} super-linear: {vs}"
+
+
+def test_stream_probe_record_shape(scale100):
+    """The 1000x streaming probe (VERDICT r13 #6) must carry its
+    load-bearing witnesses: flat join state across the replay (watermark
+    eviction engaged -- without it the last-quarter max approaches total
+    input), scale-invariant state per epoch row, and exact 1000x join
+    output (per-tile key disjointness held)."""
+    probe = scale100["sf1000_stream_probe"]
+    assert probe["join_output_ratio"] >= 999.0
+    assert probe["join_state_q4_over_q1"] <= 1.5
+    per_row = probe["join_state_per_epoch_row"]
+    assert 0.5 <= per_row["sf1000"] / per_row["base"] <= 2.0
+    assert probe["join_state_share_of_input_sf1000"] < 0.05

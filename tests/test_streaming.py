@@ -1120,6 +1120,12 @@ def test_streaming_cdc_merge_crash_resume_and_bucket_pruning(spark, sf_dir):
             .collect()
         }
         edir = os.path.join(snap_dir, f"batch_id={i}")
+        if not os.path.exists(edir):
+            # every bucket this epoch wrote was superseded by a later
+            # acked epoch and GC removed the empty husk dir (the soak
+            # witness's O(epochs)-directory fix); nothing to check
+            present[i] = set()
+            continue
         assert os.path.exists(os.path.join(edir, COMMIT_MARKER)), edir
         present[i] = {
             int(d.split("=", 1)[1])

@@ -1,0 +1,229 @@
+"""Run the 1000x streaming probe (VERDICT r13 #6) and fold results into
+SCALE100.json under `sf1000_stream_probe`.
+
+Usage:
+  python tools/make_stream_probe_fixture.py /root/testdata/sf0.01 /tmp/streamprobe 1000
+  SPARK_GRAFT_STREAM_TIMEOUT=7200 python tools/run_stream_probe.py /tmp/streamprobe
+
+Probes the two rows VERDICT r13 named as where a super-linear term would
+bite first past the sf10 grid:
+
+  * stream-stream interval join (0.94x linear at sf10 -- linear by
+    semantics) over the TIME-TILED events fixture: 1000x more rows at the
+    same event rate, replayed in chunks through the parquet-sink bridge.
+    The recorded witness is max stateRows across the replay: watermark
+    eviction makes it a function of rate x horizon (constant across
+    stream length), NOT of total rows -- state_ratio ~ 1 at 1000x data.
+  * CDC snapshot merge (bucketed continuous MERGE) over the replicated
+    documents fixture: per-epoch cost is O(changed buckets), and the
+    drained snapshot is the 1000x corpus.
+
+Wall-clock vs_linear is recorded too, but for the join the honest
+headline is the state bound; the base leg is overhead-dominated (noted
+in the artifact).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def interval_join_leg(spark, sf_dir: str, chunks: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from rlink_rs_spark.operators.joins import interval_join
+    from rlink_rs_spark.streaming.metrics import ProgressCollector
+    from rlink_rs_spark.streaming.runner import run_to_parquet
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    staged = stage_stream_dir(sf_dir, "events", chunks=chunks, order_col="ts")
+
+    def side(ev_type: str, key: str, idc: str, tsc: str):
+        return (
+            stream_from_staged(spark, staged, sf_dir, "events", max_files_per_trigger=1)
+            .where(F.col("event_type") == ev_type)
+            .select(
+                F.col("user_id").alias(key),
+                F.col("event_id").alias(idc),
+                F.col("ts").alias(tsc),
+            )
+            .withWatermark(tsc, "1 minute")
+        )
+
+    joined = interval_join(
+        side("click", "c_user", "click_id", "click_ts"),
+        side("purchase", "p_user", "purchase_id", "purchase_ts"),
+        left_key="c_user",
+        right_key="p_user",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower="INTERVAL 0 SECONDS",
+        upper="INTERVAL 6 HOURS",
+    )
+    col = ProgressCollector()
+    t0 = time.time()
+    out = run_to_parquet(joined, shuffle_partitions=8, listener=col)
+    rows = out.count()
+    wall = round(time.time() - t0, 2)
+    states = [p.get("stateRows") or 0 for p in col.progress]
+    shutil.rmtree(staged, ignore_errors=True)
+    qn = max(1, len(states) // 4)
+    return {
+        "rows": rows,
+        "wall_sec": wall,
+        "epochs": len(col.progress),
+        "max_state_rows": max(states) if states else 0,
+        # watermark-eviction witness: state must be FLAT across the replay
+        # (a function of per-epoch volume + the 6h horizon), not growing
+        # with stream position -- without eviction, the last-quarter max
+        # would approach total input rows
+        "state_rows_q1_max": max(states[:qn]) if states else 0,
+        "state_rows_q4_max": max(states[-qn:]) if states else 0,
+    }
+
+
+def cdc_merge_leg(spark, sf_dir: str, chunks: int) -> dict:
+    from rlink_rs_spark.streaming.cdc import (
+        read_merged_snapshot,
+        streaming_merge_sink,
+        write_base_snapshot,
+    )
+    from rlink_rs_spark.streaming.metrics import ProgressCollector
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+    from rlink_rs_spark.tables import load_table
+
+    work_dir = tempfile.mkdtemp(prefix="rlink_probe_cdc_")
+    ck = tempfile.mkdtemp(prefix="rlink_probe_cdc_ck_")
+    col = ProgressCollector()
+    spark.streams.addListener(col)
+    t0 = time.time()
+    try:
+        write_base_snapshot(load_table(spark, sf_dir, "documents"), work_dir)
+        staged = stage_stream_dir(sf_dir, "documents", chunks=chunks, order_col="doc_id")
+        src = stream_from_staged(
+            spark, staged, sf_dir, "documents", max_files_per_trigger=1
+        )
+        from pyspark.sql import functions as F  # noqa: F401
+
+        q = streaming_merge_sink(
+            src.select("doc_id", "text", "lang", "source", "n_chars"),
+            work_dir=work_dir,
+            checkpoint=ck,
+        )
+        timeout = float(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", 7200))
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise TimeoutError("cdc merge leg timed out")
+        rows = read_merged_snapshot(spark, work_dir).count()
+    finally:
+        spark.streams.removeListener(col)
+    wall = round(time.time() - t0, 2)
+    durs = [p["triggerMs"] for p in col.progress if p.get("triggerMs")]
+    res = {
+        "rows": rows,
+        "wall_sec": wall,
+        "epochs": len(col.progress),
+        "epoch_ms_first": durs[0] if durs else None,
+        "epoch_ms_median": sorted(durs)[len(durs) // 2] if durs else None,
+        "epoch_ms_max": max(durs) if durs else None,
+    }
+    shutil.rmtree(work_dir, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return res
+
+
+def main() -> None:
+    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/streamprobe"
+    from rlink_rs_spark.session import get_spark
+
+    import pyarrow.parquet as pq
+
+    spark = get_spark("stream_probe")
+    legs: dict[str, dict] = {}
+    n_events: dict[str, int] = {}
+    for scale, chunks in (("base", 8), ("sf1000", 32)):
+        sf_dir = os.path.join(root, scale)
+        n_events[scale] = pq.read_metadata(
+            os.path.join(sf_dir, "events.parquet")
+        ).num_rows
+        legs[scale] = {
+            "interval_join": interval_join_leg(spark, sf_dir, chunks),
+            "cdc_merge": cdc_merge_leg(spark, sf_dir, min(chunks, 16)),
+            "chunks": chunks,
+            "n_events": n_events[scale],
+        }
+        print(scale, json.dumps(legs[scale]), flush=True)
+
+    def _events_rows(scale: str) -> int:
+        return n_events[scale]
+
+    ratio = legs["sf1000"]["interval_join"]["rows"] / max(
+        1, legs["base"]["interval_join"]["rows"]
+    )
+    probe = {
+        "fixture": "time-tiled events + replicated documents, tools/make_stream_probe_fixture.py",
+        "legs": legs,
+        "join_output_ratio": round(ratio, 1),
+        "vs_linear_wall": {
+            q: round(
+                (legs["sf1000"][q]["wall_sec"] / legs["base"][q]["wall_sec"]) / 1000.0,
+                3,
+            )
+            for q in ("interval_join", "cdc_merge")
+        },
+        # the headline witnesses: (a) join state is FLAT across the 1000x
+        # replay (eviction works; without it the last-quarter max would
+        # approach 10M input rows); (b) state scales with PER-EPOCH volume,
+        # not stream length -- rows-of-state per chunk row is the same
+        # constant at both scales (micro-batch granularity bounds eviction:
+        # each epoch's rows evict at the NEXT epoch's watermark, so peak
+        # state ~ per-epoch input, ~0.4x here)
+        "join_state_q4_over_q1": round(
+            legs["sf1000"]["interval_join"]["state_rows_q4_max"]
+            / max(1, legs["sf1000"]["interval_join"]["state_rows_q1_max"]),
+            2,
+        ),
+        "join_state_per_epoch_row": {
+            scale: round(
+                legs[scale]["interval_join"]["max_state_rows"]
+                / (
+                    _events_rows(scale)
+                    / legs[scale]["chunks"]
+                ),
+                3,
+            )
+            for scale in ("base", "sf1000")
+        },
+        "join_state_share_of_input_sf1000": round(
+            legs["sf1000"]["interval_join"]["max_state_rows"] / _events_rows("sf1000"),
+            4,
+        ),
+        "note": (
+            "events are TIME-TILED (1000x longer stream, same rate): state "
+            "is watermark-evicted, so it tracks per-epoch input volume and "
+            "stays flat across stream position; it never tracks total "
+            "stream length. Wall vs_linear is recorded but the base leg is "
+            "overhead-dominated."
+        ),
+        "loadavg": os.getloadavg()[0],
+    }
+    path = os.path.join(REPO, "SCALE100.json")
+    with open(path) as f:
+        doc = json.load(f)
+    doc["sf1000_stream_probe"] = probe
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print("wrote sf1000_stream_probe into SCALE100.json")
+
+
+if __name__ == "__main__":
+    main()
