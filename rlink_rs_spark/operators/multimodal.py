@@ -176,3 +176,90 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).select("media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("offset_ms"))
+
+
+# ---------------------------------------------------------------------------
+# REAL dependency-free codecs (round 14): the decode seam stops being a
+# stub for formats whose byte layout needs no external library. P6 PPM
+# (binary RGB image) and RIFF/WAVE PCM16 are parsed with numpy alone, so
+# decode -> transform -> re-encode runs for real in this container; the
+# PIL/ffmpeg seam above remains for COMPRESSED formats (jpeg/mp4).
+
+import struct
+
+import numpy as np
+
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """Binary P6 PPM from an (H, W, 3) uint8 array."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """REAL P6 PPM decode: parse magic/dims/maxval header tokens (with
+    comment lines), then view the raster as (H, W, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = 4 whitespace-separated tokens (magic, w, h, maxval), with
+    # optional '#' comment lines; raster starts after ONE whitespace byte
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:
+        while payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while payload[i : i + 1] not in (b"\n", b""):
+                i += 1
+            continue
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def resize_nearest(pixels: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor resize (the real pixel transform behind resize()):
+    index mapping src = floor(dst * in/out), pure numpy fancy indexing."""
+    in_h, in_w = pixels.shape[:2]
+    ys = (np.arange(out_h) * in_h // out_h).astype(np.int64)
+    xs = (np.arange(out_w) * in_w // out_w).astype(np.int64)
+    return pixels[ys][:, xs]
+
+
+def encode_wav_pcm16(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    """RIFF/WAVE mono PCM16 from an int16 sample array."""
+    data = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple["np.ndarray", int]:
+    """REAL RIFF/WAVE decode: walk the chunk list, parse the fmt chunk
+    (PCM16 mono only), return (samples int16 array, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (fmt_tag, channels, bits) != (1, 1, 16):
+                raise ValueError("only mono PCM16 supported")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate

@@ -41,6 +41,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # with engine-behavior assertions that RAISE on divergence.
     "example_connect_app_parity",
     "streaming_idle_source_heartbeat",
+    "multimodal_ppm_roundtrip",
+    "multimodal_wav_features",
     # -- changed in r14, fresh rows prove the new code: the late-data
     # report now reads the engine metric through run_to_memory's
     # listener-bus drain barrier (ADVICE r13); the CDC merge sink's GC
@@ -49,11 +51,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "streaming_late_data_report",
     "streaming_cdc_merge",
     # -- r14 rotation (VERDICT r13 #2): the full r9-stale cohort (6) and
-    # the 39 alphabetically-first of the 45 r10-stale queries re-proven on
-    # current fixtures (md5-pinned unchanged since r8). The 6 r10
-    # leftovers (streaming_constraint_monitor, streaming_decontamination,
-    # streaming_flagship_agg, streaming_hybrid_search,
-    # streaming_intake_dlq, streaming_pack_sequences) rotate in next
+    # the 37 alphabetically-first of the 45 r10-stale queries re-proven on
+    # current fixtures (md5-pinned unchanged since r8). The 8 r10
+    # leftovers (rollup_agg, set_ops_users, streaming_constraint_monitor,
+    # streaming_decontamination, streaming_flagship_agg,
+    # streaming_hybrid_search, streaming_intake_dlq,
+    # streaming_pack_sequences) rotate in next
     # round; every displaced query sits in a pytest parity list or the
     # streaming suite (test_every_oracled_query_has_a_local_witness
     # enforces it structurally). cosine_topk_gemm stays out: rows-only by
@@ -101,8 +104,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q9_product_profit",
     "quality_score_docs",
     "range_window_filter",
-    "rollup_agg",
-    "set_ops_users",
 ]
 
 

@@ -1200,3 +1200,228 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_of_label"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal decode (round 14): dependency-free formats exercise the
+# decode seam for real -- P6 PPM (binary RGB) and RIFF/WAVE PCM16 parse
+# with numpy alone. Payloads are synthesized from a CLOSED-FORM pixel/
+# sample function of (media_id, position), so the DuckDB oracle verifies
+# the real decoder bit-exactly without ever decoding anything itself.
+
+_PPM_W, _PPM_H = 24, 16
+
+_PPM_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0
+), px AS (
+  SELECT i.media_id, y.y, x.x, c.c,
+         (i.media_id * 7 + ((y.y * {_PPM_W} + x.x) * 3 + c.c) * 13) % 256 AS v
+  FROM ids i
+  CROSS JOIN range({_PPM_H}) y(y)
+  CROSS JOIN range({_PPM_W}) x(x)
+  CROSS JOIN range(3) c(c)
+)
+SELECT media_id, {_PPM_W} AS width, {_PPM_H} AS height,
+       CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(SUM(CASE WHEN y % 2 = 0 AND x % 2 = 0 AND c = 0 THEN v END) AS BIGINT) AS rs_sum_r,
+       CAST(SUM(CASE WHEN y % 2 = 0 AND x % 2 = 0 AND c = 1 THEN v END) AS BIGINT) AS rs_sum_g,
+       CAST(SUM(CASE WHEN y % 2 = 0 AND x % 2 = 0 AND c = 2 THEN v END) AS BIGINT) AS rs_sum_b
+FROM px GROUP BY media_id
+"""
+
+
+@register(
+    "multimodal_ppm_roundtrip",
+    _PPM_ORACLE,
+    "REAL image decode through the multimodal seam: synthesize binary P6 "
+    "PPM payloads from a closed-form pixel function, then a real numpy "
+    "parser (operators/multimodal.decode_ppm: header tokens, comments, "
+    "raster view) decodes them, resize_nearest halves them, and per-channel "
+    "integer sums of BOTH rasters are emitted. The oracle recomputes the "
+    "closed form relationally -- it never decodes -- so a hash match proves "
+    "the encode->bytes->decode->resize chain is bit-exact. The PIL/ffmpeg "
+    "seam remains only for COMPRESSED formats.",
+)
+def multimodal_ppm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from rlink_rs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    w, h = _PPM_W, _PPM_H
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = np.arange(h * w * 3, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                px = ((int(mid) * 7 + p * 13) % 256).astype(np.uint8).reshape(h, w, 3)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": encode_ppm(px),
+                        "meta": {
+                            "media_type": "image",
+                            "mime": "image/x-portable-pixmap",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(c, T.IntegerType(), False) for c in ("width", "height")]
+        + [
+            T.StructField(c, T.LongType(), False)
+            for c in ("sum_r", "sum_g", "sum_b", "rs_sum_r", "rs_sum_g", "rs_sum_b")
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm(bytes(payload))  # REAL parse of the bytes
+                small = resize_nearest(px, px.shape[1] // 2, px.shape[0] // 2)
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rs = small.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                        "rs_sum_r": int(rs[0]),
+                        "rs_sum_g": int(rs[1]),
+                        "rs_sum_b": int(rs[2]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    media = ids.mapInPandas(synth, MEDIA_SCHEMA)
+    return media.mapInPandas(stats, out_schema)
+
+
+_WAV_N, _WAV_RATE = 1600, 16000
+
+_WAV_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 3
+), s AS (
+  SELECT i.media_id, t.i,
+         ((i.media_id * 31 + t.i * 17) % 65536) - 32768 AS v
+  FROM ids i CROSS JOIN range({_WAV_N}) t(i)
+), l AS (
+  SELECT *, LAG(v) OVER (PARTITION BY media_id ORDER BY i) AS pv FROM s
+)
+SELECT media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST({_WAV_N * 1000 // _WAV_RATE} AS BIGINT) AS duration_ms,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(COUNT(*) FILTER (WHERE pv IS NOT NULL AND (v >= 0) != (pv >= 0))
+            AS BIGINT) AS zero_crossings
+FROM l GROUP BY media_id
+"""
+
+
+@register(
+    "multimodal_wav_features",
+    _WAV_ORACLE,
+    "REAL audio decode through the multimodal seam: synthesize RIFF/WAVE "
+    "mono PCM16 payloads from a closed-form sample function, then a real "
+    "chunk-walking parser (operators/multimodal.decode_wav_pcm16: fmt "
+    "chunk, word alignment, int16 view) decodes them and emits n_samples, "
+    "decode-derived duration, integer sum(|s|), and zero-crossing counts. "
+    "Oracle = the closed form via LAG; a hash match proves the real "
+    "decoder, not the generator, produced the features.",
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from rlink_rs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 3)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(_WAV_N, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                s = (((int(mid) * 31 + i * 17) % 65536) - 32768).astype(np.int16)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": encode_wav_pcm16(s, rate=_WAV_RATE),
+                        "meta": {
+                            "media_type": "audio",
+                            "mime": "audio/wav",
+                            "width": None,
+                            "height": None,
+                            "duration_ms": _WAV_N * 1000 // _WAV_RATE,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("duration_ms", T.LongType(), False),
+            T.StructField("sum_abs", T.LongType(), False),
+            T.StructField("zero_crossings", T.LongType(), False),
+        ]
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, rate = decode_wav_pcm16(bytes(payload))  # REAL parse
+                sgn = s >= 0
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_samples": len(s),
+                        "duration_ms": len(s) * 1000 // rate,
+                        "sum_abs": int(np.abs(s.astype(np.int64)).sum()),
+                        "zero_crossings": int((sgn[1:] != sgn[:-1]).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    media = ids.mapInPandas(synth, MEDIA_SCHEMA)
+    return media.mapInPandas(feats, out_schema)

@@ -89,6 +89,9 @@ ORACLED = [
     # new in r11, not in the window (hard negatives + governance matrix)
     "hard_negative_mining",
     "source_leakage_matrix",
+    # new in r14, not in the window (REAL dependency-free decode paths)
+    "multimodal_ppm_roundtrip",
+    "multimodal_wav_features",
 ]
 
 

@@ -501,6 +501,69 @@ def test_idle_source_heartbeat_mitigation(spark, sf_dir):
     assert all(r.event_type != HEARTBEAT_KEY for r in rows)
 
 
+def test_rate_heartbeats_live_unpins_watermark(spark, sf_dir):
+    """WALL-CLOCK witness for the production idleness path: a file source
+    delivers all its (historical) data in batch 0 and then goes idle; in
+    append mode its final window can never close -- the watermark sticks
+    at max(data ts) - delay forever. With rate_heartbeats unioned in
+    (heartbeat ts = wall clock - idle_timeout), the watermark passes the
+    data horizon within ~idle_timeout of real time and EVERY window
+    closes, exactly the reference's processing-time idleness marking
+    (watermarks_with_idleness.rs:86-134)."""
+    from rlink_rs_spark.streaming.watermarks import (
+        HEARTBEAT_KEY,
+        bounded_out_of_orderness,
+        keep_alive_union,
+        rate_heartbeats,
+        with_idleness,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    total_windows = (
+        events.select((F.unix_millis("ts") / 60_000).cast("long").alias("w"), "event_type")
+        .distinct()
+        .count()
+    )
+
+    strat = with_idleness(bounded_out_of_orderness("ts", 1.0), idle_timeout_seconds=3.0)
+    src = file_stream(spark, sf_dir, "events")
+    hb = rate_heartbeats(src, strat, key_col="event_type", rows_per_second=2)
+    agg = (
+        keep_alive_union(src, hb, strat)
+        .groupBy(F.window("ts", "60 seconds"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.unix_millis("window.end").alias("window_end"), "event_type", "cnt")
+    )
+    name = f"hb_live_{int(time.time())}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rlink_ck_hb_"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        emitted = 0
+        while time.time() < deadline:
+            emitted = (
+                spark.table(name).where(F.col("event_type") != HEARTBEAT_KEY).count()
+            )
+            if emitted >= total_windows:
+                break
+            time.sleep(1.0)
+        assert q.exception() is None
+    finally:
+        q.stop()
+    # without heartbeats the final window per key never closes; with them,
+    # the full historical window set must finalize within wall-clock bounds
+    assert emitted >= total_windows, (
+        f"only {emitted}/{total_windows} windows closed -- heartbeats did "
+        "not unpin the idle source's watermark"
+    )
+
+
 def test_rate_heartbeats_schema_and_sentinel(spark, sf_dir):
     """The production keep-alive stream clones the source schema exactly:
     sentinel in the key column, lagged wall clock in the event-time
