@@ -35,6 +35,9 @@ _ROCKSDB_WITNESSES = {
     "test_streaming_dedup_kill_resume_no_dupes",
     "test_stateful_threshold_alerts_matches_batch",
     "test_transform_with_state_matches_batch",
+    # r14: chained stateful operators (window_time second aggregation) is
+    # a distinct state-store code path -- two stores in one query
+    "test_example_connect_chained_aggs_match_oracle",
 }
 
 
@@ -499,6 +502,18 @@ def test_idle_source_heartbeat_mitigation(spark, sf_dir):
     assert max(r.window_end for r in rows) > cutoff_ms + 60_000
     # sentinel groups stripped
     assert all(r.event_type != HEARTBEAT_KEY for r in rows)
+
+
+def test_example_connect_chained_aggs_match_oracle(spark, duck, sf_dir):
+    """The example-connect parity query chains TWO stateful window
+    aggregations in one streaming plan (sparse bucket counts ->
+    window_time merge) -- two state stores in one query, a code path no
+    other witness exercises. Runs under BOTH providers (it is in the
+    RocksDB witness subset): the chained-operator commit protocol must
+    produce oracle-exact Output rows regardless of store backend."""
+    from tests.helpers import run_query_vs_oracle
+
+    run_query_vs_oracle(spark, duck, sf_dir, "example_connect_app_parity")
 
 
 def test_rate_heartbeats_live_unpins_watermark(spark, sf_dir):
