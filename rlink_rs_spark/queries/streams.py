@@ -1106,12 +1106,22 @@ FROM ranked GROUP BY ws, cfield
     "data path, documented rather than materialized.",
 )
 def example_connect_app_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rlink_rs_spark.functions.percentile import bucket_column
-    from rlink_rs_spark.operators.joins import broadcast_enrich
     from rlink_rs_spark.streaming.runner import run_to_memory
     from rlink_rs_spark.streaming.sources import file_stream
 
     ev = file_stream(spark, sf_dir, "events")
+    return run_to_memory(
+        example_connect_plan(spark, sf_dir, ev), shuffle_partitions=8
+    )
+
+
+def example_connect_plan(spark: SparkSession, sf_dir: str, ev: DataFrame) -> DataFrame:
+    """The full example-connect plan over a given event stream `ev` --
+    split from the registry entry so the kill/resume witness can drive
+    the SAME chained-stateful plan through a chunked replay + checkpoint
+    restart (tests/test_streaming.py)."""
+    from rlink_rs_spark.functions.percentile import bucket_column
+    from rlink_rs_spark.operators.joins import broadcast_enrich
     # ConfigInputFormat("Broadcast") analogue: a small config dimension
     # (field label per key), broadcast to every task -- the CoProcess
     # consumes config records and passes data records through enriched.
@@ -1197,8 +1207,7 @@ def example_connect_app_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc: acc["ans"],
         ).cast("long").alias(f"pct_{p}")
 
-    out = merged.select("field", "value", pct_col(99), pct_col(90))
-    return run_to_memory(out, shuffle_partitions=8)
+    return merged.select("field", "value", pct_col(99), pct_col(90))
 
 
 # ---------------------------------------------------------------------------

@@ -36,8 +36,10 @@ _ROCKSDB_WITNESSES = {
     "test_stateful_threshold_alerts_matches_batch",
     "test_transform_with_state_matches_batch",
     # r14: chained stateful operators (window_time second aggregation) is
-    # a distinct state-store code path -- two stores in one query
+    # a distinct state-store code path -- two stores in one query, plus
+    # their joint recovery under checkpoint restart
     "test_example_connect_chained_aggs_match_oracle",
+    "test_example_connect_chained_aggs_kill_resume",
 }
 
 
@@ -502,6 +504,58 @@ def test_idle_source_heartbeat_mitigation(spark, sf_dir):
     assert max(r.window_end for r in rows) > cutoff_ms + 60_000
     # sentinel groups stripped
     assert all(r.event_type != HEARTBEAT_KEY for r in rows)
+
+
+def test_example_connect_chained_aggs_kill_resume(spark, duck, sf_dir):
+    """Kill the chained-stateful example-connect pipeline mid-replay and
+    resume from the checkpoint: TWO state stores (sparse bucket counts +
+    the window_time merge) must both recover and the drained parquet sink
+    must equal the DuckDB oracle exactly -- the multiple-stateful-operator
+    commit protocol under restart, which no single-agg witness covers."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.streams import example_connect_plan
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    ck = tempfile.mkdtemp(prefix="rlink_ck_ecresume_")
+    out_dir = tempfile.mkdtemp(prefix="rlink_ecsink_")
+    staged = stage_stream_dir(sf_dir, "events", chunks=6, order_col="ts")
+
+    def start(trigger_available_now: bool):
+        src = stream_from_staged(spark, staged, sf_dir, "events", max_files_per_trigger=1)
+        out = example_connect_plan(spark, sf_dir, src)
+        writer = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="1 second")
+        return writer.start()
+
+    q = start(trigger_available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.5)
+    q.stop()  # kill mid-stream (>=1 batch committed, more pending)
+    q.awaitTermination(60)
+
+    q2 = start(trigger_available_now=True)
+    assert q2.awaitTermination(300), "resumed chained-agg stream timed out"
+
+    got = {
+        tuple(r)
+        for r in spark.read.schema("field string, value long, pct_99 long, pct_90 long")
+        .parquet(out_dir)
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.sql(REGISTRY["example_connect_app_parity"].oracle).fetchall()
+    }
+    assert got == want and got
 
 
 def test_example_connect_chained_aggs_match_oracle(spark, duck, sf_dir):
