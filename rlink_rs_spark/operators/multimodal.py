@@ -209,13 +209,17 @@ def decode_ppm(payload: bytes) -> "np.ndarray":
     while len(tokens) < 4:
         while payload[i : i + 1].isspace():
             i += 1
+        if i >= len(payload):
+            raise ValueError("truncated PPM header")
         if payload[i : i + 1] == b"#":
             while payload[i : i + 1] not in (b"\n", b""):
                 i += 1
             continue
         j = i
-        while not payload[j : j + 1].isspace():
+        while j < len(payload) and not payload[j : j + 1].isspace():
             j += 1
+        if j >= len(payload):
+            raise ValueError("truncated PPM header")
         tokens.append(payload[i:j])
         i = j
     i += 1  # the single whitespace after maxval

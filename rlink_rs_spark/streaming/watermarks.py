@@ -99,8 +99,10 @@ def keep_alive_union(
 def strip_heartbeats(df: DataFrame, key_col: str) -> DataFrame:
     """Drop the sentinel groups keep_alive_union's heartbeat rows produced.
     Apply to the STATEFUL OPERATOR'S OUTPUT (or the materialized sink
-    result) -- see keep_alive_union for why not earlier."""
-    return df.where(F.col(key_col) != HEARTBEAT_KEY)
+    result) -- see keep_alive_union for why not earlier. Null-safe: a
+    source whose key column contains NULLs keeps those real groups (a
+    plain `!=` would evaluate NULL and drop them with the sentinels)."""
+    return df.where(~F.col(key_col).eqNullSafe(HEARTBEAT_KEY))
 
 
 def rate_heartbeats(

@@ -765,3 +765,41 @@ def test_docs_registry_count_matches_live_registry():
         f"README claims {stated_total}/{stated_oracled} but registry has "
         f"{live_total}/{live_oracled} -- update README.md"
     )
+
+
+def test_decode_ppm_rejects_truncated_and_malformed_headers():
+    """ADVICE r14: the header token scan must be bounded -- a truncated P6
+    header (b'P6\\n24 16') used to spin forever because b''.isspace() is
+    False. Every malformed shape fails fast with ValueError now."""
+    import numpy as np
+
+    from rlink_rs_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    for bad in (
+        b"P6\n24 16",            # header cut mid-token, no trailing ws
+        b"P6\n24 16 ",           # 3 tokens then only whitespace
+        b"P6",                   # magic only
+        b"P6\n# comment only",   # comment runs to EOF
+        b"P5\n2 2\n255\n" + b"\0" * 12,  # wrong magic
+        b"P6\n2 2\n65535\n" + b"\0" * 24,  # non-8-bit maxval
+    ):
+        with pytest.raises(ValueError):
+            decode_ppm(bad)
+    # round-trip still exact, including a comment line in the header
+    px = (np.arange(2 * 3 * 3) % 251).astype(np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    commented = b"P6\n# a comment\n3 2\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(commented), px)
+
+
+def test_strip_heartbeats_keeps_null_keyed_groups(spark):
+    """ADVICE r14: strip_heartbeats must be null-safe -- a plain `!=`
+    evaluates to NULL for NULL-keyed rows and silently drops real groups
+    along with the sentinels."""
+    from rlink_rs_spark.streaming.watermarks import HEARTBEAT_KEY, strip_heartbeats
+
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2), (HEARTBEAT_KEY, 3)], "k string, v int"
+    )
+    kept = {(r.k, r.v) for r in strip_heartbeats(df, "k").collect()}
+    assert kept == {("a", 1), (None, 2)}
