@@ -35,75 +35,73 @@ from rlink_rs_spark.queries import search  # noqa: E402,F401
 # Exactly 50 entries; test_registry enforces the count and resolution.
 _DRIVER_WINDOW_PRIORITY = [
     "flagship_sliding_window_agg",
-    # -- new in r14 (never driver-rowed): the example-connect app composed
-    # end-to-end as ONE streaming query (VERDICT r13 #5) and the
-    # WatermarksWithIdleness keep-alive mitigation (VERDICT r13 #4), both
-    # with engine-behavior assertions that RAISE on divergence.
-    "example_connect_app_parity",
-    "streaming_idle_source_heartbeat",
+    # -- new in r15 (never driver-rowed): the example-kafka app composed
+    # end-to-end as ONE pipeline -- loopback produce, Direct offset-range
+    # seek (the reference's exact begin offsets), from_json InputMapper,
+    # sliding window sum, OutputMapper to_json, foreachBatch producer
+    # (VERDICT r14 #3).
+    "example_kafka_app_parity",
+    # -- changed in r15, fresh rows prove the new code: decode_ppm's
+    # header scans are now bounded (ADVICE r14) and strip_heartbeats is
+    # null-safe (ADVICE r14).
     "multimodal_ppm_roundtrip",
-    "multimodal_wav_features",
-    # -- changed in r14, fresh rows prove the new code: the late-data
-    # report now reads the engine metric through run_to_memory's
-    # listener-bus drain barrier (ADVICE r13); the CDC merge sink's GC
-    # prunes emptied epoch-dir husks (O(epochs) directory growth found by
-    # the 100-epoch soak witness).
-    "streaming_late_data_report",
-    "streaming_cdc_merge",
-    # -- r14 rotation (VERDICT r13 #2): the full r9-stale cohort (6) and
-    # the 37 alphabetically-first of the 45 r10-stale queries re-proven on
-    # current fixtures (md5-pinned unchanged since r8). The 8 r10
-    # leftovers (rollup_agg, set_ops_users, streaming_constraint_monitor,
-    # streaming_decontamination, streaming_flagship_agg,
-    # streaming_hybrid_search, streaming_intake_dlq,
-    # streaming_pack_sequences) rotate in next
-    # round; every displaced query sits in a pytest parity list or the
-    # streaming suite (test_every_oracled_query_has_a_local_witness
-    # enforces it structurally). cosine_topk_gemm stays out: rows-only by
-    # design, nothing for the driver to hash.
-    "temporal_dimension_join",
-    "tfidf_lang_terms",
-    "time_to_next_purchase",
-    "top_k_per_group",
-    "udtf_word_positions",
-    "window_distinct_users",
-    "asof_join_latest_click",
-    "avg_agg",
-    "broadcast_enrichment_join",
-    "cdc_schema_evolution",
-    "constraint_check_report",
-    "cosine_topk_ivf",
-    "cosine_topk_lsh",
-    "cube_agg",
-    "distinct_agg",
-    "doc_fingerprint",
-    "embedding_cosine_near_dup",
-    "exact_median",
-    "flat_map_filter_transform",
-    "hash_sample_docs",
-    "hybrid_search_rrf",
-    "intake_dlq_routing",
-    "lang_id_heuristic",
-    "multi_key_window_agg",
-    "multimodal_binary_features",
-    "multimodal_extract_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_pipeline",
-    "pct_output_decode",
-    "pct_window_agg",
-    "pivot_agg",
-    "profile_columns",
-    "python_datasource_scan",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q18_large_volume_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "quality_score_docs",
-    "range_window_filter",
+    "streaming_idle_source_heartbeat",
+    # -- r15 rotation (VERDICT r14 #2): the full r10-stale leftover cohort
+    # (8) and the 38 alphabetically-first of the 45 r11-stale queries
+    # re-proven on current fixtures (md5-pinned unchanged since r8). The 7
+    # r11 leftovers (union_connect, value_band_join, value_histogram,
+    # vocab_top_terms, weekday_agg, window_offset_agg,
+    # zorder_layout_stats) rotate in next round; every displaced query
+    # sits in a pytest parity list or the streaming suite
+    # (test_every_oracled_query_has_a_local_witness enforces it
+    # structurally). cosine_topk_gemm stays out: rows-only by design,
+    # nothing for the driver to hash.
+    "rollup_agg",
+    "set_ops_users",
+    "streaming_constraint_monitor",
+    "streaming_decontamination",
+    "streaming_flagship_agg",
+    "streaming_hybrid_search",
+    "streaming_intake_dlq",
+    "streaming_pack_sequences",
+    "benchmark_decontamination",
+    "bpe_train_merges",
+    "cdc_optimize_compaction",
+    "cdc_time_travel",
+    "cdc_version_diff",
+    "corpus_prep_pipeline",
+    "cosine_topk_pq",
+    "cosine_topk_sq",
+    "grouping_sets_agg",
+    "moving_average_7d",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "redact_numbers_props",
+    "repetition_quality_signals",
+    "rolling_hash_fingerprint",
+    "session_window_agg",
+    "sessionization",
+    "source_mix_report",
+    "stats_agg",
+    "stratified_sample_docs",
+    "stream_join_then_window_agg",
+    "streaming_dedup_events",
+    "streaming_pct_agg",
+    "streaming_session_window_agg",
+    "streaming_three_stream_connect",
+    "temperature_resample_weights",
+    "text_stats_tokens",
+    "timeseries_gap_fill",
+    "token_count_bpe",
+    "trade_graph_triangles",
+    "train_test_split",
+    "tumbling_window_agg",
 ]
 
 

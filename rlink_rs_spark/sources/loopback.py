@@ -89,7 +89,10 @@ def publish(envelope: DataFrame, topic_dir: str) -> None:
 
 
 def publish_stream(
-    envelope_stream: DataFrame, topic_dir: str, checkpoint: str
+    envelope_stream: DataFrame,
+    topic_dir: str,
+    checkpoint: str,
+    available_now: bool = True,
 ):
     """foreachBatch producer (the KafkaOutputFormat seam): offsets are
     assigned per micro-batch (rank by `__ord` within partition -- window
@@ -122,13 +125,16 @@ def publish_stream(
             "key", "value", "topic", "partition", "offset", "timestamp", "timestampType"
         ).write.mode("append").parquet(topic_dir)
 
-    return (
+    writer = (
         envelope_stream.writeStream.outputMode("append")
         .foreachBatch(handle)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:  # long-running producer (kill/resume witnesses)
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()
 
 
 def subscribe(
@@ -137,13 +143,26 @@ def subscribe(
     starting_offsets: str | dict | None = None,
     starting_timestamp_ms: int | None = None,
     max_files_per_trigger: int | None = None,
+    ending_offsets: dict | None = None,
 ) -> DataFrame:
     """Streaming consumer over the loopback topic, Kafka schema + the three
-    seek modes of the reference's KafkaInputFormat."""
+    seek modes of the reference's KafkaInputFormat.
+
+    ending_offsets completes OffsetRange::Direct (offset_range.rs): a
+    per-partition INCLUSIVE end -- the reference's consumer drops a record
+    only when `end_offset < offset` (consumer.rs:84), so offsets
+    begin..=end flow through. Partitions absent from the dict are
+    unbounded."""
     reader = spark.readStream.schema(KAFKA_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(topic_dir)
+    if ending_offsets:
+        cond = None
+        for p, o in ending_offsets.items():
+            c = (F.col("partition") != int(p)) | (F.col("offset") <= int(o))
+            cond = c if cond is None else (cond & c)
+        df = df.where(cond)
     if starting_timestamp_ms is not None:
         return df.where(F.unix_millis("timestamp") >= starting_timestamp_ms)
     if isinstance(starting_offsets, dict):

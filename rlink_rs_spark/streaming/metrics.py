@@ -55,6 +55,11 @@ class ProgressCollector(StreamingQueryListener):
                 getattr(o, "numRowsDroppedByWatermark", 0) or 0 for o in ops
             )
             row["stateRows"] = sum(getattr(o, "numRowsTotal", 0) or 0 for o in ops)
+            # per-operator breakdown: chained-stateful plans (two stores in
+            # one query) witness each store's bound separately
+            row["stateRowsPerOp"] = [
+                getattr(o, "numRowsTotal", 0) or 0 for o in ops
+            ]
         except Exception:
             pass
         self.progress.append(row)

@@ -172,3 +172,77 @@ def test_soak_cdc_merge_100_epochs(spark, sf_dir):
         tuple(r) for r in REGISTRY["merge_upsert_snapshot"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_soak_ivf_index_add_100_epochs(spark, sf_dir):
+    """VERDICT r14 #4: the index-maintenance sinks share streaming/deltas.py
+    with the dedup soak but had never run >8 folds in one stream -- the CDC
+    husk-dir leak hid in exactly this class. 100 epochs through the IVF
+    inverted-file sink: per-epoch wall flat, delta/base dir counts bounded
+    by the fold cadence, and the drained index byte-identical to the batch
+    assignment."""
+    from rlink_rs_spark.operators import similarity as sim_ops
+    from rlink_rs_spark.operators.similarity import ivf_assign
+    from rlink_rs_spark.queries.similarity import (
+        _DIMS,
+        _IVF_CELLS,
+        _IVF_ITERS,
+        _artifact_dir,
+        _embeddings_fingerprint,
+    )
+    from rlink_rs_spark.streaming.ann import (
+        read_inverted_file,
+        streaming_index_add_sink,
+    )
+    from rlink_rs_spark.streaming.metrics import ProgressCollector
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = sim_ops.load_or_train_ivf_codebook(
+        spark,
+        emb,
+        dims=_DIMS,
+        cache_dir=_artifact_dir("ivf_codebooks"),
+        fingerprint=_embeddings_fingerprint(sf_dir),
+        n_cells=_IVF_CELLS,
+        iters=_IVF_ITERS,
+    )
+    staged = stage_stream_dir(sf_dir, "embeddings", chunks=_EPOCHS, order_col="vec_id")
+    state_dir = tempfile.mkdtemp(prefix="rlink_soak_ivf_")
+    ck = tempfile.mkdtemp(prefix="rlink_soak_ivf_ck_")
+    src = stream_from_staged(
+        spark, staged, sf_dir, "embeddings", max_files_per_trigger=1
+    )
+
+    collector = ProgressCollector()
+    spark.streams.addListener(collector)
+    try:
+        q = streaming_index_add_sink(
+            src.select("vec_id", "embedding"),
+            codebook=codebook,
+            state_dir=state_dir,
+            checkpoint=ck,
+            dims=_DIMS,
+            compact_every=8,
+        )
+        assert q.awaitTermination(1800), "soak IVF stream did not drain"
+        assert q.exception() is None
+    finally:
+        spark.streams.removeListener(collector)
+
+    assert len(collector.progress) >= _EPOCHS - 5
+    durs = [p["triggerMs"] for p in collector.progress if p.get("triggerMs")]
+    q2, q4 = _epoch_medians(durs)
+    assert q4 <= 2.0 * q2, f"per-epoch wall grew across the soak: Q2={q2} Q4={q4}"
+
+    # ~12 folds: deltas bounded by the cadence, bases GC'd to the newest
+    # (plus at most one superseded survivor mid-GC)
+    names = os.listdir(state_dir)
+    deltas = [x for x in names if x.startswith("batch_id=")]
+    bases = [x for x in names if x.startswith("base_upto=")]
+    assert len(deltas) <= 8 + 1, sorted(deltas)
+    assert len(bases) <= 2, sorted(bases)
+
+    got = {tuple(r) for r in read_inverted_file(spark, state_dir).collect()}
+    want = {tuple(r) for r in ivf_assign(emb, codebook, _DIMS).collect()}
+    assert got == want and got

@@ -570,6 +570,139 @@ def test_example_connect_chained_aggs_match_oracle(spark, duck, sf_dir):
     run_query_vs_oracle(spark, duck, sf_dir, "example_connect_app_parity")
 
 
+def test_example_kafka_app_kill_resume(spark, duck, sf_dir):
+    """Kill the example-kafka replay mid-stream and resume from the
+    checkpoint: the offset-range seek, windowed sum state, AND the
+    foreachBatch producer sink must all recover. The producer is
+    at-least-once (a killed uncommitted epoch replays, like a real
+    non-idempotent Kafka producer), so the witness compares the DISTINCT
+    decoded output rows -- exactly-once per (key, payload) -- against the
+    composed oracle."""
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.streams import (
+        _KAFKA_BEGIN,
+        _KAFKA_END,
+        _KAFKA_PARTS,
+        example_kafka_plan,
+    )
+    from rlink_rs_spark.sources.loopback import (
+        KAFKA_SCHEMA,
+        publish,
+        publish_stream,
+        subscribe,
+        to_envelope,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    in_env = to_envelope(
+        events,
+        key_col="event_id",
+        value_col=F.to_json(
+            F.struct(
+                F.unix_millis("ts").alias("timestamp"),
+                F.col("event_type").alias("name"),
+                F.round(F.col("value") * 100).cast("long").alias("value"),
+            )
+        ),
+        topic="rlink-test",
+        n_partitions=_KAFKA_PARTS,
+        ts_col="ts",
+        order_col="event_id",
+    )
+    topic_dir = tempfile.mkdtemp(prefix="rlink_ekafka_kr_in_")
+    publish(in_env, topic_dir)
+    out_dir = tempfile.mkdtemp(prefix="rlink_ekafka_kr_out_")
+    ck = tempfile.mkdtemp(prefix="rlink_ekafka_kr_ck_")
+
+    def start(available_now: bool):
+        src = subscribe(
+            spark,
+            topic_dir,
+            starting_offsets=_KAFKA_BEGIN,
+            ending_offsets=_KAFKA_END,
+            max_files_per_trigger=1,
+        )
+        return publish_stream(
+            example_kafka_plan(spark, src), out_dir, ck, available_now=available_now
+        )
+
+    q = start(available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.5)
+    q.stop()  # kill mid-replay (>=1 batch committed, more pending)
+    q.awaitTermination(60)
+
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(300), "resumed example-kafka stream timed out"
+
+    from pyspark.sql import types as T
+
+    payload = T.StructType(
+        [
+            T.StructField("timestamp", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+    got = {
+        tuple(r)
+        for r in spark.read.schema(KAFKA_SCHEMA)
+        .parquet(out_dir)
+        .select(
+            "partition",
+            F.col("key").cast("string").alias("key"),
+            F.from_json(F.col("value").cast("string"), payload).alias("p"),
+        )
+        .select("partition", "key", "p.timestamp", "p.name", "p.value")
+        .distinct()
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.sql(REGISTRY["example_kafka_app_parity"].oracle).fetchall()
+    }
+    assert got == want and got
+
+
+def test_example_kafka_app_matches_oracle(spark, duck, sf_dir):
+    """Single clean run of the composed example-kafka pipeline vs its
+    DuckDB oracle (produce -> Direct offset-range seek -> parse -> sliding
+    window sum -> encode -> produce -> decode)."""
+    from tests.helpers import run_query_vs_oracle
+
+    run_query_vs_oracle(spark, duck, sf_dir, "example_kafka_app_parity")
+
+
+def test_subscribe_ending_offsets_inclusive(spark):
+    """OffsetRange::Direct end bound (offset_range.rs): INCLUSIVE per
+    partition (consumer.rs:84 drops only when end_offset < offset);
+    partitions without an end entry are unbounded."""
+    from rlink_rs_spark.sources.loopback import subscribe
+
+    topic_dir = tempfile.mkdtemp(prefix="rlink_endoff_")
+    rows = [(p, o) for p in range(3) for o in range(10)]
+    spark.createDataFrame(rows, "partition int, offset long").selectExpr(
+        "CAST(CAST(offset AS STRING) AS BINARY) AS key",
+        "CAST('x' AS BINARY) AS value",
+        "'t' AS topic",
+        "partition",
+        "offset",
+        "CAST(timestamp_millis(offset * 1000) AS TIMESTAMP) AS timestamp",
+        "0 AS timestampType",
+    ).write.mode("overwrite").parquet(topic_dir)
+    got = run_to_memory(
+        subscribe(
+            spark,
+            topic_dir,
+            starting_offsets={0: 2, 1: 0},  # partition 2 excluded by seek
+            ending_offsets={0: 5, 1: 3},
+        ).select("partition", "offset")
+    )
+    sel = sorted((r.partition, r.offset) for r in got.collect())
+    assert sel == [(0, o) for o in range(2, 6)] + [(1, o) for o in range(0, 4)]
+
+
 def test_rate_heartbeats_live_unpins_watermark(spark, sf_dir):
     """WALL-CLOCK witness for the production idleness path: a file source
     delivers all its (historical) data in batch 0 and then goes idle; in

@@ -91,6 +91,51 @@ def interval_join_leg(spark, sf_dir: str, chunks: int) -> dict:
     }
 
 
+def chained_app_leg(spark, sf_dir: str, chunks: int) -> dict:
+    """VERDICT r14 #5: the example-connect app plan runs TWO state stores
+    in one query (sparse bucket counts -> window_time merge) -- the shape
+    where state interaction would break first at 1000x. Replays the
+    time-tiled events through the parquet-sink bridge and records BOTH
+    stores' state rows: each must be flat across stream position
+    (watermark eviction bounds both to ~per-epoch volume + horizon)."""
+    from rlink_rs_spark.queries.streams import example_connect_plan
+    from rlink_rs_spark.streaming.metrics import ProgressCollector
+    from rlink_rs_spark.streaming.runner import run_to_parquet
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    staged = stage_stream_dir(sf_dir, "events", chunks=chunks, order_col="ts")
+    src = stream_from_staged(spark, staged, sf_dir, "events", max_files_per_trigger=1)
+    out = example_connect_plan(spark, sf_dir, src)
+    col = ProgressCollector()
+    t0 = time.time()
+    res = run_to_parquet(out, shuffle_partitions=8, listener=col)
+    rows = res.count()
+    wall = round(time.time() - t0, 2)
+    shutil.rmtree(staged, ignore_errors=True)
+    per_op = [p.get("stateRowsPerOp") or [] for p in col.progress]
+    n_ops = max((len(x) for x in per_op), default=0)
+    qn = max(1, len(per_op) // 4)
+
+    def op_series(i: int) -> list[int]:
+        return [x[i] if len(x) > i else 0 for x in per_op]
+
+    stores = {}
+    for i in range(n_ops):
+        s = op_series(i)
+        stores[f"op{i}"] = {
+            "max_state_rows": max(s) if s else 0,
+            "state_rows_q1_max": max(s[:qn]) if s else 0,
+            "state_rows_q4_max": max(s[-qn:]) if s else 0,
+        }
+    return {
+        "rows": rows,
+        "wall_sec": wall,
+        "epochs": len(col.progress),
+        "n_state_operators": n_ops,
+        "stores": stores,
+    }
+
+
 def cdc_merge_leg(spark, sf_dir: str, chunks: int) -> dict:
     from rlink_rs_spark.streaming.cdc import (
         read_merged_snapshot,
@@ -141,8 +186,57 @@ def cdc_merge_leg(spark, sf_dir: str, chunks: int) -> dict:
     return res
 
 
+def run_chained_only(root: str) -> None:
+    """VERDICT r14 #5 incremental mode (`... run_stream_probe.py ROOT
+    chained`): run ONLY the chained-stateful app leg at both scales and
+    MERGE it into the existing sf1000_stream_probe record -- never
+    clobbering the interval-join/CDC evidence (the r13 composer lesson;
+    tests/test_scale_artifacts.py pins the union of keys)."""
+    import pyarrow.parquet as pq
+
+    from rlink_rs_spark.session import get_spark
+
+    spark = get_spark("stream_probe_chained")
+    legs: dict[str, dict] = {}
+    for scale, chunks in (("base", 8), ("sf1000", 32)):
+        sf_dir = os.path.join(root, scale)
+        leg = chained_app_leg(spark, sf_dir, chunks)
+        leg["n_events"] = pq.read_metadata(
+            os.path.join(sf_dir, "events.parquet")
+        ).num_rows
+        leg["chunks"] = chunks
+        legs[scale] = leg
+        print(scale, json.dumps(leg), flush=True)
+
+    path = os.path.join(REPO, "SCALE100.json")
+    with open(path) as f:
+        doc = json.load(f)
+    probe = doc.get("sf1000_stream_probe", {})
+    for scale in legs:
+        probe.setdefault("legs", {}).setdefault(scale, {})["chained_app"] = legs[scale]
+    sf1000 = legs["sf1000"]["stores"]
+    probe["chained_state_q4_over_q1_per_store"] = {
+        op: round(s["state_rows_q4_max"] / max(1, s["state_rows_q1_max"]), 2)
+        for op, s in sf1000.items()
+    }
+    probe["chained_note"] = (
+        "example-connect app plan (TWO chained stateful window aggs in one "
+        "query) over the same time-tiled fixture: per-store state must be "
+        "flat across the 1000x replay -- both stores are watermark-evicted, "
+        "so each tracks per-epoch volume + horizon, never stream length."
+    )
+    probe["chained_loadavg"] = os.getloadavg()[0]
+    doc["sf1000_stream_probe"] = probe
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print("merged chained_app legs into sf1000_stream_probe")
+
+
 def main() -> None:
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/streamprobe"
+    if len(sys.argv) > 2 and sys.argv[2] == "chained":
+        run_chained_only(root)
+        return
     from rlink_rs_spark.session import get_spark
 
     import pyarrow.parquet as pq
