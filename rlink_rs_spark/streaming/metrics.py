@@ -56,9 +56,16 @@ class ProgressCollector(StreamingQueryListener):
             )
             row["stateRows"] = sum(getattr(o, "numRowsTotal", 0) or 0 for o in ops)
             # per-operator breakdown: chained-stateful plans (two stores in
-            # one query) witness each store's bound separately
+            # one query) witness each store's bound separately. Both series
+            # matter: a downstream agg whose windows finalize in the same
+            # batch its inputs arrive shows numRowsTotal == 0 at batch end
+            # (state evicted within the batch) while numRowsUpdated carries
+            # its real per-epoch churn.
             row["stateRowsPerOp"] = [
                 getattr(o, "numRowsTotal", 0) or 0 for o in ops
+            ]
+            row["stateUpdatedPerOp"] = [
+                getattr(o, "numRowsUpdated", 0) or 0 for o in ops
             ]
         except Exception:
             pass

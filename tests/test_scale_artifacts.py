@@ -78,3 +78,23 @@ def test_stream_probe_record_shape(scale100):
     per_row = probe["join_state_per_epoch_row"]
     assert 0.5 <= per_row["sf1000"] / per_row["base"] <= 2.0
     assert probe["join_state_share_of_input_sf1000"] < 0.05
+
+
+def test_stream_probe_chained_app_record_shape(scale100):
+    """The chained-stateful tier (VERDICT r14 #5): the example-connect app
+    plan runs TWO state stores in one query; each store's occupancy must
+    be flat across the 1000x replay. The upstream bucket agg is witnessed
+    on end-of-batch state rows; the downstream merge agg finalizes within
+    the batch its inputs arrive (numRowsTotal 0 at batch end), so its
+    flatness is witnessed on per-epoch numRowsUpdated churn -- the ratio
+    map covers BOTH, and both must be ~1."""
+    probe = scale100["sf1000_stream_probe"]
+    ratios = probe["chained_state_q4_over_q1_per_store"]
+    assert len(ratios) == 2, ratios
+    for op, r in ratios.items():
+        assert 0.5 <= r <= 1.5, f"{op} chained-app state not flat: {r}"
+    leg = probe["legs"]["sf1000"]["chained_app"]
+    base = probe["legs"]["base"]["chained_app"]
+    assert leg["n_state_operators"] == 2
+    # exact 1000x output (per-tile key disjointness held through BOTH aggs)
+    assert leg["rows"] / base["rows"] >= 999.0
