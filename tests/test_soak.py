@@ -240,6 +240,7 @@ def test_soak_ivf_index_add_100_epochs(spark, sf_dir):
     names = os.listdir(state_dir)
     deltas = [x for x in names if x.startswith("batch_id=")]
     bases = [x for x in names if x.startswith("base_upto=")]
+    print(f"soak-ivf epoch-median Q2={q2}ms Q4={q4}ms deltas={len(deltas)} bases={len(bases)}")
     assert len(deltas) <= 8 + 1, sorted(deltas)
     assert len(bases) <= 2, sorted(bases)
 
