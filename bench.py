@@ -211,12 +211,31 @@ def run_chunk(names: list[str], sf_dir: str, warm_dir: str, out_path: str) -> No
         json.dump({"timings": timings, "warmup_failures": warmup_failures}, f)
 
 
+def host_control() -> float:
+    """Fixed single-core pure-Python workload (~1s nominal): SHA-256 over a
+    constant buffer, iteration count pinned. The absolute value is
+    meaningless; the RATIO between two boards' values isolates host
+    throughput from plan changes (the r8/r14 ambient-drift episodes both
+    needed exactly this discriminator and had to reconstruct it ad hoc)."""
+    import hashlib
+    import time as _t
+
+    buf = b"\x5a" * 65536
+    t0 = _t.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(8192):
+        h.update(buf)
+    assert h.hexdigest()  # keep the loop un-elidable
+    return round(_t.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    control_sec = host_control()  # before the legs' own load starts
     names = [n for n, q in REGISTRY.items() if q.bench]
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     if only:
@@ -295,6 +314,13 @@ def main() -> None:
         # or declared incomparable at a glance
         "fixture_md5": fixture_fingerprint(sf_dir),
         "loadavg": [round(x, 2) for x in os.getloadavg()],
+        # fixed single-core host control (r15, after the unattributable
+        # r13->r14 ~4% board drift): a constant pure-Python workload timed
+        # in-process. Two boards whose host_control_sec differ by ~X% have
+        # an ~X% host-throughput delta -- per-query ratios near X are
+        # ambient, not plan regressions. Computed at main() entry, before
+        # the legs' own load starts.
+        "host_control_sec": control_sec,
         "warmup_failures": warmup_failures,
         "not_benched": NOT_BENCHED,
         "n_buckets": n_buckets,

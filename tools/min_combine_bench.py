@@ -58,6 +58,8 @@ def main() -> None:
     out["value"] = round(sum(queries.values()), 3)
     out["min_of"] = in_paths
     out["leg_totals"] = [leg["value"] for leg in legs]
+    out["leg_loadavg"] = [leg.get("loadavg") for leg in legs]
+    out["leg_host_control_sec"] = [leg.get("host_control_sec") for leg in legs]
     out["max_spread"] = max(spread.values()) if spread else None
     # per-query evidence, kept only where it says something (>1 legs and
     # non-trivial spread) so the artifact doesn't double in size
