@@ -41,16 +41,21 @@ _DRIVER_WINDOW_PRIORITY = [
     # sliding window sum, OutputMapper to_json, foreachBatch producer
     # (VERDICT r14 #3).
     "example_kafka_app_parity",
+    # -- new in r15 wave 2: the Kafka runtime contract on the
+    # partition-aware Python streaming DataSource (one InputSplit per
+    # topic-partition, seek, Arrow-batched executor reads).
+    "kafka_python_stream_source",
     # -- changed in r15, fresh rows prove the new code: decode_ppm's
     # header scans are now bounded (ADVICE r14) and strip_heartbeats is
     # null-safe (ADVICE r14).
     "multimodal_ppm_roundtrip",
     "streaming_idle_source_heartbeat",
     # -- r15 rotation (VERDICT r14 #2): the full r10-stale leftover cohort
-    # (8) and the 38 alphabetically-first of the 45 r11-stale queries
-    # re-proven on current fixtures (md5-pinned unchanged since r8). The 7
-    # r11 leftovers (union_connect, value_band_join, value_histogram,
-    # vocab_top_terms, weekday_agg, window_offset_agg,
+    # (8) and the 37 alphabetically-first of the 45 r11-stale queries
+    # re-proven on current fixtures (md5-pinned unchanged since r8). The 8
+    # r11 leftovers (tumbling_window_agg -- displaced by the new
+    # kafka_python_stream_source -- union_connect, value_band_join,
+    # value_histogram, vocab_top_terms, weekday_agg, window_offset_agg,
     # zorder_layout_stats) rotate in next round; every displaced query
     # sits in a pytest parity list or the streaming suite
     # (test_every_oracled_query_has_a_local_witness enforces it
@@ -101,7 +106,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "token_count_bpe",
     "trade_graph_triangles",
     "train_test_split",
-    "tumbling_window_agg",
 ]
 
 

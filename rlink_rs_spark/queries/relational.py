@@ -1015,6 +1015,90 @@ def kafka_loopback_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(parsed, shuffle_partitions=8)
 
 
+_PYDS_SEEK = {0: 10, 1: 0, 2: 150, 3: 75}
+_PYDS_SEEK_DUCK = " OR ".join(
+    f"(partition = {p} AND \"offset\" >= {o})" for p, o in _PYDS_SEEK.items()
+)
+
+
+@register(
+    "kafka_python_stream_source",
+    f"""
+    WITH env AS (
+      SELECT {_LB_PART_DUCK} AS partition,
+             ROW_NUMBER() OVER (PARTITION BY {_LB_PART_DUCK} ORDER BY event_id) - 1 AS "offset",
+             CAST(user_id AS VARCHAR) AS key,
+             event_id AS p_event_id, user_id AS p_user_id, value AS p_value
+      FROM events
+    )
+    SELECT * FROM env WHERE {_PYDS_SEEK_DUCK}
+    """,
+    "The Kafka runtime contract on Spark 4's PARTITION-AWARE Python "
+    "streaming DataSource (sources/kafka_datasource.py): one InputSplit "
+    "per topic-partition with its [start, end) offset range "
+    "(create_input_splits parity, "
+    "connector-kafka/src/source/input_format.rs:26-163), per-partition "
+    "startingOffsets seek, driver-side latestOffset metadata scan, and "
+    "Arrow-batched executor-side reads. The oracle reproduces the "
+    "partitioner, offset ranks, and seek filter, independent of how the "
+    "stream was batched. maxRowsPerTrigger admission control is "
+    "exercised by pytest under a processingTime trigger "
+    "(test_kafka_python_source_rate_limit_invariance): an availableNow "
+    "drain of a Python streaming source runs ONE planned batch, so the "
+    "rate cap would truncate it here.",
+)
+def kafka_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from rlink_rs_spark.sources.kafka_datasource import register_kafka_source
+    from rlink_rs_spark.sources.loopback import publish, to_envelope
+    from rlink_rs_spark.streaming.runner import run_to_memory
+
+    events = load_table(spark, sf_dir, "events")
+    envelope = to_envelope(
+        events,
+        key_col="user_id",
+        value_col=F.to_json(F.struct("event_id", "user_id", "value")),
+        topic="events",
+        n_partitions=_LB_PARTS,
+        ts_col="ts",
+        order_col="event_id",
+    )
+    topic_dir = tempfile.mkdtemp(prefix="rlink_pyds_")
+    publish(envelope, topic_dir)
+    register_kafka_source(spark)
+    stream = (
+        spark.readStream.format("rlink_kafka")
+        .option("topicdir", topic_dir)
+        .option("startingoffsets", _json.dumps(_PYDS_SEEK))
+        .load()
+    )
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    parsed = stream.select(
+        "partition",
+        "offset",
+        F.col("key").cast("string").alias("key"),
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("p"),
+    ).select(
+        "partition",
+        "offset",
+        "key",
+        F.col("p.event_id").alias("p_event_id"),
+        F.col("p.user_id").alias("p_user_id"),
+        F.col("p.value").alias("p_value"),
+    )
+    return run_to_memory(parsed, shuffle_partitions=8)
+
+
 @register(
     "rollup_agg",
     f"""

@@ -703,6 +703,175 @@ def test_subscribe_ending_offsets_inclusive(spark):
     assert sel == [(0, o) for o in range(2, 6)] + [(1, o) for o in range(0, 4)]
 
 
+def _pyds_topic(spark, sf_dir, n_partitions=4):
+    from rlink_rs_spark.sources.loopback import publish, to_envelope
+
+    events = load_table(spark, sf_dir, "events")
+    env = to_envelope(
+        events,
+        key_col="user_id",
+        value_col=F.to_json(F.struct("event_id", "user_id", "value")),
+        topic="events",
+        n_partitions=n_partitions,
+        ts_col="ts",
+        order_col="event_id",
+    )
+    td = tempfile.mkdtemp(prefix="rlink_pyds_t_")
+    publish(env, td)
+    return td
+
+
+def test_kafka_python_source_split_per_partition():
+    """create_input_splits parity (input_format.rs:26-75): partitions()
+    yields exactly one split per topic-partition with data in its
+    [start, end) range; empty and inverted ranges yield no split."""
+    from rlink_rs_spark.sources.kafka_datasource import KafkaTopicStreamReader
+
+    r = KafkaTopicStreamReader({"topicdir": "/nonexistent-ok-for-partitions"})
+    splits = r.partitions({"0": 0, "1": 5, "2": 9}, {"0": 10, "1": 5, "2": 3})
+    assert [(s.partition, s.start, s.end) for s in splits] == [(0, 0, 10)]
+
+
+def test_kafka_python_source_rate_limit_invariance(spark, sf_dir):
+    """maxRowsPerTrigger admission control: a rate-limited multi-batch run
+    under a processingTime trigger must deliver exactly the rows of the
+    unlimited single-batch drain -- batch boundaries never change the
+    result. (availableNow over a Python streaming source is Trigger.Once
+    -- one planned batch -- which is why the cap needs a running trigger;
+    sources/kafka_datasource.py docstring.)"""
+    import json as _json
+
+    from rlink_rs_spark.sources.kafka_datasource import register_kafka_source
+
+    td = _pyds_topic(spark, sf_dir)
+    register_kafka_source(spark)
+    seek = _json.dumps({0: 10, 1: 0, 2: 150, 3: 75})
+
+    def reader():
+        return (
+            spark.readStream.format("rlink_kafka")
+            .option("topicdir", td)
+            .option("startingoffsets", seek)
+        )
+
+    want = {
+        (r.partition, r.offset)
+        for r in run_to_memory(
+            reader().load().select("partition", "offset"), shuffle_partitions=8
+        ).collect()
+    }
+    assert want
+
+    name = f"pyds_rl_{int(time.time())}"
+    q = (
+        reader()
+        .option("maxrowspertrigger", max(1, len(want) // 8))
+        .load()
+        .select("partition", "offset")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {name}").first().c >= len(want):
+                break
+            time.sleep(0.5)
+        got = {
+            (r.partition, r.offset)
+            for r in spark.sql(f"SELECT partition, offset FROM {name}").collect()
+        }
+        batches = len(q.recentProgress)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    assert got == want
+    assert batches > 1, "rate cap did not split the read into multiple batches"
+
+
+def test_kafka_python_source_kill_resume(spark, sf_dir):
+    """Checkpointed offset restart of the custom source (the reference's
+    source/checkpoint.rs contract): kill a rate-limited run mid-stream,
+    resume from the checkpoint into the same file sink -- the union of
+    both runs' appends is exactly the full seek range, no gaps, no
+    duplicate (partition, offset)."""
+    import json as _json
+
+    from rlink_rs_spark.sources.kafka_datasource import register_kafka_source
+
+    td = _pyds_topic(spark, sf_dir)
+    register_kafka_source(spark)
+    seek = _json.dumps({0: 10, 1: 0, 2: 150, 3: 75})
+    out = tempfile.mkdtemp(prefix="rlink_pyds_out_")
+    ck = tempfile.mkdtemp(prefix="rlink_pyds_ck_")
+
+    def start(limit: int | None):
+        r = (
+            spark.readStream.format("rlink_kafka")
+            .option("topicdir", td)
+            .option("startingoffsets", seek)
+        )
+        if limit:
+            r = r.option("maxrowspertrigger", limit)
+        w = (
+            r.load()
+            .select("partition", "offset")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+        )
+        # always a running trigger: over a Python streaming source,
+        # availableNow is Trigger.Once -- on restart it would replay ONLY
+        # the WAL-planned pending batch and stop, stranding the backlog
+        return w.trigger(processingTime="300 milliseconds").start()
+
+    want = {
+        (r.partition, r.offset)
+        for r in run_to_memory(
+            spark.readStream.format("rlink_kafka")
+            .option("topicdir", td)
+            .option("startingoffsets", seek)
+            .load()
+            .select("partition", "offset"),
+            shuffle_partitions=8,
+        ).collect()
+    }
+
+    q = start(limit=max(1, len(want) // 6))
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.3)
+    q.stop()  # kill mid-stream: >=1 committed batch, more pending
+    q.awaitTermination(60)
+
+    q2 = start(limit=None)  # resume: unlimited batches finish the backlog
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            done = spark.read.parquet(out).count()
+            if done >= len(want):
+                break
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+
+    rows = spark.read.parquet(out).select("partition", "offset").collect()
+    got = [(r.partition, r.offset) for r in rows]
+    assert len(got) == len(set(got)), "duplicate (partition, offset) after resume"
+    assert set(got) == want
+
+
+def test_kafka_python_source_matches_oracle(spark, duck, sf_dir):
+    from tests.helpers import run_query_vs_oracle
+
+    run_query_vs_oracle(spark, duck, sf_dir, "kafka_python_stream_source")
+
+
 def test_rate_heartbeats_live_unpins_watermark(spark, sf_dir):
     """WALL-CLOCK witness for the production idleness path: a file source
     delivers all its (historical) data in batch 0 and then goes idle; in
