@@ -45,16 +45,17 @@ _DRIVER_WINDOW_PRIORITY = [
     # partition-aware Python streaming DataSource (one InputSplit per
     # topic-partition, seek, Arrow-batched executor reads).
     "kafka_python_stream_source",
+    "kafka_python_stream_sink",
     # -- changed in r15, fresh rows prove the new code: decode_ppm's
     # header scans are now bounded (ADVICE r14) and strip_heartbeats is
     # null-safe (ADVICE r14).
     "multimodal_ppm_roundtrip",
     "streaming_idle_source_heartbeat",
     # -- r15 rotation (VERDICT r14 #2): the full r10-stale leftover cohort
-    # (8) and the 37 alphabetically-first of the 45 r11-stale queries
-    # re-proven on current fixtures (md5-pinned unchanged since r8). The 8
-    # r11 leftovers (tumbling_window_agg -- displaced by the new
-    # kafka_python_stream_source -- union_connect, value_band_join,
+    # (8) and the 36 alphabetically-first of the 45 r11-stale queries
+    # re-proven on current fixtures (md5-pinned unchanged since r8). The 9
+    # r11 leftovers (tumbling_window_agg and train_test_split -- displaced
+    # by the two new kafka_python queries -- union_connect, value_band_join,
     # value_histogram, vocab_top_terms, weekday_agg, window_offset_agg,
     # zorder_layout_stats) rotate in next round; every displaced query
     # sits in a pytest parity list or the streaming suite
@@ -105,7 +106,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "timeseries_gap_fill",
     "token_count_bpe",
     "trade_graph_triangles",
-    "train_test_split",
 ]
 
 

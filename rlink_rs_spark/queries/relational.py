@@ -1100,6 +1100,91 @@ def kafka_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kafka_python_stream_sink",
+    f"""
+    SELECT {_LB_PART_DUCK} AS partition,
+           CAST(user_id AS VARCHAR) AS key,
+           event_id AS p_event_id, user_id AS p_user_id, value AS p_value
+    FROM events
+    """,
+    "KafkaOutputFormat's producer contract on the native Python "
+    "streaming-writer face (sources/kafka_datasource.py "
+    "KafkaTopicStreamWriter, sink/output_format.rs parity): events "
+    "streamed through to_envelope into writeStream.format('rlink_kafka') "
+    "-- tasks stage parquet under _tmp/, the driver-side commit assigns "
+    "per-partition offsets continuing from the committed high-water mark "
+    "and records the batchId in a commit log (a checkpoint-replayed "
+    "epoch discards its duplicate send: exactly-once per row, "
+    "kill/resume pytest-witnessed) -- then the topic is read back and "
+    "payload-decoded. Offsets are excluded from the oracle by design: "
+    "cross-task append order within a batch is nondeterministic exactly "
+    "as a real broker's is; per-partition 0..n-1 contiguity is "
+    "pytest-pinned instead.",
+)
+def kafka_python_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from rlink_rs_spark.sources.kafka_datasource import register_kafka_source
+    from rlink_rs_spark.sources.loopback import to_envelope
+    from rlink_rs_spark.streaming.runner import drain_timeout
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    staged = stage_stream_dir(sf_dir, "events", chunks=4, order_col="ts")
+    src = stream_from_staged(spark, staged, sf_dir, "events")
+    envelope = to_envelope(
+        src,
+        key_col="user_id",
+        value_col=F.to_json(F.struct("event_id", "user_id", "value")),
+        topic="events-out",
+        n_partitions=_LB_PARTS,
+        ts_col="ts",
+        assign_offset=False,
+    ).drop("__ord")
+    register_kafka_source(spark)
+    topic_dir = tempfile.mkdtemp(prefix="rlink_pyds_sink_")
+    ck = tempfile.mkdtemp(prefix="rlink_pyds_sink_ck_")
+    q = (
+        envelope.writeStream.format("rlink_kafka")
+        .option("topicdir", topic_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(drain_timeout(300.0))
+    finally:
+        if q.isActive:
+            q.stop()
+    if not finished:
+        raise TimeoutError("rlink_kafka producer did not drain in time")
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.parquet(topic_dir)
+        .select(
+            "partition",
+            F.col("key").cast("string").alias("key"),
+            F.from_json(F.col("value").cast("string"), payload_schema).alias("p"),
+        )
+        .select(
+            "partition",
+            "key",
+            F.col("p.event_id").alias("p_event_id"),
+            F.col("p.user_id").alias("p_user_id"),
+            F.col("p.value").alias("p_value"),
+        )
+    )
+
+
+@register(
     "rollup_agg",
     f"""
     SELECT COALESCE(event_type, '(all)') AS event_type,

@@ -47,7 +47,9 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from rlink_rs_spark.sources.loopback import KAFKA_SCHEMA
@@ -73,6 +75,8 @@ def _scan_high_water(topic_dir: str) -> dict[int, int]:
     if not os.path.isdir(topic_dir):
         return {}
     dataset = ds.dataset(topic_dir, format="parquet")
+    if "partition" not in dataset.schema.names:  # empty topic (no files yet)
+        return {}
     hw: dict[int, int] = {}
     for batch in dataset.to_batches(columns=["partition", "offset"]):
         if batch.num_rows == 0:
@@ -169,6 +173,133 @@ class KafkaTopicStreamReader(DataSourceStreamReader):
                 yield pa.Table.from_batches([batch]).cast(target).to_batches()[0]
 
 
+class EnvelopeFileCommit(WriterCommitMessage):
+    """One per successful task: the temp file it staged + its row count."""
+
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+PRODUCER_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+class KafkaTopicStreamWriter(DataSourceStreamWriter):
+    """KafkaOutputFormat's producer contract (sink/output_format.rs) on
+    the native streaming-writer face, EXACTLY-ONCE per row:
+
+      * write(): each task stages its partition's envelope rows (sans
+        offset -- a producer never chooses offsets) as a parquet file
+        under `<topic>/_tmp/` (underscore prefix: invisible to both
+        Spark and pyarrow dataset discovery)
+      * commit(messages, batchId): the loopback 'broker' append -- if
+        batchId is already in the commit log (checkpoint-replayed epoch
+        after a crash), the staged temps are DISCARDED, making the
+        at-least-once replay exactly-once; otherwise offsets are
+        assigned per partition continuing from the committed high-water
+        mark and the batch lands as one published file + a commit record
+      * abort(): drops the staged temps
+
+    Offset assignment is the broker's inherently per-partition-serial
+    step: done driver-side over the staged Arrow data, O(batch) rows per
+    epoch (bounded by trigger admission), never O(topic). Task order
+    within a batch is nondeterministic, so cross-task offset ORDER is
+    too (exactly like a real broker ingesting concurrent producer
+    sends); per-partition contiguity 0..n-1 is guaranteed and
+    pytest-pinned, and oracle comparisons decode (partition, key,
+    payload), not offsets -- the example_kafka_app_parity convention."""
+
+    def __init__(self, options):
+        self.topic_dir = options.get("topicdir")
+        if not self.topic_dir:
+            raise ValueError("rlink_kafka sink requires option('topicdir', ...)")
+
+    def write(self, iterator) -> EnvelopeFileCommit:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp_dir = os.path.join(self.topic_dir, "_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        cols = {
+            "key": [],
+            "value": [],
+            "topic": [],
+            "partition": [],
+            "timestamp": [],
+            "timestampType": [],
+        }
+        n = 0
+        for row in iterator:
+            cols["key"].append(bytes(row.key) if row.key is not None else None)
+            cols["value"].append(bytes(row.value) if row.value is not None else None)
+            cols["topic"].append(row.topic)
+            cols["partition"].append(row.partition)
+            cols["timestamp"].append(row.timestamp)
+            cols["timestampType"].append(row.timestampType)
+            n += 1
+        schema = pa.schema(
+            [
+                pa.field("key", pa.binary()),
+                pa.field("value", pa.binary()),
+                pa.field("topic", pa.string()),
+                pa.field("partition", pa.int32()),
+                pa.field("timestamp", pa.timestamp("us")),
+                pa.field("timestampType", pa.int32()),
+            ]
+        )
+        path = os.path.join(tmp_dir, f"stage-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table(cols, schema=schema), path)
+        return EnvelopeFileCommit(path, n)
+
+    # -- driver-side broker append --------------------------------------
+    def _commit_log(self) -> str:
+        d = os.path.join(self.topic_dir, "_commits")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def commit(self, messages, batchId: int) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        marker = os.path.join(self._commit_log(), f"batch-{batchId}.json")
+        staged = [m.path for m in messages if m is not None and m.rows > 0]
+        if os.path.exists(marker):  # replayed epoch: drop the duplicate send
+            for p in staged:
+                if os.path.exists(p):
+                    os.remove(p)
+            return
+        hw = _scan_high_water(self.topic_dir)
+        out_path = os.path.join(self.topic_dir, f"batch-{batchId}.parquet")
+        if staged:
+            table = pa.concat_tables([pq.read_table(p) for p in staged])
+            parts = table.column("partition").to_pylist()
+            next_off = dict(hw)
+            offsets = []
+            for p in parts:
+                o = next_off.get(p, 0)
+                offsets.append(o)
+                next_off[p] = o + 1
+            table = table.add_column(
+                4, pa.field("offset", pa.int64()), [pa.array(offsets, pa.int64())]
+            )
+            pq.write_table(table, out_path)
+        with open(marker, "w") as f:
+            json.dump({"files": [os.path.basename(out_path)] if staged else [],
+                       "rows": int(sum(m.rows for m in messages if m))}, f)
+        for p in staged:
+            os.remove(p)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class KafkaTopicDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -179,6 +310,9 @@ class KafkaTopicDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return KafkaTopicStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return KafkaTopicStreamWriter(self.options)
 
 
 def register_kafka_source(spark) -> None:

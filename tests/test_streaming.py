@@ -872,6 +872,91 @@ def test_kafka_python_source_matches_oracle(spark, duck, sf_dir):
     run_query_vs_oracle(spark, duck, sf_dir, "kafka_python_stream_source")
 
 
+def test_kafka_python_sink_matches_oracle(spark, duck, sf_dir):
+    from tests.helpers import run_query_vs_oracle
+
+    run_query_vs_oracle(spark, duck, sf_dir, "kafka_python_stream_sink")
+
+
+def test_kafka_python_sink_offsets_contiguous_and_kill_resume(spark, sf_dir):
+    """The producer face end-to-end under crash: a processingTime run with
+    one file per trigger is killed after >=2 epochs, then resumed from the
+    checkpoint. The batchId commit log must make the replayed epoch's
+    duplicate send a no-op (exactly-once per ROW, not just per key), and
+    the topic's offsets must be contiguous 0..n-1 per partition across
+    the crash boundary -- the broker-append invariant the oracle
+    deliberately does not cover."""
+    from rlink_rs_spark.sources.kafka_datasource import register_kafka_source
+    from rlink_rs_spark.sources.loopback import to_envelope
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    register_kafka_source(spark)
+    td = tempfile.mkdtemp(prefix="rlink_pyds_sink_kr_")
+    ck = tempfile.mkdtemp(prefix="rlink_pyds_sink_kr_ck_")
+    staged = stage_stream_dir(sf_dir, "events", chunks=8, order_col="ts")
+
+    def start():
+        src = stream_from_staged(
+            spark, staged, sf_dir, "events", max_files_per_trigger=1
+        )
+        env = to_envelope(
+            src,
+            key_col="user_id",
+            value_col=F.to_json(F.struct("event_id", "user_id", "value")),
+            topic="events-out",
+            n_partitions=4,
+            ts_col="ts",
+            assign_offset=False,
+        ).drop("__ord")
+        return (
+            env.writeStream.format("rlink_kafka")
+            .option("topicdir", td)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 3:
+        time.sleep(0.3)
+    q.stop()  # kill mid-stream
+    q.awaitTermination(60)
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    q2 = start()
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            import glob
+
+            have = (
+                spark.read.parquet(td).count()
+                if glob.glob(os.path.join(td, "batch-*.parquet"))
+                else 0
+            )
+            if have >= n_events:
+                break
+            time.sleep(0.5)
+    finally:
+        q2.stop()
+        q2.awaitTermination(60)
+
+    out = spark.read.parquet(td)
+    assert out.count() == n_events, "row loss or duplicate send across the crash"
+    per_part = out.groupBy("partition").agg(
+        F.min("offset").alias("mn"),
+        F.max("offset").alias("mx"),
+        F.count("*").alias("n"),
+        F.countDistinct("offset").alias("nd"),
+    )
+    for r in per_part.collect():
+        assert r.mn == 0 and r.mx == r.n - 1 and r.nd == r.n, r
+    # key identity intact: every event appears exactly once by payload
+    keys = out.select(F.col("value").cast("string").alias("v")).distinct().count()
+    assert keys == n_events
+
+
 def test_rate_heartbeats_live_unpins_watermark(spark, sf_dir):
     """WALL-CLOCK witness for the production idleness path: a file source
     delivers all its (historical) data in batch 0 and then goes idle; in
