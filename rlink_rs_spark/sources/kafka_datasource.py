@@ -10,8 +10,9 @@ split's consumer loop to a task, seeking that partition's begin offset
 DataSourceStreamReader face -- the one that matches Kafka's execution
 model:
 
-  * `initialOffset()`  -> per-partition begin offsets (seek modes:
-    earliest / per-partition dict, input_format.rs:76-163)
+  * `initialOffset()`  -> per-partition begin offsets, ALL THREE of the
+    reference's seek modes (input_format.rs:76-163): earliest/latest,
+    explicit per-partition dict, and timestamp (offsetsForTimes parity)
   * `latestOffset()`   -> driver-side METADATA scan: per-partition
     high-water marks, reading only the (partition, offset) columns of
     the loopback topic dir (columnar projection -- never the payload)
@@ -89,17 +90,60 @@ def _scan_high_water(topic_dir: str) -> dict[int, int]:
     return hw
 
 
+def _offsets_for_time(
+    topic_dir: str, ts_ms: int, hw: dict[int, int]
+) -> dict[int, int]:
+    """offsetsForTimes parity (seek mode 3, input_format.rs:135-163): per
+    partition, the FIRST offset whose record timestamp >= the seek point;
+    the partition's high-water mark where no such record exists. Columnar
+    projection of (partition, offset, timestamp) only."""
+    import datetime
+
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(topic_dir, format="parquet")
+    if "partition" not in dataset.schema.names:
+        return {}
+    seek = datetime.datetime.fromtimestamp(ts_ms / 1000.0, datetime.timezone.utc)
+    begin = dict(hw)
+    for batch in dataset.to_batches(columns=["partition", "offset", "timestamp"]):
+        parts = batch.column("partition").to_pylist()
+        offs = batch.column("offset").to_pylist()
+        tss = batch.column("timestamp").to_pylist()
+        for p, o, t in zip(parts, offs, tss):
+            if t is None:
+                continue
+            if t.tzinfo is None:  # naive micros are session-UTC by convention
+                t = t.replace(tzinfo=datetime.timezone.utc)
+            if t >= seek and o < begin.get(p, 0):
+                begin[p] = o
+    return begin
+
+
 class KafkaTopicStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.topic_dir = options.get("topicdir")
         if not self.topic_dir:
             raise ValueError("rlink_kafka requires option('topicdir', ...)")
+        # the reference's three seek modes (input_format.rs:76-163):
+        #   earliest (default) / latest  -> begin = 0 / current high water
+        #   {partition: offset} JSON     -> explicit per-partition begin
+        #   startingtimestampms          -> offsetsForTimes parity: begin =
+        #     each partition's first offset with timestamp >= the seek
+        #     point (high water where no such record exists)
         starting = options.get("startingoffsets", "earliest")
+        self.latest_start = starting == "latest"
         self.starting: dict[int, int] = (
             {int(p): int(o) for p, o in json.loads(starting).items()}
-            if starting not in ("earliest", "", None)
+            if starting not in ("earliest", "latest", "", None)
             else {}
         )
+        ts = options.get("startingtimestampms")
+        self.starting_ts_ms = int(ts) if ts is not None else None
+        if self.starting_ts_ms is not None and (self.latest_start or self.starting):
+            raise ValueError(
+                "startingtimestampms is mutually exclusive with startingoffsets"
+            )
         self.max_rows = int(options.get("maxrowspertrigger", 0))
         # last end this reader PLANNED (not committed): the admission
         # floor for per-call rate limiting. None until the first
@@ -111,15 +155,19 @@ class KafkaTopicStreamReader(DataSourceStreamReader):
 
     # -- offsets ---------------------------------------------------------
     def initialOffset(self) -> dict:
-        hw = _scan_high_water(self.topic_dir)
-        begin = {p: self.starting.get(p, 0) for p in sorted(hw)}
-        return {str(p): o for p, o in begin.items()}
+        begin = self._begin_offsets(_scan_high_water(self.topic_dir))
+        return {str(p): o for p, o in sorted(begin.items())}
+
+    def _begin_offsets(self, hw: dict[int, int]) -> dict[int, int]:
+        if self.latest_start:
+            return dict(hw)
+        if self.starting_ts_ms is not None:
+            return _offsets_for_time(self.topic_dir, self.starting_ts_ms, hw)
+        return {p: self.starting.get(p, 0) for p in hw}
 
     def latestOffset(self) -> dict:
         hw = _scan_high_water(self.topic_dir)
-        floor = self._planned or {
-            p: self.starting.get(p, 0) for p in hw
-        }
+        floor = self._planned or self._begin_offsets(hw)
         end: dict[int, int] = {}
         for p, high in hw.items():
             lo = floor.get(p, self.starting.get(p, 0))

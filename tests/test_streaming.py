@@ -732,6 +732,65 @@ def test_kafka_python_source_split_per_partition():
     assert [(s.partition, s.start, s.end) for s in splits] == [(0, 0, 10)]
 
 
+def test_kafka_python_source_timestamp_and_latest_seek(spark, sf_dir):
+    """Seek modes 1 and 3 on the partition-aware source: 'latest' begins
+    at every partition's high-water mark (a fresh subscription sees only
+    future appends -- i.e. nothing on a static topic), and
+    startingtimestampms reproduces offsetsForTimes: per partition the
+    stream begins at the FIRST (minimum) offset whose record timestamp
+    >= the seek point, so every qualifying record is delivered."""
+    import datetime
+
+    from rlink_rs_spark.sources.kafka_datasource import (
+        KafkaTopicStreamReader,
+        _offsets_for_time,
+        _scan_high_water,
+        register_kafka_source,
+    )
+
+    td = _pyds_topic(spark, sf_dir)
+    register_kafka_source(spark)
+
+    hw = _scan_high_water(td)
+    assert hw and all(v > 0 for v in hw.values())
+    latest = KafkaTopicStreamReader({"topicdir": td, "startingoffsets": "latest"})
+    assert latest.initialOffset() == {str(p): o for p, o in sorted(hw.items())}
+
+    # timestamp seek: median event ts as the seek point
+    events = load_table(spark, sf_dir, "events")
+    seek_ms = int(
+        events.selectExpr("percentile(unix_millis(ts), 0.5) AS m").first().m
+    )
+    seek_dt = datetime.datetime.utcfromtimestamp(seek_ms / 1000.0)
+    begin = _offsets_for_time(td, seek_ms, hw)
+    assert any(0 < begin[p] < hw[p] for p in hw), (begin, hw)
+
+    got = run_to_memory(
+        spark.readStream.format("rlink_kafka")
+        .option("topicdir", td)
+        .option("startingtimestampms", str(seek_ms))
+        .load()
+        .select("partition", "offset", "timestamp"),
+        shuffle_partitions=8,
+    )
+    rows = got.collect()
+    # every streamed row is at/after its partition's resolved begin...
+    assert all(r.offset >= begin[r.partition] for r in rows)
+    # ...the first resolved offset of each partition IS a >=-seek record
+    firsts = {}
+    for r in rows:
+        if r.offset == begin[r.partition]:
+            firsts[r.partition] = r.timestamp
+    seek_naive = datetime.datetime.utcfromtimestamp(seek_ms / 1000.0)
+    assert firsts and all(t >= seek_naive for t in firsts.values())
+    # and nothing qualifying was skipped: begin = MIN qualifying offset per
+    # partition, so every record with ts >= seek must be in the stream
+    # (rows below begin may legitimately include ts<seek stragglers when
+    # ts is not monotone in the producer's order column)
+    n_after = events.where(F.col("ts") >= seek_dt).count()
+    assert sum(1 for r in rows if r.timestamp >= seek_naive) == n_after
+
+
 def test_kafka_python_source_rate_limit_invariance(spark, sf_dir):
     """maxRowsPerTrigger admission control: a rate-limited multi-batch run
     under a processingTime trigger must deliver exactly the rows of the
