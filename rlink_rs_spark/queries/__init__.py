@@ -49,6 +49,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # -- changed in r15, fresh rows prove the new code: decode_ppm's
     # header scans are now bounded (ADVICE r14) and strip_heartbeats is
     # null-safe (ADVICE r14).
+    "multimodal_png_roundtrip",
     "multimodal_ppm_roundtrip",
     "streaming_idle_source_heartbeat",
     # -- r15 rotation (VERDICT r14 #2): the full r10-stale leftover cohort
@@ -105,7 +106,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "text_stats_tokens",
     "timeseries_gap_fill",
     "token_count_bpe",
-    "trade_graph_triangles",
 ]
 
 

@@ -1233,6 +1233,125 @@ FROM px GROUP BY media_id
 """
 
 
+_PNG_W, _PNG_H = 20, 14
+
+_PNG_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 5
+), px AS (
+  SELECT i.media_id, y.y, x.x, c.c,
+         (i.media_id * 11 + ((y.y * {_PNG_W} + x.x) * 3 + c.c) * 17) % 256 AS v
+  FROM ids i
+  CROSS JOIN range({_PNG_H}) y(y)
+  CROSS JOIN range({_PNG_W}) x(x)
+  CROSS JOIN range(3) c(c)
+)
+SELECT media_id, {_PNG_W} AS width, {_PNG_H} AS height,
+       CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(SUM(CASE WHEN y % 2 = 0 AND x % 2 = 0 AND c = 0 THEN v END) AS BIGINT) AS rs_sum_r,
+       CAST(SUM(CASE WHEN y % 2 = 0 AND x % 2 = 0 AND c = 1 THEN v END) AS BIGINT) AS rs_sum_g,
+       CAST(SUM(CASE WHEN y % 2 = 0 AND x % 2 = 0 AND c = 2 THEN v END) AS BIGINT) AS rs_sum_b
+FROM px GROUP BY media_id
+"""
+
+
+@register(
+    "multimodal_png_roundtrip",
+    _PNG_ORACLE,
+    "REAL COMPRESSED-image decode through the multimodal seam, "
+    "dependency-free: closed-form rasters are encoded as real PNGs "
+    "(operators/multimodal.encode_png: IHDR/IDAT/IEND, CRC32, zlib "
+    "deflate) and decoded by a real spec parser (decode_png: chunk walk "
+    "with CRC verification, inflate, all FIVE scanline unfilters -- any "
+    "conforming encoder's output decodes, pytest-pinned per filter), "
+    "then resize_nearest halves them and per-channel integer sums of "
+    "both rasters are emitted. The oracle recomputes the closed form "
+    "relationally -- it never decodes -- so a hash match proves the "
+    "encode->deflate->bytes->inflate->unfilter->resize chain is "
+    "bit-exact. PNG being lossless is what makes a compressed format "
+    "oracle-able; the PIL/ffmpeg seam now gates only lossy formats "
+    "(JPEG/MP3/MP4).",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from rlink_rs_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        encode_png,
+        resize_nearest,
+    )
+
+    w, h = _PNG_W, _PNG_H
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 5)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = np.arange(h * w * 3, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                px = ((int(mid) * 11 + p * 17) % 256).astype(np.uint8).reshape(h, w, 3)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "payload": encode_png(px),
+                        "meta": {
+                            "media_type": "image",
+                            "mime": "image/png",
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    out_schema = T.StructType(
+        [T.StructField("media_id", T.LongType(), False)]
+        + [T.StructField(c, T.IntegerType(), False) for c in ("width", "height")]
+        + [
+            T.StructField(c, T.LongType(), False)
+            for c in ("sum_r", "sum_g", "sum_b", "rs_sum_r", "rs_sum_g", "rs_sum_b")
+        ]
+    )
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(bytes(payload))  # REAL inflate + unfilter
+                small = resize_nearest(px, px.shape[1] // 2, px.shape[0] // 2)
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rs = small.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "sum_r": int(sums[0]),
+                        "sum_g": int(sums[1]),
+                        "sum_b": int(sums[2]),
+                        "rs_sum_r": int(rs[0]),
+                        "rs_sum_g": int(rs[1]),
+                        "rs_sum_b": int(rs[2]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    media = ids.mapInPandas(synth, MEDIA_SCHEMA)
+    return media.mapInPandas(stats, out_schema)
+
+
 @register(
     "multimodal_ppm_roundtrip",
     _PPM_ORACLE,

@@ -792,6 +792,82 @@ def test_decode_ppm_rejects_truncated_and_malformed_headers():
     assert np.array_equal(decode_ppm(commented), px)
 
 
+def test_decode_png_all_filters_and_malformed():
+    """The PNG decoder must handle ANY conforming encoder's output, not
+    just our filter-0 encoder: a raster is reference-FILTERED line by
+    line with every spec filter type (None/Sub/Up/Average/Paeth),
+    assembled into a valid PNG, and the decoder must invert all five.
+    Roundtrip of our own encoder is bit-exact; malformed payloads
+    (bad signature, truncated chunk, corrupted CRC, non-RGB header)
+    fail fast with ValueError."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from rlink_rs_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+    h, w, bpp = 7, 5, 3
+    stride = w * bpp
+    img = rng.integers(0, 256, (h, stride), dtype=np.int64)
+    raw, prev = b"", np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = img[y]
+        f = y % 5
+        if f == 0:
+            filt = cur
+        elif f == 1:  # Sub
+            filt = cur.copy()
+            filt[bpp:] = (cur[bpp:] - cur[:-bpp]) % 256
+        elif f == 2:  # Up
+            filt = (cur - prev) % 256
+        elif f == 3:  # Average
+            filt = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                filt[x] = (cur[x] - ((left + prev[x]) >> 1)) % 256
+        else:  # Paeth
+            filt = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (cur[x] - pred) % 256
+        raw += bytes([f]) + bytes(filt.astype(np.uint8))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), img.astype(np.uint8).reshape(h, w, bpp))
+
+    gray_ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # grayscale
+    bad_color = _PNG_SIG + _png_chunk(b"IHDR", gray_ihdr)
+    for bad in (
+        b"nope",
+        png[:40],  # truncated mid-chunk
+        png[:50] + bytes([png[50] ^ 0xFF]) + png[51:],  # corrupted byte -> CRC
+        bad_color,
+    ):
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+
 def test_strip_heartbeats_keeps_null_keyed_groups(spark):
     """ADVICE r14: strip_heartbeats must be null-safe -- a plain `!=`
     evaluates to NULL for NULL-keyed rows and silently drops real groups
