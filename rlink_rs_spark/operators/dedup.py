@@ -47,14 +47,19 @@ def with_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # twin's range() is empty for short docs, so both engines yield 0 rows.
     shingle_expr = (
         f"CASE WHEN size({t}) >= {k} "
-        f"THEN transform(sequence(0, size({t}) - {k}), i -> concat({parts})) "
+        f"THEN array_distinct(transform(sequence(0, size({t}) - {k}), i -> concat({parts}))) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
+    # r15 (guide §2.4): per-doc array_distinct BEFORE the explode replaces
+    # the old global .distinct() -- the distinct key was (id, shingle), so
+    # deduping within each doc's array yields the IDENTICAL row set while
+    # removing a full exchange of the posting rows from every consumer
+    # (minhash signatures, band index build, postings joins); the postings
+    # stream stays entirely map-side until each consumer's own keyed agg.
     return (
         df.select(F.col(id_col), tokens_col(text_col).alias(t))
         .select(F.col(id_col), F.explode_outer(F.expr(shingle_expr)).alias("shingle"))
         .where(F.col("shingle").isNotNull())
-        .distinct()
     )
 
 

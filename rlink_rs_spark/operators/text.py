@@ -130,6 +130,12 @@ def train_bpe_merges(docs, text_col: str = "text", n_merges: int = 4):
             .collect()[0]
         )
         merges.append((t, best.l, best.r, best.cnt))
+        if t == n_merges:
+            # the merged symbol table is never read again after the last
+            # argmax -- applying the final rule + eager checkpoint was a
+            # whole wasted distributed pass (r15, guide §1.2 "don't
+            # compute things you throw away")
+            break
         cur = cur.withColumn(
             "s",
             F.replace(

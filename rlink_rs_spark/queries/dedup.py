@@ -567,7 +567,9 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.operators.dedup import postings_pair_counts
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = with_shingles(docs, k=_CONT_K).distinct()
+    # with_shingles emits distinct (doc, shingle) rows by construction
+    # (per-doc array_distinct, r15) -- no extra exchange needed
+    sh = with_shingles(docs, k=_CONT_K)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     und = (
         postings_pair_counts(sh, max_df=_MAX_DF)

@@ -106,33 +106,64 @@ _MAX_TOP_WORD_FRAC = 0.3
     "the combined pass/fail gate -- the repetition filters a pretraining "
     "pipeline applies after dedup. All ratios are exact-integer counts over "
     "one IEEE double divide, so both engines agree bit-for-bit. Scale: "
-    "pure map-side projection, zero shuffles; the per-doc mode is computed "
-    "on the (short) token array, never via a global explode, and every "
+    "pure map-side projection (plus the fan_out scan spread, a no-op on "
+    "multi-file layouts); the per-doc mode is an O(n log n) run-length "
+    "fold over the sorted token array (r15: was an O(n*d) "
+    "filter-per-distinct-word scan), never a global explode, and every "
     "higher-order-function count is evaluated ONCE in a staged projection "
     "(HOF lambdas get no common-subexpression elimination -- repeating "
     "them in the gate column measured 3x slower).",
 )
 def repetition_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from rlink_rs_spark.operators.repartition import fan_out
+
+    # the per-doc array work below is CPU-bound; a one-row-group fixture
+    # scan caps it at 1 task (fan_out no-ops on multi-file layouts)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     arrs = docs.select(
         "doc_id",
         F.expr("split(text, ' ')").alias("w"),
-        F.expr("array_distinct(split(text, ' '))").alias("dw"),
-        F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 1), "
-            "i -> concat(element_at(split(text, ' '), i), ' ', "
-            "element_at(split(text, ' '), i + 1)))"
-        ).alias("bg"),
     )
-    counts = arrs.select(
+    # r15 optimization (guide §4.1/§1.2): build bigrams from the PROJECTED
+    # array column -- the old lambda re-evaluated split(text) per element
+    # (HOF lambdas get no common-subexpression elimination), an O(n^2)
+    # hidden cost per doc. The most-frequent-word count is a single
+    # O(n log n) run-length fold over array_sort(w) (max frequency == max
+    # run in the sorted array) instead of the O(n * n_distinct)
+    # filter-per-distinct-word scan; the same fold counts distinct words
+    # (run starts), dropping the separate array_distinct(w) pass.
+    arrs2 = arrs.select(
         "doc_id",
         F.expr("size(w)").cast("long").alias("nw"),
-        F.expr("size(dw)").cast("long").alias("ndw"),
-        F.expr("array_max(transform(dw, x -> size(filter(w, y -> y = x))))")
-        .cast("long")
-        .alias("topc"),
+        F.expr("array_sort(w)").alias("sw"),
+        F.expr(
+            "transform(sequence(1, size(w) - 1), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        ).alias("bg"),
+    )
+    run_fold = (
+        "aggregate(sw, "
+        "struct(cast(null as string) as prev, cast(0 as bigint) as run, "
+        "cast(0 as bigint) as best, cast(0 as bigint) as nd), "
+        "(acc, x) -> struct(x, "
+        "if(x <=> acc.prev, acc.run + 1L, 1L), "
+        "greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L)), "
+        "acc.nd + if(x <=> acc.prev, 0L, 1L)), "
+        "acc -> struct(acc.best as topc, acc.nd as ndw))"
+    )
+    counts = arrs2.select(
+        "doc_id",
+        "nw",
+        F.expr(run_fold).alias("rf"),
         F.expr("size(bg)").cast("long").alias("nb"),
         F.expr("size(array_distinct(bg))").cast("long").alias("ndb"),
+    ).select(
+        "doc_id",
+        "nw",
+        F.col("rf.ndw").alias("ndw"),
+        F.col("rf.topc").alias("topc"),
+        "nb",
+        "ndb",
     )
     dup_word = (F.col("nw") - F.col("ndw")).cast("double") / F.col("nw")
     top_word = F.col("topc").cast("double") / F.col("nw")
@@ -715,18 +746,29 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row-group fixture scan out to cluster parallelism first (no-op on
     # multi-file layouts).
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    # the exploded feature frame feeds raw counts, target counts, AND the
-    # scoring join -- cache so the normalize+explode pass runs once
-    big = bigram_rows(docs).select(
-        "doc_id",
-        "lang",
-        F.expr(_DSIR_BUCKET_SPARK.format(b=_DSIR_BUCKETS)).alias("bucket"),
-    ).cache()
-    raw_cnt = big.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    # r15 (guide §2.3 "aggregate before you shuffle"): fold the exploded
+    # bigram stream down to per-(doc, lang, bucket) counts in ONE map-side
+    # combinable pass and cache THAT -- <=128 rows per doc instead of one
+    # row per character. The raw/target bucket counts and the per-doc
+    # scoring sum all derive from the folded frame (sum of counts == count
+    # of rows, exactly), so the expensive normalize+explode runs once and
+    # the three downstream passes scan a frame ~10x smaller.
+    per = (
+        bigram_rows(docs)
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(_DSIR_BUCKET_SPARK.format(b=_DSIR_BUCKETS)).alias("bucket"),
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    raw_cnt = per.groupBy("bucket").agg(F.sum("c").alias("cr"))
     tgt_cnt = (
-        big.where(F.col("lang") == "en")
+        per.where(F.col("lang") == "en")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("c").alias("ct"))
     )
     counts = raw_cnt.join(tgt_cnt, "bucket", "left").select(
         "bucket", "cr", F.coalesce("ct", F.lit(0)).cast("bigint").alias("ct")
@@ -738,11 +780,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", F.expr(_DSIR_LR).alias("lr")
     )
     scored = (
-        big.join(F.broadcast(lut), "bucket")
+        per.join(F.broadcast(lut), "bucket")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_features"),
-            F.sum("lr").cast("bigint").alias("sum_lr"),
+            F.sum("c").alias("n_features"),
+            F.sum(F.col("lr") * F.col("c")).cast("bigint").alias("sum_lr"),
         )
     )
     from rlink_rs_spark.operators.ranking import ntile_expr, with_global_rank

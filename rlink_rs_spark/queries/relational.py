@@ -104,7 +104,14 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield i, w, first, len(seen)
 
     spark.udtf.register("word_positions", WordPositions)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    from rlink_rs_spark.operators.repartition import fan_out
+
+    # the lateral UDTF is Python-boundary-bound; spread the one-row-group
+    # fixture scan so its Arrow batches hit every worker (r15; no-op on
+    # multi-file layouts)
+    fan_out(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "docs_udtf"
+    )
     return spark.sql(
         "SELECT d.doc_id, t.pos, t.word, t.first_seen, t.vocab_so_far "
         "FROM docs_udtf d, LATERAL word_positions(d.text) t"
@@ -2083,43 +2090,58 @@ def table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates only. Float columns enter the fingerprint as integer
     cents (ROUND(x*100)) -- raw float casts format differently across
     engines and would poison the checksum."""
-    li = load_table(spark, sf_dir, "lineitem")
-    base = li.withColumn(
-        "bucket",
+    from rlink_rs_spark.operators.repartition import fan_out
+
+    # r15 single-pass rewrite (guide §2.4 "remove shuffles outright"):
+    # both replica sides fold in ONE scan + ONE 256-key exchange via
+    # conditional aggregates -- XOR-with-0 is the identity, so the rhs
+    # checksum is bit_xor(IF(kept, fp_rhs, 0)) over ALL rows, exactly the
+    # filtered bit_xor the two-sided plan computed. The rhs fingerprint
+    # reuses the lhs fingerprint column except on the corruption stripe
+    # (CASE branches evaluate lazily), so the md5 work per row is ~1x,
+    # not 2x. A bucket whose rows are all dropped yields n_right=0 /
+    # xor_right=0, the same values the old left-join + COALESCE produced,
+    # and n_left != 0 flags it -- output rows identical to the oracle's.
+    # Old plan: 2 scans, 2 exchanges, 1 join (was 3.35s board / 2 scans);
+    # fan_out spreads the one-row-group fixture scan (no-op multi-file).
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
+    fp_rhs_md5 = _CK_ROW_SPARK.replace(
+        "ROUND(l_quantity * 100)", "ROUND((l_quantity + 1.0) * 100)"
+    )
+    proj = li.select(
         F.expr(
             "CAST(conv(substr(md5(CAST(l_orderkey AS STRING) || '#' || "
             f"CAST(l_linenumber AS STRING)), 1, 12), 16, 10) AS BIGINT) % {_CK_BUCKETS}"
-        ),
-    )
-    lhs = base.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_left"),
-        F.expr(f"bit_xor({_CK_ROW_SPARK})").alias("xor_left"),
-    )
-    replica = base.where(f"NOT ({_CK_DROP})").withColumn(
-        "l_quantity",
-        F.expr(f"CASE WHEN {_CK_CORRUPT} THEN l_quantity + 1.0 ELSE l_quantity END"),
-    )
-    rhs = replica.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_right"),
-        F.expr(f"bit_xor({_CK_ROW_SPARK})").alias("xor_right"),
+        ).alias("bucket"),
+        F.expr(_CK_ROW_SPARK).alias("fp"),
+        F.expr(f"NOT ({_CK_DROP})").alias("kept"),
+        # corrupted-row fingerprint, NULL off the stripe (lazy CASE: the
+        # second md5 only ever runs for the ~1/1009 corrupt rows)
+        F.expr(
+            f"CASE WHEN {_CK_CORRUPT} THEN {fp_rhs_md5} "
+            "ELSE CAST(NULL AS BIGINT) END"
+        ).alias("fpc"),
+    ).select(
+        "bucket",
+        "fp",
+        "kept",
+        F.coalesce("fpc", "fp").alias("fp_rhs"),
     )
     return (
-        lhs.join(rhs, "bucket", "left")
-        # mismatch predicate BEFORE the coalescing projection (mirrors the
-        # oracle's WHERE on the raw joined columns): a bucket missing from
-        # the replica is caught by the isNull branch, not by n_left <> 0
+        proj.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_left"),
+            F.expr("bit_xor(fp)").alias("xor_left"),
+            F.expr("count_if(kept)").cast("bigint").alias("n_right"),
+            F.expr("bit_xor(CASE WHEN kept THEN fp_rhs ELSE 0L END)").alias(
+                "xor_right"
+            ),
+        )
         .where(
-            F.col("n_right").isNull()
-            | (F.col("n_left") != F.col("n_right"))
+            (F.col("n_left") != F.col("n_right"))
             | (F.col("xor_left") != F.col("xor_right"))
         )
-        .select(
-            "bucket",
-            "n_left",
-            F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
-            "xor_left",
-            F.coalesce("xor_right", F.lit(0)).cast("bigint").alias("xor_right"),
-        )
+        .select("bucket", "n_left", "n_right", "xor_left", "xor_right")
     )
 
 

@@ -700,9 +700,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rlink_rs_spark.operators.text import apply_bpe_token_counts, train_bpe_merges
 
+    from rlink_rs_spark.operators.repartition import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     rules = train_bpe_merges(docs, n_merges=_BPE_MERGES).orderBy("iteration").collect()
-    return apply_bpe_token_counts(docs, [(r.left_sym, r.right_sym) for r in rules])
+    # the per-word anchored-replace chain is CPU-bound map work; spread the
+    # one-row-group fixture scan first (no-op on multi-file layouts, r15)
+    return apply_bpe_token_counts(
+        fan_out(docs), [(r.left_sym, r.right_sym) for r in rules]
+    )
 
 
 @register(
