@@ -489,14 +489,25 @@ def exact_substring_coverage(
         f"THEN transform(sequence(0, size({t}) - {k}), i -> concat({parts})) "
         f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
+    from rlink_rs_spark.operators.repartition import fan_out
+
+    # r15 (guide §2.4): the posting subtree feeds BOTH the duplicated-span
+    # aggregate and the coverage join; without a common exchange Spark
+    # evaluates the tokenize+posexplode+md5 map twice (no subtree dedup).
+    # fan_out spreads the one-row-group scan across the cluster, and the
+    # explicit hash repartition on gram_h makes the two consumers share
+    # ONE identical exchange subtree, which ReuseExchange then computes
+    # once -- the heavy span-hash map runs a single time, and neither the
+    # aggregate nor the join needs a further shuffle of the postings.
     g = (
-        docs.select(F.col(id_col), tokens_col(text_col).alias(t))
+        fan_out(docs.select(F.col(id_col), tokens_col(text_col).alias(t)))
         .select(F.col(id_col), F.posexplode(F.expr(gram_expr)).alias("p0", "gram"))
         .select(
             id_col,
             (F.col("p0") + 1).cast("long").alias("pos"),
             F.md5(F.col("gram").cast("binary")).alias("gram_h"),
         )
+        .repartition(F.col("gram_h"))
     )
     dup = (
         g.groupBy("gram_h")

@@ -1444,3 +1444,101 @@ def test_drain_timeout_env_override(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_STREAM_TIMEOUT", "7200")
     assert drain_timeout() == 7200.0
     assert drain_timeout(300.0) == 7200.0
+
+
+def test_repetition_run_fold_matches_quadratic_mode_count(spark):
+    """r15 optimization invariant: the O(n log n) run-length fold over the
+    sorted token array must equal the old O(n*d) filter-per-distinct-word
+    scan for BOTH outputs it replaced (most-frequent-word count, distinct
+    count) -- including repeated-only docs, singleton docs, and docs whose
+    duplicates are non-adjacent before sorting."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a b a c a b"),
+        (2, "x"),
+        (3, "q q q q"),
+        (4, "m n o p"),
+        (5, "z y z y z y x x"),
+        (6, "s t s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    old_topc = F.expr(
+        "array_max(transform(array_distinct(split(text,' ')), "
+        "x -> size(filter(split(text,' '), y -> y = x))))"
+    ).cast("long")
+    old_ndw = F.expr("size(array_distinct(split(text,' ')))").cast("long")
+    run_fold = (
+        "aggregate(array_sort(split(text,' ')), "
+        "struct(cast(null as string) as prev, cast(0 as bigint) as run, "
+        "cast(0 as bigint) as best, cast(0 as bigint) as nd), "
+        "(acc, x) -> struct(x, "
+        "if(x <=> acc.prev, acc.run + 1L, 1L), "
+        "greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L)), "
+        "acc.nd + if(x <=> acc.prev, 0L, 1L)), "
+        "acc -> struct(acc.best as topc, acc.nd as ndw))"
+    )
+    got = df.select(
+        "doc_id",
+        old_topc.alias("o_topc"),
+        old_ndw.alias("o_ndw"),
+        F.expr(run_fold).alias("rf"),
+    ).collect()
+    for r in got:
+        assert r.rf.topc == r.o_topc, r
+        assert r.rf.ndw == r.o_ndw, r
+
+
+def test_table_checksum_single_pass_matches_two_sided(spark, sf_dir):
+    """r15 optimization invariant: the single-pass conditional-aggregate
+    checksum diff must produce the exact row set of the old two-sided
+    scan+join plan, reconstructed here literally."""
+    from pyspark.sql import functions as F
+
+    from rlink_rs_spark.queries import REGISTRY
+    from rlink_rs_spark.queries.relational import (
+        _CK_BUCKETS,
+        _CK_CORRUPT,
+        _CK_DROP,
+        _CK_ROW_SPARK,
+    )
+    from rlink_rs_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.withColumn(
+        "bucket",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(l_orderkey AS STRING) || '#' || "
+            f"CAST(l_linenumber AS STRING)), 1, 12), 16, 10) AS BIGINT) % {_CK_BUCKETS}"
+        ),
+    )
+    lhs = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_left"),
+        F.expr(f"bit_xor({_CK_ROW_SPARK})").alias("xor_left"),
+    )
+    replica = base.where(f"NOT ({_CK_DROP})").withColumn(
+        "l_quantity",
+        F.expr(f"CASE WHEN {_CK_CORRUPT} THEN l_quantity + 1.0 ELSE l_quantity END"),
+    )
+    rhs = replica.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right"),
+        F.expr(f"bit_xor({_CK_ROW_SPARK})").alias("xor_right"),
+    )
+    legacy = (
+        lhs.join(rhs, "bucket", "left")
+        .where(
+            F.col("n_right").isNull()
+            | (F.col("n_left") != F.col("n_right"))
+            | (F.col("xor_left") != F.col("xor_right"))
+        )
+        .select(
+            "bucket",
+            "n_left",
+            F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
+            "xor_left",
+            F.coalesce("xor_right", F.lit(0)).cast("bigint").alias("xor_right"),
+        )
+    )
+    new = REGISTRY["table_checksum_diff"].fn(spark, sf_dir)
+    key = lambda r: (r.bucket, r.n_left, r.n_right, r.xor_left, r.xor_right)  # noqa: E731
+    assert sorted(map(key, new.collect())) == sorted(map(key, legacy.collect()))
