@@ -78,16 +78,21 @@ def _scan_high_water(topic_dir: str) -> dict[int, int]:
     dataset = ds.dataset(topic_dir, format="parquet")
     if "partition" not in dataset.schema.names:  # empty topic (no files yet)
         return {}
-    hw: dict[int, int] = {}
-    for batch in dataset.to_batches(columns=["partition", "offset"]):
-        if batch.num_rows == 0:
-            continue
-        parts = batch.column("partition").to_pylist()
-        offs = batch.column("offset").to_pylist()
-        for p, o in zip(parts, offs):
-            if o >= hw.get(p, 0):
-                hw[p] = o + 1
-    return hw
+    # r15 (guide §4): vectorized group-by max instead of a per-row Python
+    # loop -- the driver-side metadata request must stay O(partitions)
+    # work in Python no matter how long the topic is.
+    agg = (
+        dataset.to_table(columns=["partition", "offset"])
+        .group_by("partition")
+        .aggregate([("offset", "max")])
+    )
+    return {
+        p: o + 1
+        for p, o in zip(
+            agg.column("partition").to_pylist(), agg.column("offset_max").to_pylist()
+        )
+        if o is not None
+    }
 
 
 def _offsets_for_time(
@@ -105,18 +110,26 @@ def _offsets_for_time(
     if "partition" not in dataset.schema.names:
         return {}
     seek = datetime.datetime.fromtimestamp(ts_ms / 1000.0, datetime.timezone.utc)
+    # r15 (guide §4): vectorized filter + group-by min instead of a per-row
+    # Python loop over the whole topic (same O(partitions) driver-work rule
+    # as _scan_high_water). Naive timestamps are session-UTC by convention,
+    # so the seek point is compared tz-naive unless the column carries a tz.
+    ts_field = dataset.schema.field("timestamp")
+    seek_cmp = seek if getattr(ts_field.type, "tz", None) else seek.replace(tzinfo=None)
+    agg = (
+        dataset.to_table(
+            columns=["partition", "offset"],
+            filter=ds.field("timestamp") >= seek_cmp,
+        )
+        .group_by("partition")
+        .aggregate([("offset", "min")])
+    )
     begin = dict(hw)
-    for batch in dataset.to_batches(columns=["partition", "offset", "timestamp"]):
-        parts = batch.column("partition").to_pylist()
-        offs = batch.column("offset").to_pylist()
-        tss = batch.column("timestamp").to_pylist()
-        for p, o, t in zip(parts, offs, tss):
-            if t is None:
-                continue
-            if t.tzinfo is None:  # naive micros are session-UTC by convention
-                t = t.replace(tzinfo=datetime.timezone.utc)
-            if t >= seek and o < begin.get(p, 0):
-                begin[p] = o
+    for p, o in zip(
+        agg.column("partition").to_pylist(), agg.column("offset_min").to_pylist()
+    ):
+        if o is not None and o < begin.get(p, 0):
+            begin[p] = o
     return begin
 
 

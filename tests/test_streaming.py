@@ -732,6 +732,52 @@ def test_kafka_python_source_split_per_partition():
     assert [(s.partition, s.start, s.end) for s in splits] == [(0, 0, 10)]
 
 
+def test_kafka_python_source_metadata_scan_edges(tmp_path):
+    """The r15 vectorized metadata scans (group-by max / filtered group-by
+    min, guide §4: O(partitions) driver work) must keep the row-loop
+    semantics on the edges the loop handled implicitly: null timestamps
+    never qualify for a timestamp seek, a partition with no qualifying
+    record begins at its high-water mark, and the seek point compares in
+    session-UTC against tz-naive stored timestamps."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rlink_rs_spark.sources.kafka_datasource import (
+        _offsets_for_time,
+        _scan_high_water,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)  # naive = session-UTC
+    rows = {
+        # partition, offset, timestamp (None = a record with no timestamp)
+        (0, 0): base,
+        (0, 1): None,
+        (0, 2): base + datetime.timedelta(hours=2),
+        (1, 0): base - datetime.timedelta(hours=1),
+        (1, 1): base - datetime.timedelta(minutes=30),  # all before seek
+        (2, 0): base + datetime.timedelta(hours=1),
+    }
+    tbl = pa.table(
+        {
+            "partition": pa.array([p for p, _ in rows], pa.int32()),
+            "offset": pa.array([o for _, o in rows], pa.int64()),
+            "timestamp": pa.array(list(rows.values()), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "part-0.parquet")
+
+    hw = _scan_high_water(str(tmp_path))
+    assert hw == {0: 3, 1: 2, 2: 1}
+
+    seek_ms = int(base.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000) + 1
+    begin = _offsets_for_time(str(tmp_path), seek_ms, hw)
+    # p0: offset 2 is the first >= seek (offset 1's null never qualifies);
+    # p1: nothing qualifies -> high-water; p2: offset 0 qualifies
+    assert begin == {0: 2, 1: 2, 2: 0}
+
+
 def test_kafka_python_source_timestamp_and_latest_seek(spark, sf_dir):
     """Seek modes 1 and 3 on the partition-aware source: 'latest' begins
     at every partition's high-water mark (a fresh subscription sees only
