@@ -63,6 +63,58 @@ def with_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-doc DISTINCT shingle arrays (id, sh) built entirely map-side --
+    the zero-shuffle twin of ``with_shingles(df).groupBy(id).collect_set``
+    (r16, guide §2.4): with_shingles' per-doc array_distinct already makes
+    the exploded posting stream distinct within each doc, so folding it
+    back with collect_set only re-assembles -- via a full exchange of the
+    posting rows plus a per-group hash set -- the array this projection
+    computes in place. Same elements, order-insensitive consumers only
+    (array_intersect / size). Docs shorter than k tokens surface an EMPTY
+    array here while the grouped twin has no row; identical for consumers
+    that inner-join sets by id (such docs have no signatures, so they
+    never appear in candidate pairs)."""
+    t = "__t"
+    parts = " , ' ', ".join(f"{t}[i + {j}]" for j in range(k))
+    arr_expr = (
+        f"CASE WHEN size({t}) >= {k} "
+        f"THEN array_distinct(transform(sequence(0, size({t}) - {k}), i -> concat({parts}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return df.select(F.col(id_col), tokens_col(text_col).alias(t)).select(
+        F.col(id_col), F.expr(arr_expr).alias("sh")
+    )
+
+
+def shingle_sizes(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-doc distinct-shingle COUNTS (id, n) map-side -- replaces
+    ``shingled.groupBy(id).agg(count...)`` consumers (one exchange over
+    the posting rows) with a projection of size(distinct array). BIGINT
+    to match the grouped twin's count type exactly."""
+    return shingle_sets(df, id_col=id_col, text_col=text_col, k=k).select(
+        F.col(id_col), F.size("sh").cast("long").alias("n")
+    )
+
+
+def sets_to_postings(sets_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Re-derive the exploded (id, shingle) posting stream from a per-doc
+    sets frame: ``sets_to_postings(shingle_sets(df))`` row-for-row equals
+    ``with_shingles(df)`` (explode of an empty array emits nothing, just
+    like explode_outer + NOT NULL). The point (r16, guide §2.4/§5): a
+    query needing BOTH the posting stream and the per-doc arrays/sizes
+    caches ONE map-side shingle_sets scan and derives everything from it
+    -- one tokenize+shingle pass over the corpus instead of one per
+    consumer subtree. Without a cache, map-side builders are computed
+    once PER REFERENCE (no exchange for the runtime to reuse), which is
+    exactly how the first r16 cut made ngram_jaccard 2x slower."""
+    return sets_df.select(F.col(id_col), F.explode("sh").alias("shingle"))
+
+
 def shingles_sql(k: int = 3, text_col: str = "text") -> str:
     """DuckDB twin of with_shingles' k-gram construction (1-based lists)."""
     lst = f"string_split({text_col}, ' ')"
@@ -233,7 +285,16 @@ def lsh_candidate_pairs(
     scalar agg) at plan-CONSTRUCTION time, inside this otherwise-lazy
     builder; pass ``salt_out={}`` to receive the chosen factor as
     ``salt_out["salt_buckets"]`` (returned per call -- no shared state)."""
-    banded = band_signatures(signatures, id_col=id_col, n_hashes=n_hashes, bands=bands)
+    # r16 (guide §2.4): the banded table feeds BOTH sides of the self-join;
+    # without a cache each side re-evaluates the whole signature subtree
+    # (shingle explode + n_hashes/2 md5s per shingle + the per-doc min-agg
+    # exchange) from the corpus scan -- the most expensive map work in the
+    # plan, paid twice. Caching the (docs x bands)-row band table computes
+    # it once; at 100 TB this tiny-rows table is exactly what
+    # load_or_build_band_index persists as the on-disk artifact.
+    banded = band_signatures(
+        signatures, id_col=id_col, n_hashes=n_hashes, bands=bands
+    ).cache()
     if salt_buckets == "auto":
         salt_buckets = auto_salt_buckets(banded)
     if salt_out is not None:
@@ -429,6 +490,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     max_df: int | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via the inverted index (the
     small-scale baseline; LSH above is the scale path -- a hot shingle
@@ -443,7 +505,12 @@ def ngram_jaccard_pairs(
     when the caller passes non-distinct (id, shingle) rows (ADVICE r11:
     count('*') sizes vs collect_set intersection disagreed on multiset
     input)."""
-    sizes = shingled.groupBy(id_col).agg(F.count_distinct("shingle").alias("n"))
+    # ``sizes`` short-circuits the per-doc distinct count with a precomputed
+    # (id_col, n BIGINT) frame -- callers holding the docs table pass
+    # shingle_sizes(docs) (map-side, zero-shuffle) instead of paying a
+    # count_distinct exchange over the posting rows (r16, guide §2.4).
+    if sizes is None:
+        sizes = shingled.groupBy(id_col).agg(F.count_distinct("shingle").alias("n"))
     inter = postings_pair_counts(
         shingled, id_col=id_col, max_df=max_df
     ).withColumnRenamed("common", "inter")
@@ -679,9 +746,15 @@ def simhash_pairs(
             for b in range(n_blocks)
         ]
     )
-    exploded = sims.select(
-        F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b")
-    ).select(id_col, "simhash", "b.blk", "b.val")
+    # r16 (guide §2.4): both self-join sides consume this subtree; without
+    # a cache each side re-runs the 32-bit-sum SimHash aggregation (32
+    # conditional sums over every shingle) from the corpus scan. Cache the
+    # (docs x n_blocks)-row block table so the sketch computes once.
+    exploded = (
+        sims.select(F.col(id_col), F.col("simhash"), F.explode(blocks).alias("b"))
+        .select(id_col, "simhash", "b.blk", "b.val")
+        .cache()
+    )
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "blk", "val"
     )

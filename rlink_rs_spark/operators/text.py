@@ -136,6 +136,14 @@ def train_bpe_merges(docs, text_col: str = "text", n_merges: int = 4):
             # whole wasted distributed pass (r15, guide §1.2 "don't
             # compute things you throw away")
             break
+        # LAZY merge apply (r16, guide §1.2): the replace is a trivial
+        # map over the vocab-sized symbol table, so re-evaluating a <=3-
+        # deep replace chain inside the next iteration's count pass is
+        # far cheaper than materializing the table per iteration -- the
+        # old eager localCheckpoint here was one whole extra distributed
+        # pass per iteration (n_merges-1 jobs dropped). Lineage stays
+        # bounded: the chain grows one replace per iteration on top of
+        # the single checkpointed base.
         cur = cur.withColumn(
             "s",
             F.replace(
@@ -143,7 +151,7 @@ def train_bpe_merges(docs, text_col: str = "text", n_merges: int = 4):
                 F.lit(BPE_SEP + best.l + sep2 + best.r + BPE_SEP),
                 F.lit(BPE_SEP + best.l + best.r + BPE_SEP),
             ),
-        ).localCheckpoint(eager=True)
+        )
     return spark.createDataFrame(
         merges, schema="iteration int, left_sym string, right_sym string, pair_count long"
     )

@@ -13,6 +13,8 @@ from rlink_rs_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    sets_to_postings,
+    shingle_sets,
     shingles_sql,
     simhash,
     simhash_pairs,
@@ -36,6 +38,22 @@ _SHINGLED_SQL = f"""
 _MAX_DF = 10_000
 
 _N_HASHES, _BANDS, _ROWS = 16, 4, 4
+
+
+def _shared_shingle_frames(docs: DataFrame, k: int = 3):
+    """(sets, postings, sizes) all derived from ONE cached map-side
+    shingle_sets scan (r16, guide §2.4/§5): queries that consume the
+    shingle stream through several subtrees (signatures + verify sets,
+    or pair counts + two size joins) previously re-ran tokenize+shingle
+    once per subtree -- grouped builders were saved by shuffle-stage
+    reuse, map-side builders were not (the first r16 cut measured that
+    as a 2x regression on ngram_jaccard). Caching the per-doc arrays
+    (docs-sized rows, far smaller than the exploded postings) makes
+    every consumer read the one materialized scan. Within-query
+    intermediate only: bench clears the cache between timed queries."""
+    sets = shingle_sets(docs, k=k).cache()
+    sizes = sets.select("doc_id", F.size("sh").cast("long").alias("n"))
+    return sets, sets_to_postings(sets), sizes
 
 # two 60-bit hashes per salted digest (chars 1-15 / 16-30), mirroring
 # minhash_signatures' md5-halving exactly
@@ -92,6 +110,11 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Deliberately the GROUPED sizes path (sizes=None): r16 measured both
+    # the uncached map-side sizes (2.07x) and the cached shared-scan
+    # wiring (1.13x) SLOWER here -- the posting stream already exchanges
+    # for the pair counts, so the grouped size agg rides runtime shuffle
+    # reuse at near-zero cost, while a cache only adds materialization.
     return ngram_jaccard_pairs(with_shingles(docs), threshold=0.6, max_df=_MAX_DF)
 
 
@@ -121,10 +144,12 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    shingled = with_shingles(docs)
+    # one cached shingle scan feeds signatures AND both verify-set joins
+    # (r16, _shared_shingle_frames)
+    sets, shingled, _ = _shared_shingle_frames(docs)
     sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
     cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
-    return verify_jaccard(cands, shingled, threshold=0.7)
+    return verify_jaccard(cands, shingled, threshold=0.7, sets=sets)
 
 
 # the verified MinHash-LSH pair set, as reusable CTE text (identical to the
@@ -177,10 +202,12 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    shingled = with_shingles(docs)
+    sets, shingled, _ = _shared_shingle_frames(docs)
     sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
     cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
-    pairs = verify_jaccard(cands, shingled, threshold=0.7).select("id_a", "id_b")
+    pairs = verify_jaccard(cands, shingled, threshold=0.7, sets=sets).select(
+        "id_a", "id_b"
+    )
     cc = connected_components(pairs)
     return cc.select(
         "doc_id",
@@ -221,10 +248,12 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    shingled = with_shingles(docs)
+    sets, shingled, _ = _shared_shingle_frames(docs)
     sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
     cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
-    pairs = verify_jaccard(cands, shingled, threshold=0.7).select("id_a", "id_b")
+    pairs = verify_jaccard(cands, shingled, threshold=0.7, sets=sets).select(
+        "id_a", "id_b"
+    )
     drop = (
         connected_components(pairs)
         .where(F.col("doc_id") != F.col("cluster_id"))
@@ -406,8 +435,12 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     cands = cands_hist.unionByName(cands_batch).distinct()
+    # cached: the map-side sets frame feeds BOTH verify join sides (r16,
+    # _shared_shingle_frames rationale)
     near = (
-        verify_jaccard(cands, shingled_all, threshold=_INCR_THR)
+        verify_jaccard(
+            cands, shingled_all, threshold=_INCR_THR, sets=shingle_sets(docs).cache()
+        )
         .groupBy(F.col("id_a").alias("doc_id"))
         .agg(F.min("id_b").alias("near_dup_of"))
     )
@@ -488,6 +521,7 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_N_HASHES,
         bands=_BANDS,
         static_frames_out=statics,
+        corpus_sets_df=shingle_sets(docs),
     )
     try:
         if not q.awaitTermination(drain_timeout()):
@@ -568,7 +602,10 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     # with_shingles emits distinct (doc, shingle) rows by construction
-    # (per-doc array_distinct, r15) -- no extra exchange needed
+    # (per-doc array_distinct, r15) -- no extra exchange needed.
+    # Deliberately the GROUPED sizes path: r16 measured both the uncached
+    # map-side sizes (1.79x) and the cached shared-scan wiring (1.23x)
+    # SLOWER here -- same shuffle-reuse reasoning as ngram_jaccard_dedup.
     sh = with_shingles(docs, k=_CONT_K)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     und = (
@@ -636,12 +673,16 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales; the exact side is the audit you run on a SAMPLE -- the report
     shape is identical either way."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = with_shingles(docs)
-    exact = ngram_jaccard_pairs(shingled, threshold=_LSH_EVAL_THR, max_df=_MAX_DF)
+    # one cached shingle scan feeds exact pair counts, size joins,
+    # signatures AND verify sets (r16, _shared_shingle_frames)
+    sets, shingled, sizes = _shared_shingle_frames(docs)
+    exact = ngram_jaccard_pairs(
+        shingled, threshold=_LSH_EVAL_THR, max_df=_MAX_DF, sizes=sizes
+    )
     sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
     cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
     lsh = (
-        verify_jaccard(cands, shingled, threshold=_LSH_EVAL_THR)
+        verify_jaccard(cands, shingled, threshold=_LSH_EVAL_THR, sets=sets)
         .select("id_a", "id_b")
         .withColumn("hit", F.lit(1))
     )
@@ -692,10 +733,12 @@ def source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair list is orders of magnitude smaller than the corpus, so the
     lookups broadcast the PAIR side, never the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = with_shingles(docs)
+    sets, shingled, _ = _shared_shingle_frames(docs)
     sigs = minhash_signatures(shingled, n_hashes=_N_HASHES)
     cands = lsh_candidate_pairs(sigs, n_hashes=_N_HASHES, bands=_BANDS)
-    pairs = verify_jaccard(cands, shingled, threshold=0.7).select("id_a", "id_b")
+    pairs = verify_jaccard(cands, shingled, threshold=0.7, sets=sets).select(
+        "id_a", "id_b"
+    )
     src = docs.select("doc_id", "source")
     j = (
         pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")

@@ -411,3 +411,40 @@ def test_cdc_bucket_resolution_and_gc_safety(tmp_path_factory, commits, before_e
             assert got == want, (n, got, want)
     finally:
         shutil.rmtree(snap, ignore_errors=True)
+
+
+def test_shingle_sets_match_grouped_collect_set(spark, edge_tables):
+    """r16: the map-side per-doc shingle array builders must reproduce the
+    grouped twins exactly -- shingle_sets == with_shingles+collect_set as
+    sets per doc (modulo empty-array rows for shingle-less docs, which the
+    grouped twin omits and inner-join consumers never see), and
+    shingle_sizes == the grouped distinct count, BIGINT."""
+    from pyspark.sql import functions as F
+
+    from rlink_rs_spark.operators.dedup import shingle_sets, shingle_sizes, with_shingles
+
+    df, _ = edge_tables
+    for k in (2, 3):
+        grouped = {
+            r.doc_id: frozenset(r.sh)
+            for r in with_shingles(df, k=k)
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh"))
+            .collect()
+        }
+        direct = {r.doc_id: frozenset(r.sh) for r in shingle_sets(df, k=k).collect()}
+        # direct has a row per doc; grouped omits shingle-less docs
+        assert {d: s for d, s in direct.items() if s} == grouped
+        assert all(not s for d, s in direct.items() if d not in grouped)
+
+        sizes = {r.doc_id: r.n for r in shingle_sizes(df, k=k).collect()}
+        want = {
+            r.doc_id: r.n
+            for r in with_shingles(df, k=k)
+            .groupBy("doc_id")
+            .agg(F.count_distinct("shingle").alias("n"))
+            .collect()
+        }
+        assert {d: n for d, n in sizes.items() if n} == want
+        row = shingle_sizes(df, k=k).schema["n"]
+        assert row.dataType.typeName() == "long"
