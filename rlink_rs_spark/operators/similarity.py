@@ -261,19 +261,33 @@ def semantic_dedup(
         if assignment is not None
         else ivf_assign(vectors, codebook, dims, id_col=id_col, vec_col=vec_col)
     )
+    # Norms precomputed ONCE per vector (r16, guide §1.2): the inline
+    # cosine_expr evaluated THREE 64-term chains per candidate pair (dot +
+    # both norms); dot/(na*nb) with per-vector SQRT(chain) is the identical
+    # IEEE arithmetic (same sqrt of the same chain, same division), so the
+    # DuckDB oracle still matches bit-for-bit -- the same trick
+    # cosine_near_dup_pairs has carried since r6. The joined frame is
+    # cached because BOTH pair sides consume it (within-query intermediate).
     withv = assign.join(
-        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")), "vid"
-    )
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            F.expr(norm_expr(vec_col, dims, base=0)).alias("nrm"),
+        ),
+        "vid",
+    ).cache()
     a = withv.select(
-        F.col("vid").alias("id_a"), "cell_id", F.col("ccos").alias("ca"), F.col("v").alias("va")
+        F.col("vid").alias("id_a"), "cell_id", F.col("ccos").alias("ca"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = withv.select(
-        F.col("vid").alias("id_b"), "cell_id", F.col("ccos").alias("cb"), F.col("v").alias("vb")
+        F.col("vid").alias("id_b"), "cell_id", F.col("ccos").alias("cb"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
     higher_priority = (F.col("ca") < F.col("cb")) | (
         (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))
     )
-    pair_cos = F.expr(cosine_expr("va", "vb", dims, base=0))
+    pair_cos = F.expr(f"({dot_chain_expr('va', 'vb', dims, base=0)}) / (na * nb)")
     dropped = (
         a.join(b, "cell_id")
         .where((F.col("id_a") != F.col("id_b")) & higher_priority)
@@ -395,8 +409,15 @@ def cosine_near_dup_pairs(
             F.col("__bk"),
             lambda bucket, i: F.struct(i.alias("band"), bucket.alias("bucket")),
         )
-    banded = sketched.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
-        id_col, "bb.band", "bb.bucket"
+    # r16 (guide §2.4): both self-join sides consume the banded table;
+    # uncached, each side re-runs the full sketch projection (24+ 64-term
+    # sign chains per vector, the most expensive map work in the plan, the
+    # r6 profile put it at ~0.8 s per evaluation) from the scan. Caching
+    # the (vectors x bands)-row table computes it once.
+    banded = (
+        sketched.select(F.col(id_col), F.explode(band_structs).alias("bb"))
+        .select(id_col, "bb.band", "bb.bucket")
+        .cache()
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -406,9 +427,12 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # cached for the same two-sided-consumer reason as `banded`: the norm
+    # chain is 64 multiply-adds + SQRT per vector, paid once instead of
+    # once per verify-join side
     normed = vectors.select(
         F.col(id_col), F.col(vec_col), F.expr(norm_expr(vec_col, dims, base=0)).alias("__nrm")
-    )
+    ).cache()
     va = normed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("__nrm").alias("na")
     )

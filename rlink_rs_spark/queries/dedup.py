@@ -521,7 +521,6 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_N_HASHES,
         bands=_BANDS,
         static_frames_out=statics,
-        corpus_sets_df=shingle_sets(docs),
     )
     try:
         if not q.awaitTermination(drain_timeout()):

@@ -230,48 +230,40 @@ def apply_merge_epoch(
     deleted, nothing upserted) are still materialized as empty bucket
     dirs: partitionBy skips empty partitions, and an absent dir would
     make readers fall back to the stale pre-delete version."""
-    # cached: the derived changefeed feeds THREE epoch jobs (the touched-
-    # bucket collect, the broadcast anti-join key build, and the upsert
-    # branch of the merged write) -- without the cache each re-derived the
-    # 3-branch filter union from the staged micro-batch scan (r16, guide
-    # §1.2). Batch-sized rows only; unpersisted before returning.
     changes = derive_cdc_changes(batch_df).withColumn(
         "bucket", _bucket(F.col("doc_id"))
-    ).cache()
-    try:
-        # bounded collect: <= N_BUCKETS rows by construction
-        touched = {r[0] for r in changes.select("bucket").distinct().collect()}
-        if not touched:
-            return
-        wide = evolve_rev_from is not None and epoch_id >= evolve_rev_from
-        current = read_snapshot(
-            spark, work_dir, epoch_id, buckets=touched,
-            schema=_SNAP_SCHEMA_V2 if wide else _SNAP_SCHEMA,
-        )
-        untouched = current.join(
-            F.broadcast(changes.select("doc_id").distinct()), "doc_id", "left_anti"
-        )
-        upserts = changes.where(F.col("op") != "D").select(
-            "doc_id",
-            F.md5("text").alias("content_md5"),
-            "lang", "source", "n_chars",
-            F.lit(1).cast("int").alias("version"),
-        )
-        if wide:
-            upserts = upserts.withColumn("rev", F.lit(1).cast("int"))
-        merged = untouched.unionByName(upserts).withColumn(
-            "bucket", _bucket(F.col("doc_id"))
-        )
-        edir = os.path.join(work_dir, "snap", f"batch_id={epoch_id}")
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(edir)
-        for b in touched:
-            os.makedirs(os.path.join(edir, f"bucket={b}"), exist_ok=True)
-        # Commit LAST: only now are the parquet files and the empty-bucket
-        # placeholders all present. A crash anywhere above leaves the epoch
-        # sentinel-less -> invisible as a unit -> replay rewrites it.
-        _mark_committed(edir)
-    finally:
-        changes.unpersist()
+    )
+    # bounded collect: <= N_BUCKETS rows by construction
+    touched = {r[0] for r in changes.select("bucket").distinct().collect()}
+    if not touched:
+        return
+    wide = evolve_rev_from is not None and epoch_id >= evolve_rev_from
+    current = read_snapshot(
+        spark, work_dir, epoch_id, buckets=touched,
+        schema=_SNAP_SCHEMA_V2 if wide else _SNAP_SCHEMA,
+    )
+    untouched = current.join(
+        F.broadcast(changes.select("doc_id").distinct()), "doc_id", "left_anti"
+    )
+    upserts = changes.where(F.col("op") != "D").select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        "lang", "source", "n_chars",
+        F.lit(1).cast("int").alias("version"),
+    )
+    if wide:
+        upserts = upserts.withColumn("rev", F.lit(1).cast("int"))
+    merged = untouched.unionByName(upserts).withColumn(
+        "bucket", _bucket(F.col("doc_id"))
+    )
+    edir = os.path.join(work_dir, "snap", f"batch_id={epoch_id}")
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(edir)
+    for b in touched:
+        os.makedirs(os.path.join(edir, f"bucket={b}"), exist_ok=True)
+    # Commit LAST: only now are the parquet files and the empty-bucket
+    # placeholders all present. A crash anywhere above leaves the epoch
+    # sentinel-less -> invisible as a unit -> replay rewrites it.
+    _mark_committed(edir)
 
 
 def streaming_merge_sink(

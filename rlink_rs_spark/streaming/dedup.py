@@ -131,7 +131,6 @@ def streaming_incremental_dedup_sink(
     compact_every: int = 8,
     crash_in_compaction_at: int | None = None,
     static_frames_out: list | None = None,
-    corpus_sets_df: DataFrame | None = None,
 ):
     """Wire the admit pipeline as a foreachBatch sink over `doc_stream`
     (columns doc_id, text, ...). Returns the started StreamingQuery;
@@ -168,17 +167,9 @@ def streaming_incremental_dedup_sink(
     # dominated fixture-scale wall clock; at 100 TB these are the
     # persisted shingle-set / hash-set artifacts next to the band index).
     hist_hashes = history.select(F.md5("text").alias("h")).distinct().cache()
-    # ``corpus_sets_df`` (r16, guide §2.4): callers holding the docs table
-    # pass operators.dedup.shingle_sets(docs) -- the map-side per-doc
-    # distinct-array projection -- so materializing this static costs one
-    # corpus scan with ZERO exchanges, instead of explode + full posting
-    # shuffle + collect_set. Fallback keeps the old grouped build for
-    # callers that only have the exploded frame.
     corpus_sets = (
-        corpus_sets_df
-        if corpus_sets_df is not None
-        else shingled_all.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
-    ).cache()
+        shingled_all.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh")).cache()
+    )
     if static_frames_out is not None:
         # hand the cached frames back so the caller can unpersist after the
         # drain (identical re-built plans land on the same cache entries,
@@ -209,34 +200,18 @@ def streaming_incremental_dedup_sink(
         batch = batch_df.select("doc_id", "text").cache()
 
         # --- exact stage
-        # Two independent left joins against the ALREADY-DISTINCT sides
-        # replace the old `(hist UNION prior).distinct()` lookup (r16,
-        # guide §2.4): the union-distinct re-exchanged the full corpus-
-        # sized history hash set EVERY epoch (and twice per epoch, since
-        # `ex` feeds both the verdict and the hash-state commit), while
-        # hist_hashes is already distinct AND cached -- membership in
-        # (hist OR prior) is the same predicate without the rebuild.
         prior_hashes = _read_state(spark, hash_dir, _HASH_SCHEMA, epoch_id).select("h").distinct()
+        known = hist_hashes.unionByName(prior_hashes).distinct()
         w = Window.partitionBy("h")
         bh = batch.select("doc_id", F.md5("text").alias("h")).withColumn(
             "min_id", F.min("doc_id").over(w)
         )
-        ex = (
-            bh.join(hist_hashes.withColumn("in_hist", F.lit(True)), "h", "left")
-            .join(prior_hashes.withColumn("in_prior", F.lit(True)), "h", "left")
-            .select(
-                "doc_id",
-                "h",
-                (
-                    F.coalesce("in_hist", F.lit(False))
-                    | F.coalesce("in_prior", F.lit(False))
-                    | (F.col("min_id") < F.col("doc_id"))
-                ).alias("exact_dup"),
-            )
-            # cached: `ex` is consumed by BOTH the verdict write and the
-            # hash-state commit -- one batch-sized frame, two epoch jobs
-            # (r16, guide §1.2 "don't compute things twice")
-            .cache()
+        ex = bh.join(known.withColumn("in_known", F.lit(True)), "h", "left").select(
+            "doc_id",
+            "h",
+            (
+                F.coalesce("in_known", F.lit(False)) | (F.col("min_id") < F.col("doc_id"))
+            ).alias("exact_dup"),
         )
 
         # --- near stage
@@ -297,7 +272,6 @@ def streaming_incremental_dedup_sink(
         )
         batch.unpersist()
         batch_banded.unpersist()
-        ex.unpersist()
 
     return (
         doc_stream.writeStream.outputMode("update")

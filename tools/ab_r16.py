@@ -349,7 +349,10 @@ def _stream_dedup(spark, sf_dir, with_quality: bool, new: bool):
         bands=_BANDS,
         score_fn=score_fn,
         static_frames_out=statics,
-        corpus_sets_df=shingle_sets(docs) if new else None,
+        # corpus_sets_df variant retired: the r16 post-commit A/B measured
+        # the map-side static + per-epoch caches SLOWER on the full streaming
+        # rows (see OPTIMIZATION_r16.md) and the sink reverted to the r15
+        # wiring, dropping the parameter.
     )
     try:
         if not q.awaitTermination(600):
