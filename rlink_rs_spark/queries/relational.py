@@ -1650,6 +1650,9 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.select("doc_id", "text", "lang", "source", "n_chars"),
         work_dir=work_dir,
         checkpoint=tempfile.mkdtemp(prefix="rlink_cdc_ck_"),
+        # staged chunks are contiguous doc_id slices -> closed-form epoch
+        # change keys (streaming/cdc.py, r16 guide §8)
+        contiguous_keys=True,
     )
     try:
         if not q.awaitTermination(drain_timeout()):
@@ -1715,6 +1718,7 @@ def _cdc_snapshot_artifact(
         work_dir=work_dir,
         checkpoint=tempfile.mkdtemp(prefix="rlink_cdc_art_ck_"),
         retain=retain,
+        contiguous_keys=True,
     )
     try:
         if not q.awaitTermination(drain_timeout()):
@@ -2337,6 +2341,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         work_dir=work_dir,
         checkpoint=tempfile.mkdtemp(prefix="rlink_cdc_evo_ck_"),
         evolve_rev_from=2,
+        contiguous_keys=True,
     )
     try:
         if not q.awaitTermination(drain_timeout()):

@@ -223,28 +223,70 @@ def apply_merge_epoch(
     batch_df: DataFrame,
     epoch_id: int,
     evolve_rev_from: int | None = None,
+    contiguous_keys: bool = False,
 ) -> None:
     """Apply one epoch's derived changefeed to the bucketed snapshot --
     the deterministic core both the streaming handler and direct unit
     tests drive. Touched buckets that end the epoch EMPTY (every row
     deleted, nothing upserted) are still materialized as empty bucket
     dirs: partitionBy skips empty partitions, and an absent dir would
-    make readers fall back to the stale pre-delete version."""
-    changes = derive_cdc_changes(batch_df).withColumn(
-        "bucket", _bucket(F.col("doc_id"))
-    )
-    # bounded collect: <= N_BUCKETS rows by construction
-    touched = {r[0] for r in changes.select("bucket").distinct().collect()}
+    make readers fall back to the stale pre-delete version.
+
+    ``contiguous_keys`` (r16, guide §8 "use what you know that the
+    optimizer does not"): the staged replay delivers each micro-batch as a
+    CONTIGUOUS doc_id slice of the sorted corpus (stage_stream_dir with
+    order_col=doc_id), so the change-key set is a pure function of the
+    batch's [min, max] doc_id range -- snapshot row r is a change key iff
+    (r in [lo,hi] AND (r%13==0 OR r%7==0)) OR (r-10M in [lo,hi] AND
+    (r-10M)%50==0). With the flag on, ONE narrow agg over the batch
+    (min/max + conditional collect_set of buckets, map-side combined)
+    replaces BOTH the 3-branch-union touched-bucket collect job and the
+    broadcast-exchange build of the anti-join key set, and the anti-join
+    itself becomes a map-side filter over the touched buckets' rows. Only
+    callers whose batches satisfy the contiguity precondition may pass it
+    (the registry queries' staged streams do; arbitrary direct callers
+    keep the key-set anti-join). Equivalence is pytest-pinned against the
+    default path and oracle-checked end to end."""
+    d = F.col("doc_id")
+    if contiguous_keys:
+        stats = batch_df.agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.collect_set(
+                F.when((d % 13 == 0) | (d % 7 == 0), _bucket(d))
+            ).alias("b_du"),
+            F.collect_set(
+                F.when(d % 50 == 0, _bucket(d + 10000000))
+            ).alias("b_i"),
+        ).collect()[0]
+        touched = set(stats.b_du) | set(stats.b_i)
+    else:
+        stats = None
+        changes_for_keys = derive_cdc_changes(batch_df).withColumn(
+            "bucket", _bucket(d)
+        )
+        # bounded collect: <= N_BUCKETS rows by construction
+        touched = {
+            r[0] for r in changes_for_keys.select("bucket").distinct().collect()
+        }
     if not touched:
         return
+    changes = derive_cdc_changes(batch_df).withColumn("bucket", _bucket(d))
     wide = evolve_rev_from is not None and epoch_id >= evolve_rev_from
     current = read_snapshot(
         spark, work_dir, epoch_id, buckets=touched,
         schema=_SNAP_SCHEMA_V2 if wide else _SNAP_SCHEMA,
     )
-    untouched = current.join(
-        F.broadcast(changes.select("doc_id").distinct()), "doc_id", "left_anti"
-    )
+    if contiguous_keys:
+        lo, hi = int(stats.lo), int(stats.hi)
+        is_change_key = (
+            d.between(lo, hi) & ((d % 13 == 0) | (d % 7 == 0))
+        ) | ((d - 10000000).between(lo, hi) & ((d - 10000000) % 50 == 0))
+        untouched = current.where(~is_change_key)
+    else:
+        untouched = current.join(
+            F.broadcast(changes.select("doc_id").distinct()), "doc_id", "left_anti"
+        )
     upserts = changes.where(F.col("op") != "D").select(
         "doc_id",
         F.md5("text").alias("content_md5"),
@@ -272,6 +314,7 @@ def streaming_merge_sink(
     checkpoint: str,
     retain: int = 0,
     evolve_rev_from: int | None = None,
+    contiguous_keys: bool = False,
 ):
     """foreachBatch sink applying each micro-batch's derived changefeed to
     the bucketed snapshot: anti-join the touched buckets' current rows
@@ -295,7 +338,9 @@ def streaming_merge_sink(
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         _gc_superseded(os.path.join(work_dir, "snap"), epoch_id - retain)
         apply_merge_epoch(
-            spark, work_dir, batch_df, epoch_id, evolve_rev_from=evolve_rev_from
+            spark, work_dir, batch_df, epoch_id,
+            evolve_rev_from=evolve_rev_from,
+            contiguous_keys=contiguous_keys,
         )
 
     return (

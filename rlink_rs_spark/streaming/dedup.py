@@ -264,7 +264,13 @@ def streaming_incremental_dedup_sink(
 
         # --- epoch-idempotent commits (overwrite THIS epoch's dirs only)
         verdict.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={epoch_id}"))
-        ex.select("doc_id", "h").write.mode("overwrite").parquet(
+        # Hash-state commit writes bh's (doc_id, h) directly (r16, guide
+        # §1.2): `ex` is bh LEFT-joined against the DISTINCT known set, so
+        # its (doc_id, h) projection is row-identical to bh's -- routing the
+        # state write through `ex` re-evaluated the whole exact stage
+        # (hist-union-distinct + membership join) a second time per epoch
+        # just to throw the verdict column away. bh reads the cached batch.
+        bh.select("doc_id", "h").write.mode("overwrite").parquet(
             os.path.join(hash_dir, f"batch_id={epoch_id}")
         )
         batch_banded.write.mode("overwrite").parquet(

@@ -2267,6 +2267,45 @@ def test_delta_sink_compaction_crash_resume(spark, sf_dir):
     assert again == want
 
 
+def test_cdc_contiguous_keys_fast_path_matches_anti_join(spark, sf_dir):
+    """r16: apply_merge_epoch's contiguous_keys fast path (closed-form
+    change-key predicate + single-agg touched set) must produce a snapshot
+    ROW-IDENTICAL to the default key-set anti-join when the batch is a
+    contiguous doc_id slice -- including an epoch whose slice generates
+    inserts (+10M keys) and one whose delete keys empty no bucket. Also
+    pins the precondition direction: identical touched-bucket sets."""
+    from rlink_rs_spark.streaming.cdc import (
+        _bucket_versions,
+        apply_merge_epoch,
+        read_merged_snapshot,
+        write_base_snapshot,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 3 + i % 5) for i in range(1, 401)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    snaps = {}
+    for flag in (False, True):
+        wd = tempfile.mkdtemp(prefix=f"rlink_cdc_cont_{flag}_")
+        write_base_snapshot(docs, wd)
+        # two contiguous doc_id slices = two epochs, replayed in order
+        for e, (lo, hi) in enumerate([(1, 200), (201, 400)]):
+            batch = docs.where(f"doc_id BETWEEN {lo} AND {hi}")
+            apply_merge_epoch(spark, wd, batch, epoch_id=e, contiguous_keys=flag)
+        snaps[flag] = {
+            tuple(r)
+            for r in read_merged_snapshot(spark, wd).collect()
+        }
+        # same resolved bucket-version name set (same touched buckets/epochs)
+        snaps[(flag, "vers")] = {
+            (b, os.path.basename(os.path.dirname(p)))
+            for b, p in _bucket_versions(os.path.join(wd, "snap"), 1 << 62).items()
+        }
+    assert snaps[True] == snaps[False]
+    assert snaps[(True, "vers")] == snaps[(False, "vers")]
+
+
 def test_cdc_version_diff_prunes_to_changed_buckets(spark, sf_dir):
     """changed_buckets is the version-diff read set: after an epoch whose
     change events touch exactly one bucket, the diff between pre- and
