@@ -448,3 +448,19 @@ def test_shingle_sets_match_grouped_collect_set(spark, edge_tables):
         assert {d: n for d, n in sizes.items() if n} == want
         row = shingle_sizes(df, k=k).schema["n"]
         assert row.dataType.typeName() == "long"
+
+
+def test_bpe_local_training_matches_distributed(spark, sf_dir, monkeypatch):
+    """r16: train_bpe_merges' driver-local iteration path (taken when the
+    word-freq table fits _BPE_DRIVER_VOCAB_MAX) must produce the exact
+    merge table of the distributed count+argmax loop -- same pair counts,
+    same (cnt desc, l asc, r asc) tie-break, same anchored left-to-right
+    replace fold."""
+    from rlink_rs_spark.operators import text as T
+    from rlink_rs_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    local = [tuple(r) for r in T.train_bpe_merges(docs, n_merges=4).collect()]
+    monkeypatch.setattr(T, "_BPE_DRIVER_VOCAB_MAX", 0)  # force distributed
+    dist = [tuple(r) for r in T.train_bpe_merges(docs, n_merges=4).collect()]
+    assert local == dist and len(local) == 4
