@@ -521,6 +521,9 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hashes=_N_HASHES,
         bands=_BANDS,
         static_frames_out=statics,
+        # map-side static build only (r16): the per-epoch cache variants
+        # that came with this seam in pass 1 measured slower and are gone
+        corpus_sets_df=shingle_sets(docs),
     )
     try:
         if not q.awaitTermination(drain_timeout()):

@@ -311,6 +311,7 @@ def streaming_intake_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rlink_rs_spark.operators.dedup import (
         load_or_build_band_index,
+        shingle_sets,
         with_shingles,
     )
     from rlink_rs_spark.operators.lm import (
@@ -378,6 +379,7 @@ def streaming_intake_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_BANDS,
         score_fn=score_fn,
         static_frames_out=statics,
+        corpus_sets_df=shingle_sets(docs),
     )
     try:
         if not q.awaitTermination(drain_timeout()):

@@ -131,6 +131,7 @@ def streaming_incremental_dedup_sink(
     compact_every: int = 8,
     crash_in_compaction_at: int | None = None,
     static_frames_out: list | None = None,
+    corpus_sets_df: DataFrame | None = None,
 ):
     """Wire the admit pipeline as a foreachBatch sink over `doc_stream`
     (columns doc_id, text, ...). Returns the started StreamingQuery;
@@ -167,9 +168,21 @@ def streaming_incremental_dedup_sink(
     # dominated fixture-scale wall clock; at 100 TB these are the
     # persisted shingle-set / hash-set artifacts next to the band index).
     hist_hashes = history.select(F.md5("text").alias("h")).distinct().cache()
+    # ``corpus_sets_df`` (r16, guide §2.3): callers holding the docs table
+    # pass operators.dedup.shingle_sets(docs) -- the map-side per-doc
+    # distinct-array projection -- so this static materializes from one
+    # zero-exchange corpus scan instead of explode + posting shuffle +
+    # collect_set (isolated interleaved A/B: 0.62 -> 0.39 s min-of-5; the
+    # per-epoch caches that rode along with this swap in an earlier cut
+    # measured SLOWER and are NOT part of it). Same (doc_id, set) content
+    # -- array order differs, and every consumer is order-insensitive
+    # (verify_jaccard set sizes/intersections). Fallback keeps the
+    # grouped build for callers that only hold the exploded frame.
     corpus_sets = (
-        shingled_all.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh")).cache()
-    )
+        corpus_sets_df
+        if corpus_sets_df is not None
+        else shingled_all.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    ).cache()
     if static_frames_out is not None:
         # hand the cached frames back so the caller can unpersist after the
         # drain (identical re-built plans land on the same cache entries,
