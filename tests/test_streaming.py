@@ -1062,6 +1062,85 @@ def test_kafka_python_sink_offsets_contiguous_and_kill_resume(spark, sf_dir):
     assert keys == n_events
 
 
+def test_kafka_python_sink_arrow_face_matches_row_face(spark, sf_dir):
+    """The Arrow streaming-writer face (KafkaTopicStreamArrowWriter, the
+    default) must publish exactly the topic content of the Row face it
+    replaces: same rows (key/value/topic/partition/timestamp/timestampType
+    multiset) and the same per-partition contiguous 0..n-1 offsets. Offsets
+    are compared per partition as sets, not row-for-row -- cross-task
+    append order within a batch is nondeterministic by design on BOTH
+    faces, exactly like a real broker."""
+    from rlink_rs_spark.sources.kafka_datasource import register_kafka_source
+    from rlink_rs_spark.sources.loopback import to_envelope
+    from rlink_rs_spark.streaming.sources import stage_stream_dir, stream_from_staged
+
+    register_kafka_source(spark)
+    staged = stage_stream_dir(sf_dir, "events", chunks=2, order_col="ts")
+
+    def run(rowwriter: bool):
+        td = tempfile.mkdtemp(prefix="rlink_pyds_face_")
+        ck = tempfile.mkdtemp(prefix="rlink_pyds_face_ck_")
+        src = stream_from_staged(
+            spark, staged, sf_dir, "events", max_files_per_trigger=1
+        )
+        env = to_envelope(
+            src,
+            key_col="user_id",
+            value_col=F.to_json(F.struct("event_id", "user_id", "value")),
+            topic="events-out",
+            n_partitions=4,
+            ts_col="ts",
+            assign_offset=False,
+        ).drop("__ord")
+        w = (
+            env.writeStream.format("rlink_kafka")
+            .option("topicdir", td)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+        )
+        if rowwriter:
+            w = w.option("rowwriter", "true")
+        q = w.start()
+        try:
+            assert q.awaitTermination(180), "sink did not drain"
+        finally:
+            if q.isActive:
+                q.stop()
+        return spark.read.parquet(td)
+
+    def content(df):
+        return sorted(
+            (
+                r.partition,
+                bytes(r.key),
+                bytes(r.value),
+                r.topic,
+                r.timestamp,
+                r.timestampType,
+            )
+            for r in df.collect()
+        )
+
+    def offsets(df):
+        return {
+            r.partition: (r.mn, r.mx, r.n, r.nd)
+            for r in df.groupBy("partition")
+            .agg(
+                F.min("offset").alias("mn"),
+                F.max("offset").alias("mx"),
+                F.count("*").alias("n"),
+                F.countDistinct("offset").alias("nd"),
+            )
+            .collect()
+        }
+
+    arrow_df, row_df = run(rowwriter=False), run(rowwriter=True)
+    assert content(arrow_df) == content(row_df)
+    assert offsets(arrow_df) == offsets(row_df)
+    for mn, mx, n, nd in offsets(arrow_df).values():
+        assert mn == 0 and mx == n - 1 and nd == n
+
+
 def test_rate_heartbeats_live_unpins_watermark(spark, sf_dir):
     """WALL-CLOCK witness for the production idleness path: a file source
     delivers all its (historical) data in batch 0 and then goes idle; in
