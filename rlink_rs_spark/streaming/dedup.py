@@ -64,7 +64,10 @@ watermark; state content is identical before and after a fold.
 from __future__ import annotations
 
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
+from pyspark import inheritable_thread_target
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -189,7 +192,27 @@ def streaming_incremental_dedup_sink(
         # so callers that skip this never balloon the cache either)
         static_frames_out.extend((hist_hashes, corpus_sets))
 
+    # Warm the two standing statics CONCURRENTLY with stream startup
+    # (guide §2.6 -- overlap independent jobs): the two cache builds are
+    # independent of each other AND of the checkpoint/batch-planning dead
+    # time between .start() and epoch 0, so two background jobs hide most
+    # of their cost. handle() joins these threads before first use, so no
+    # job outlives the drain; a failed warm is harmless (the epoch's own
+    # jobs materialize the cache inline exactly as before).
+    def _warm(df: DataFrame) -> None:
+        try:
+            df.count()
+        except Exception:
+            pass
+
+    warm_threads = [
+        threading.Thread(target=inheritable_thread_target(spark)(lambda f=f: _warm(f)), daemon=True)
+        for f in (hist_hashes, corpus_sets)
+    ]
+
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        for w_t in warm_threads:
+            w_t.join()
         if crash_at_epoch is not None and epoch_id == crash_at_epoch and not os.path.exists(crash_marker):
             with open(crash_marker, "w") as f:
                 f.write(str(epoch_id))
@@ -275,23 +298,43 @@ def streaming_incremental_dedup_sink(
                 (pq & F.col("admit")).alias("admit"),
             )
 
-        # --- epoch-idempotent commits (overwrite THIS epoch's dirs only)
-        verdict.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch_id={epoch_id}"))
+        # --- epoch-idempotent commits (overwrite THIS epoch's dirs only),
+        # submitted CONCURRENTLY (guide §2.6): the three writes share no
+        # data dependency -- verdict reads (batch, batch_banded) caches,
+        # hash state reads batch, band state reads batch_banded -- and each
+        # is a tiny scheduling-bound driver job, so overlapping them hides
+        # the two cheap commits under the verdict job. Cache races are safe
+        # (BlockManager per-block write locks: one task computes, the other
+        # blocks then reads); crash semantics are unchanged because all
+        # three are per-epoch overwrites and a replayed epoch rewrites
+        # byte-identical dirs whichever subset a crash left behind.
         # Hash-state commit writes bh's (doc_id, h) directly (r16, guide
         # §1.2): `ex` is bh LEFT-joined against the DISTINCT known set, so
         # its (doc_id, h) projection is row-identical to bh's -- routing the
         # state write through `ex` re-evaluated the whole exact stage
         # (hist-union-distinct + membership join) a second time per epoch
         # just to throw the verdict column away. bh reads the cached batch.
-        bh.select("doc_id", "h").write.mode("overwrite").parquet(
-            os.path.join(hash_dir, f"batch_id={epoch_id}")
+        hash_frame = bh.select("doc_id", "h")
+        commits = (
+            lambda: verdict.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={epoch_id}")
+            ),
+            lambda: hash_frame.write.mode("overwrite").parquet(
+                os.path.join(hash_dir, f"batch_id={epoch_id}")
+            ),
+            lambda: batch_banded.write.mode("overwrite").parquet(
+                os.path.join(band_dir, f"batch_id={epoch_id}")
+            ),
         )
-        batch_banded.write.mode("overwrite").parquet(
-            os.path.join(band_dir, f"batch_id={epoch_id}")
-        )
+        with ThreadPoolExecutor(max_workers=len(commits)) as pool:
+            futures = [pool.submit(inheritable_thread_target(spark)(c)) for c in commits]
+            for fut in futures:
+                fut.result()
         batch.unpersist()
         batch_banded.unpersist()
 
+    for w_t in warm_threads:
+        w_t.start()
     return (
         doc_stream.writeStream.outputMode("update")
         .foreachBatch(handle)

@@ -365,6 +365,65 @@ def _stream_dedup(spark, sf_dir, with_quality: bool, new: bool):
     _noop(read_verdicts(spark, work_dir, with_quality=with_quality))
 
 
+# --- streaming concurrency A/B (r16 session 4): old = the SAME registry
+# query with the sink's concurrency seams monkeypatched serial (immediate
+# pool, no-op warm threads == the sequential pre-change epoch body), new =
+# code as shipped. Runs REGISTRY[...].fn so wiring matches the bench row
+# exactly.
+
+class _SerialFuture:
+    def __init__(self, fn):
+        self._v = fn()
+
+    def result(self):
+        return self._v
+
+
+class _SerialPool:
+    def __init__(self, max_workers=None):
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def submit(self, fn):
+        return _SerialFuture(fn)
+
+
+class _NoopThread:
+    def __init__(self, target=None, daemon=None):
+        pass
+
+    def start(self):
+        pass
+
+    def join(self):
+        pass
+
+
+class _StubThreading:
+    Thread = _NoopThread
+
+
+def _stream_conc(spark, sf_dir, qname: str, new: bool):
+    from rlink_rs_spark.streaming import dedup as sdd
+
+    if new:
+        _noop(REGISTRY[qname].fn(spark, sf_dir))
+        return
+    saved_pool, saved_threading = sdd.ThreadPoolExecutor, sdd.threading
+    sdd.ThreadPoolExecutor = _SerialPool
+    sdd.threading = _StubThreading
+    try:
+        _noop(REGISTRY[qname].fn(spark, sf_dir))
+    finally:
+        sdd.ThreadPoolExecutor = saved_pool
+        sdd.threading = saved_threading
+
+
 TARGETS = {
     "minhash": (old_minhash, lambda s, d: REGISTRY["minhash_lsh_near_dup"].fn(s, d)),
     "ngram_jaccard": (old_ngram_jaccard, lambda s, d: REGISTRY["ngram_jaccard_dedup"].fn(s, d)),
@@ -379,6 +438,8 @@ TARGETS = {
 STREAM_TARGETS = {
     "sdedup_stream": lambda s, d, new: _stream_dedup(s, d, with_quality=False, new=new),
     "intake_stream": lambda s, d, new: _stream_dedup(s, d, with_quality=True, new=new),
+    "sdedup_conc": lambda s, d, new: _stream_conc(s, d, "streaming_incremental_dedup", new),
+    "intake_conc": lambda s, d, new: _stream_conc(s, d, "streaming_intake_pipeline", new),
 }
 
 
