@@ -21,6 +21,7 @@ from rlink_rs_spark.operators.dedup import (
     verify_jaccard,
     with_shingles,
 )
+from rlink_rs_spark.operators.repartition import fan_out
 from rlink_rs_spark.queries.base import register
 from rlink_rs_spark.tables import load_table
 
@@ -50,8 +51,18 @@ def _shared_shingle_frames(docs: DataFrame, k: int = 3):
     as a 2x regression on ngram_jaccard). Caching the per-doc arrays
     (docs-sized rows, far smaller than the exploded postings) makes
     every consumer read the one materialized scan. Within-query
-    intermediate only: bench clears the cache between timed queries."""
-    sets = shingle_sets(docs, k=k).cache()
+    intermediate only: bench clears the cache between timed queries.
+
+    fan_out BEFORE the cache (r16 session 4, guide §2.2): the cache
+    inherits the scan's partitioning, and a one-row-group documents
+    file pins the scan -- and therefore EVERY cached-downstream map
+    stage (the 8-md5s-per-posting signature digests, the band explode,
+    the verify explode) -- to ONE task. Spreading the docs-sized rows
+    once before caching parallelizes all of it; fan_out's layout guard
+    makes this a no-op on genuinely parallel (100 TB) scans.
+    Interleaved A/B of the full minhash pipeline: 3.87-4.11 s -> 0.88-
+    1.24 s (0.23-0.32x)."""
+    sets = shingle_sets(fan_out(docs), k=k).cache()
     sizes = sets.select("doc_id", F.size("sh").cast("long").alias("n"))
     return sets, sets_to_postings(sets), sizes
 
@@ -115,7 +126,11 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wiring (1.13x) SLOWER here -- the posting stream already exchanges
     # for the pair counts, so the grouped size agg rides runtime shuffle
     # reuse at near-zero cost, while a cache only adds materialization.
-    return ngram_jaccard_pairs(with_shingles(docs), threshold=0.6, max_df=_MAX_DF)
+    # fan_out (r16 session 4, guide §2.2) attacks the OTHER end: the
+    # shared tokenize+shingle map ran at the one-row-group scan's
+    # parallelism (1 task) before the postings exchange. Interleaved
+    # A/B min-of-3: 2.82 -> 2.05 s (0.73x).
+    return ngram_jaccard_pairs(with_shingles(fan_out(docs)), threshold=0.6, max_df=_MAX_DF)
 
 
 @register(
@@ -289,7 +304,10 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sims = simhash(with_shingles(docs))
+    # fan_out: the per-posting md5 + 32 conditional sums run before the
+    # SimHash agg exchange, i.e. at scan parallelism (r16 session 4,
+    # guide §2.2; interleaved A/B 2.54 -> 2.26 s min-of-3)
+    sims = simhash(with_shingles(fan_out(docs)))
     return simhash_pairs(sims, max_hamming=3)
 
 
@@ -400,7 +418,6 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near stage: persisted history index + in-batch self join
     shingled_all = with_shingles(docs)
     hist_sh = with_shingles(history)
-    batch_sh = with_shingles(batch)
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     hist_banded = load_or_build_band_index(
         spark,
@@ -412,9 +429,13 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # batch signatures compute ONCE (shingle + md5 over the batch is the
     # expensive map side) and feed BOTH candidate joins; cache() because the
-    # banded table is consumed by two joins in one action
+    # banded table is consumed by two joins in one action. fan_out first
+    # (r16 session 4, guide §2.2): the one-row-group scan otherwise pins
+    # the whole signature map to a single task.
     batch_banded = band_signatures(
-        minhash_signatures(batch_sh, n_hashes=_N_HASHES), n_hashes=_N_HASHES, bands=_BANDS
+        minhash_signatures(with_shingles(fan_out(batch)), n_hashes=_N_HASHES),
+        n_hashes=_N_HASHES,
+        bands=_BANDS,
     ).cache()
     bb = batch_banded.select(
         F.col("doc_id").alias("id_a"), F.col("band").alias("band"), F.col("sig").alias("sig")
@@ -436,10 +457,12 @@ def incremental_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = cands_hist.unionByName(cands_batch).distinct()
     # cached: the map-side sets frame feeds BOTH verify join sides (r16,
-    # _shared_shingle_frames rationale)
+    # _shared_shingle_frames rationale; fan_out so the cache build is not
+    # a single scan task)
     near = (
         verify_jaccard(
-            cands, shingled_all, threshold=_INCR_THR, sets=shingle_sets(docs).cache()
+            cands, shingled_all, threshold=_INCR_THR,
+            sets=shingle_sets(fan_out(docs)).cache(),
         )
         .groupBy(F.col("id_a").alias("doc_id"))
         .agg(F.min("id_b").alias("near_dup_of"))
@@ -608,7 +631,9 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deliberately the GROUPED sizes path: r16 measured both the uncached
     # map-side sizes (1.79x) and the cached shared-scan wiring (1.23x)
     # SLOWER here -- same shuffle-reuse reasoning as ngram_jaccard_dedup.
-    sh = with_shingles(docs, k=_CONT_K)
+    # fan_out parallelizes the shared 8-gram tokenize map that ran as one
+    # scan task (r16 session 4, guide §2.2; A/B 2.84 -> 1.55 s min-of-3).
+    sh = with_shingles(fan_out(docs), k=_CONT_K)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
     und = (
         postings_pair_counts(sh, max_df=_MAX_DF)

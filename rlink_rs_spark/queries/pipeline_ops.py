@@ -56,8 +56,13 @@ _DECON_ORACLE = f"""
     "broadcast and the corpus never shuffles; all-pairs is never formed.",
 )
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlink_rs_spark.operators.repartition import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = with_shingles(docs, k=_DECON_K)
+    # fan_out: both filtered sides share one tokenize+8-gram map that ran
+    # as a single scan task (r16 session 4, guide §2.2; interleaved A/B
+    # 0.82 -> 0.45 s min-of-3); the layout guard no-ops on parallel scans
+    sh = with_shingles(fan_out(docs), k=_DECON_K)
     is_eval = F.pmod(F.col("doc_id"), F.lit(_EVAL_MOD)) == _EVAL_RES
     eval_sh = sh.where(is_eval).select(F.col("doc_id").alias("eval_id"), "shingle")
     corp_sh = sh.where(~is_eval).select(F.col("doc_id").alias("corpus_id"), "shingle")

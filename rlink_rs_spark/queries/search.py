@@ -116,8 +116,13 @@ def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # tf feeds FOUR consumers (dl, totals-via-dl, df, scoring); Spark does
     # not reuse the subplan across them, so cache the one corpus shuffle
-    # (the lm_perplexity_filter bigram-cache pattern).
-    tf = corpus_tf(docs).cache()
+    # (the lm_perplexity_filter bigram-cache pattern). fan_out spreads the
+    # tokenize+explode map feeding that shuffle -- it ran at the one-row-
+    # group scan's parallelism (r16 session 4, guide §2.2; interleaved
+    # A/B 2.86 -> 2.65 s min-of-3).
+    from rlink_rs_spark.operators.repartition import fan_out
+
+    tf = corpus_tf(fan_out(docs)).cache()
     return bm25_score_tf(spark, tf)
 
 
@@ -473,9 +478,12 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused ordering is BIGINT-exact across engines."""
     from rlink_rs_spark.operators import similarity as sim_ops
 
+    from rlink_rs_spark.operators.repartition import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    tf = corpus_tf(docs).cache()
+    # fan_out: same single-scan-task tokenize map as bm25_keyword_search
+    tf = corpus_tf(fan_out(docs)).cache()
     wq = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
     qterms = (
         tf.where(F.col("doc_id").isin(HYBRID_QUERY_DOCS))

@@ -181,8 +181,15 @@ def streaming_incremental_dedup_sink(
     # -- array order differs, and every consumer is order-insensitive
     # (verify_jaccard set sizes/intersections). Fallback keeps the
     # grouped build for callers that only hold the exploded frame.
+    # fan_out before the cache (r16 session 4, guide §2.2): the map-side
+    # sets projection inherits the docs scan's partitioning, and a one-
+    # row-group fixture file would pin the cache build AND every cached-
+    # downstream verify join to one task; the layout guard no-ops on
+    # genuinely parallel scans. The grouped fallback already exchanges.
+    from rlink_rs_spark.operators.repartition import fan_out
+
     corpus_sets = (
-        corpus_sets_df
+        fan_out(corpus_sets_df)
         if corpus_sets_df is not None
         else shingled_all.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
     ).cache()
@@ -233,7 +240,10 @@ def streaming_incremental_dedup_sink(
             raise RuntimeError(f"injected mid-compaction crash at epoch {epoch_id}")
         _compact(spark, band_dir, _BAND_SCHEMA, epoch_id, compact_every)
 
-        batch = batch_df.select("doc_id", "text").cache()
+        # fan_out the micro-batch before caching: the per-epoch MinHash
+        # signature map (8 md5s per posting) otherwise runs at the file
+        # chunk's scan parallelism -- one task per trigger file.
+        batch = fan_out(batch_df.select("doc_id", "text")).cache()
 
         # --- exact stage
         prior_hashes = _read_state(spark, hash_dir, _HASH_SCHEMA, epoch_id).select("h").distinct()
